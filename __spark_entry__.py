@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on
+sf0.001; ``queries()`` exposes every implemented operator from
+SURVEY.md §2 plus the training-data-prep operators; ``oracle_sql()``
+returns the DuckDB twin of each query (same column names, same
+rounding, same tie-breaks). See ``bern2_spark/queries.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Executors must be able to import bern2_spark even when the
+    driver-created session didn't go through bern2_spark.session."""
+    from bern2_spark.session import _ship_package
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already added, or local-only plan
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (preprocess -> tag -> mutations ->
+    sieve normalize -> neural fallback -> canonicalize -> triples) over
+    /root/testdata/sf0.001 documents."""
+    _ensure_shipped(spark)
+    from bern2_spark.queries import QUERIES
+    return QUERIES["kg_pipeline_triples"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bern2_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bern2_spark.queries import ORACLES
+    return dict(ORACLES)

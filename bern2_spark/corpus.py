@@ -84,6 +84,13 @@ _FILLER = ("the of study results analysis we observed in with for patients "
 _MUTATIONS = ["p.V600E", "c.123A>G", "rs113488022", "p.Lys27Met",
               "c.1521_1523delCTT", "V600E"]
 
+# Suffix-rule-taggable surfaces ABSENT from the lexicon (lexicon names
+# always end in a digit): these come out of the sieve CUI-less and are
+# picked up by the neural fallback (high trigram overlap with lexicon
+# concepts of the same stem).
+_UNKNOWN_SURFACES = ["alphaosis", "betaosis", "gammaumab", "deltakinase",
+                     "epsilonvirus", "kappacyte"]
+
 _EDGE_DOCS = [
     # exercises P1 (control chars) + P4-ish spacing
     "Control\r\nchars\tand\x0bvertical\x0cfeeds\xa0here. BRCA1 was mutated.",
@@ -131,9 +138,15 @@ def make_documents(n_docs: int = 200, seed: int = 42,
                     words.insert(r.randint(0, len(words)), r.choice(surfaces))
                 if r.random() < 0.15:
                     words.insert(r.randint(0, len(words)), r.choice(_MUTATIONS))
+                if r.random() < 0.20:   # CUI-less -> neural fallback fodder
+                    words.insert(r.randint(0, len(words)),
+                                 r.choice(_UNKNOWN_SURFACES))
                 if r.random() < 0.10:           # blocklisted species word
                     words.insert(r.randint(0, len(words)), "patients")
-                sents.append(" ".join(words).capitalize() + ".")
+                s = " ".join(words)
+                # upper-case only the first char: .capitalize() would
+                # lowercase planted surfaces/mutations and break them
+                sents.append((s[:1].upper() + s[1:]) + ".")
             content = " ".join(sents)
         commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
         rows.append((f"repo_{i % 10}", f"docs/{i}.txt", commit, "text", content))
@@ -144,3 +157,35 @@ def documents_df(spark: SparkSession, n_docs: int = 200, seed: int = 42,
                  lexicon=None) -> DataFrame:
     return spark.createDataFrame(make_documents(n_docs, seed, lexicon),
                                  schemas.DOCUMENTS)
+
+
+# ------------------------------------------------- driver-corpus lexicon
+
+# Sentinel cui: surface is TAGGED by the surrogate model but absent from
+# the normalization lexicon -> comes out of the sieve CUI-less -> feeds
+# the neural fallback. (Mirrors real corpora where the tagger knows more
+# surfaces than the dictionaries.)
+TAG_ONLY = "__TAG_ONLY__"
+
+# Deterministic lexicon over the driver testdata vocabulary
+# (/root/testdata word-salad docs), so the KG pipeline produces real
+# mention/triple volume on the driver tables.
+DRIVER_VOCAB_LEXICON = [
+    ("gene", "2001", "spark"),
+    ("gene", "2002", "vector"),
+    ("gene", "2003", "hash"),
+    ("gene", "2004-1", "hash join"),      # multi-token + '-' truncation
+    ("disease", "MESH:D3001", "stream"),
+    ("disease", "MESH:D3002", "merge"),
+    ("disease", "MESH:D3003", "slow query"),
+    ("drug", "MESH:C4001", "filter"),
+    ("drug", "MESH:C4002", "batch"),
+    ("species", "960600", "customer"),    # taxid*100 -> NCBI:txid9606
+    ("species", "1009000", "window"),
+    ("cell_line", "CVCL_S1", "scan"),
+    ("cell_type", "CL_0001", "column"),
+    # tag-only: neural-fallback fodder
+    ("disease", TAG_ONLY, "group"),
+    ("drug", TAG_ONLY, "sort"),
+    ("gene", TAG_ONLY, "agg"),
+]

@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on a documents table ``(doc_id, text)``. Five families:
+
+* exact        — hash-groupBy on normalized text (one shuffle on a
+                 64-hex key; map-side partial agg absorbs duplicates).
+* minhash LSH  — shingle -> k minhashes -> b bands -> bucket join.
+                 The pair-candidate join is on (band_idx, band_hash):
+                 at 100 TB the band table is the only shuffled artifact
+                 (docs × b rows, ~40 bytes each), never doc text.
+* simhash      — 64-bit sign-sketch of token hashes, vectorized in a
+                 pandas UDF; near-dups = equal sketch (or Hamming<=3 via
+                 band rotation of 4×16-bit chunks).
+* n-gram Jaccard — exact verify step for LSH candidates (explode +
+                 groupBy intersection over union).
+* embedding cosine — near-dup pairs above a cosine threshold over an
+                 embedding column (see similarity.py for the ANN path).
+
+Determinism: every hash is md5/xxhash of content — no RNG, no time.
+
+NB: no ``from __future__ import annotations`` here — pandas_udf infers
+its eval type from REAL (non-stringified) type hints.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- shared
+
+def norm_tokens(col):
+    """lowercase alphanumeric tokens (shared with textqc/oracles)."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def shingles(col, n: int = 3):
+    """token n-gram shingles as strings; docs shorter than n tokens get
+    their full token string as the single shingle."""
+    toks = norm_tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids).
+    Keep-one policy = min(doc_id) as canonical."""
+    return (docs
+            .select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ------------------------------------------------------------ minhash LSH
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of md5(seed:shingle).
+    Expressed via explode+groupBy (not nested lambdas) so the same
+    computation is 1:1 expressible in ANSI SQL for the oracle."""
+    sh = (docs.select("doc_id",
+                      F.explode_outer(shingles(F.col(text_col), shingle_n))
+                      .alias("shingle")))
+    seeds = docs.sparkSession.range(num_hashes).select(
+        F.col("id").cast("int").alias("seed"))
+    return (sh.crossJoin(F.broadcast(seeds))
+            .groupBy("doc_id", "seed")
+            .agg(F.min(F.md5(F.concat_ws(":", "seed", "shingle")))
+                 .alias("minhash")))
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, band_hash): hash of the band's minhashes in seed
+    order."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int"))
+    return (banded.groupBy("doc_id", "band")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x["minhash"]),
+                ",")).alias("band_hash")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      num_hashes: int = 16, rows_per_band: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH bucket."""
+    bands = lsh_bands(minhash_signatures(docs, text_col, num_hashes,
+                                         shingle_n), rows_per_band)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (a.join(b, ["band", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct())
+
+
+# --------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame = None,
+                        text_col: str = "text", shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over shingle SETS for every candidate pair (or all
+    pairs when candidates is None — test scale only). Returns
+    (doc_a, doc_b, jaccard >= threshold rows)."""
+    sh = (docs.select("doc_id",
+                      F.explode(shingles(F.col(text_col), shingle_n))
+                      .alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash_sketches(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit simhash per doc, vectorized in a pandas UDF (the
+    per-bit ±1 vote sum is a numpy matmul, not 64 SQL aggregations)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        import re
+        out = []
+        for text in texts:
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower())
+                    if t]
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+                dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                    ).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sketch = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sketch |= np.uint64(1) << np.uint64(i)
+            out.append(int(sketch.astype(np.int64)))
+        return pd.Series(out)
+
+    return docs.select("doc_id", simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-dup groups by identical 64-bit simhash (Hamming-0 buckets;
+    Hamming<=k extends this by joining on rotated 16-bit chunks)."""
+    return (simhash_sketches(docs, text_col)
+            .groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------- embedding near-dup
+
+def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs by cosine over an array<float> column. Exact
+    all-pairs (self-join) — the verify step after LSH bucketing at
+    scale (see similarity.lsh_bucket_candidates)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("vec_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vec_b"))
+    dot = F.aggregate(F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", dot / (norm(F.col("vec_a"))
+                                         * norm(F.col("vec_b"))))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,92 @@
+"""Text analysis for training-data pipelines: language id, quality
+scoring, token counting, document fingerprinting. All pure column
+expressions (JVM-side) so they fold into the document scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bern2_spark.dataprep.dedup import norm_tokens
+
+# Tiny per-language stopword signatures for the n-gram/stopword-ratio
+# heuristic (deterministic; a real deployment would ship fastText — the
+# plumbing is identical: a column in, a label out).
+LANG_SIGNATURES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour"],
+}
+
+
+def whitespace_token_count(col) -> Column:
+    """Tokens by whitespace split (the cheap counter)."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-like subword proxy: alnum runs + punctuation marks each count
+    as one token (regexp_count is a scan-fused native op)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios + a composite
+    quality score in [0,1]."""
+    c = F.col(text_col)
+    toks = norm_tokens(c)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(*LANG_SIGNATURES["en"])))
+    n_chars = F.length(c)
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    upper = F.regexp_count(c, F.lit(r"[A-Z]"))
+    out = (docs
+           .withColumn("n_chars", n_chars)
+           .withColumn("n_tokens", n_tok)
+           .withColumn("punct_ratio",
+                       F.when(n_chars > 0, punct / n_chars).otherwise(0.0))
+           .withColumn("upper_ratio",
+                       F.when(n_chars > 0, upper / n_chars).otherwise(0.0))
+           .withColumn("stopword_ratio",
+                       F.when(n_tok > 0, stop_hits / n_tok).otherwise(0.0))
+           .withColumn("mean_word_len",
+                       F.when(n_tok > 0,
+                              F.aggregate(toks, F.lit(0),
+                                          lambda a, t: a + F.length(t))
+                              / n_tok).otherwise(0.0)))
+    score = (
+        F.least(F.col("n_tokens") / 20.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.3)
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-signature language ID: argmax over per-language hit
+    counts, 'und' (undetermined) when nothing matches."""
+    toks = norm_tokens(F.col(text_col))
+
+    def hits(sig):
+        # NB: a 1-arg lambda is required — Spark treats a second python
+        # parameter as the element-index lambda argument
+        return F.size(F.filter(toks, lambda t: t.isin(*sig)))
+
+    scores = [
+        F.struct(hits(sig).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, sig in sorted(LANG_SIGNATURES.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return docs.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 over the lowercase token
+    stream — whitespace/punctuation-insensitive identity (the rolling-
+    hash equivalent for whole-doc identity)."""
+    return docs.withColumn(
+        "fingerprint",
+        F.md5(F.array_join(norm_tokens(F.col(text_col)), " ")))

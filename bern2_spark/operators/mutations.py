@@ -1,0 +1,124 @@
+"""tmVar-style mutation detection — operators M3, X8, A4, P7, W4.
+
+The reference shells out to the closed-source tmVar 2.0 jar
+(bern2/bern2.py:333-342) and recovers character offsets of the returned
+mention strings by nth-occurrence string search
+(bern2/convert.py:216-257). We reproduce the observable behavior fully
+in-plan with native Spark SQL:
+
+* detection: a battery of ``regexp_extract_all`` patterns (protein /
+  DNA substitutions, indels, dbSNP rs-ids) — JVM-side, codegen'd;
+* nth-occurrence offset recovery (X8): an ``aggregate`` over
+  ``sequence(1, n)`` of ``locate(mention, text, prev+1)`` — the exact
+  ``str.index(..., pos+1)`` loop of the reference, expressed as a SQL
+  fold instead of a Python UDF;
+* occurrence numbering (A4): ``row_number`` over (doc, mention) in
+  match order (bern2/convert.py:219-246);
+* normalized names: tmVar-style templates via ``regexp_replace``.
+
+Mutation mentions carry NULL prob and bypass W1 dedup (U1,
+bern2/bern2.py:488-489), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bern2_spark import schemas
+
+_AA3 = ("Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|Met|Phe|Pro|Ser|"
+        "Thr|Trp|Tyr|Val|Ter")
+
+# (pattern, capture_group, mutation_type, norm_pattern, java_template,
+#  re2_template). Patterns restrict to the RE2-compatible subset (no
+# lookbehind) so the DuckDB correctness oracle can run the IDENTICAL
+# battery; java_template uses $1, re2_template uses \\1.
+MUTATION_PATTERNS: List[Tuple[str, int, str, str, str, str]] = [
+    # p.V600E / p.V600fs
+    (r"p\.[A-Z][0-9]+(?:[A-Z]|fs)", 0,
+     "ProteinMutation",
+     r"p\.([A-Z])([0-9]+)([A-Z]|fs)", r"p|SUB|$1|$2|$3", r"p|SUB|\1|\2|\3"),
+    # p.Val600Glu (3-letter code)
+    (rf"p\.(?:{_AA3})[0-9]+(?:{_AA3})", 0,
+     "ProteinMutation",
+     rf"p\.({_AA3})([0-9]+)({_AA3})", r"p|SUB|$1|$2|$3", r"p|SUB|\1|\2|\3"),
+    # bare V600E: not preceded by '.'/alnum (group capture instead of
+    # lookbehind — RE2 has none)
+    (r"(?:^|[^.A-Za-z0-9])([A-Z][0-9]{2,}[A-Z])\b", 1,
+     "ProteinMutation",
+     r"([A-Z])([0-9]+)([A-Z])", r"p|SUB|$1|$2|$3", r"p|SUB|\1|\2|\3"),
+    # c.123A>G (also g./m./r. coordinate systems)
+    (r"[cgmr]\.[0-9]+[ACGTU]>[ACGTU]", 0,
+     "DNAMutation",
+     r"([cgmr])\.([0-9]+)([ACGTU])>([ACGTU])", r"$1|SUB|$3|$2|$4",
+     r"\1|SUB|\3|\2|\4"),
+    # c.1521_1523delCTT / c.123del / c.123_125dup / c.123insA
+    (r"[cgmr]\.[0-9]+(?:_[0-9]+)?(?:del|ins|dup)[ACGTU]*", 0,
+     "DNAMutation",
+     r"([cgmr])\.([0-9]+(?:_[0-9]+)?)(del|ins|dup)([ACGTU]*)",
+     r"$1|$3|$2|$4", r"\1|\3|\2|\4"),
+    # dbSNP
+    (r"\brs[0-9]+\b", 0, "SNP", r"rs([0-9]+)", r"rs$1", r"rs\1"),
+]
+
+
+def detect_mutations(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) -> MENTIONS rows with ent_type='mutation'.
+
+    Entirely native SQL: per-pattern extract_all + posexplode, occurrence
+    numbering, fold-of-locate offset recovery. No Python in the plan."""
+    branches = []
+    for prio, (pat, grp, mtype, npat, ntempl, _re2) in enumerate(
+            MUTATION_PATTERNS):
+        b = (docs
+             .select("doc_id", text_col,
+                     F.posexplode(
+                         F.regexp_extract_all(text_col, F.lit(pat),
+                                              F.lit(grp))
+                     ).alias("pos", "mention"))
+             .withColumn("mutation_type", F.lit(mtype))
+             .withColumn("pat_priority", F.lit(prio))
+             .withColumn("normalized_name",
+                         F.regexp_replace("mention", npat, ntempl)))
+        branches.append(b)
+    all_matches = branches[0]
+    for b in branches[1:]:
+        all_matches = all_matches.unionByName(b)
+
+    # A4 — nth occurrence of the same mention string within a doc,
+    # in match order (pos is per-pattern; same string => same pattern).
+    occ_w = Window.partitionBy("doc_id", "mention").orderBy("pos")
+    numbered = all_matches.withColumn("occ", F.row_number().over(occ_w))
+
+    # X8 — offset of the nth occurrence: fold locate() n times, each
+    # search resuming one char past the previous hit (str.index(..,
+    # pos+1) semantics of bern2/convert.py:228-257). locate is 1-based.
+    with_start = numbered.withColumn(
+        "start",
+        F.expr(f"aggregate(sequence(1, occ), 0, "
+               f"(acc, i) -> locate(mention, {text_col}, acc + 1)) - 1"))
+    mentions = (with_start
+                .filter(F.col("start") >= 0)  # defensive: locate miss -> -1
+                .withColumn("end", F.col("start") + F.length("mention"))
+                # P7 — sanity filter (bern2/convert.py:222-227)
+                .filter(~F.col("mention").rlike("No text|text "))
+                .select("doc_id",
+                        F.lit("mutation").alias("ent_type"),
+                        "start", "end", "mention",
+                        F.lit(None).cast("double").alias("prob"),
+                        "mutation_type", "normalized_name", "pat_priority"))
+    # overlapping patterns may double-report a span: keep the highest-
+    # priority pattern's row (deterministic, unlike dropDuplicates)
+    span_w = Window.partitionBy("doc_id", "start", "end").orderBy("pat_priority")
+    mentions = (mentions
+                .withColumn("rn", F.row_number().over(span_w))
+                .filter(F.col("rn") == 1)
+                .drop("rn", "pat_priority"))
+    out = (mentions
+           .withColumn("mention_id",
+                       F.xxhash64("doc_id", "ent_type", "start", "end"))
+           .select([f.name for f in schemas.MENTIONS.fields]))
+    return out

@@ -1,0 +1,141 @@
+"""Stage 4 — rule-based normalization sieve. Operators P11-P17, J1-J4
+of SURVEY §2.2/§2.3.
+
+Every reference "normalizer" is an in-RAM dict probe
+(normalizers/*.py); here each becomes a **broadcast hash join** against
+a key-prepped lexicon, cascaded in sieve priority and resolved with one
+``coalesce`` (J2/J3's multi-pass sieve as cascaded left joins). The
+mentions fact table is never shuffled: all four lookup joins broadcast
+the dimension side.
+
+Key preparations (applied identically to both sides, like the
+reference):
+* tmChem key (P16): lowercase, delete whitespace+punctuation
+  (normalizers/chemical_normalizer.py:31-39) — drug lexicon key.
+* exact / lowercase keys (J2): species / cell_line / cell_type
+  (normalizers/species_normalizer.py:15-25 and clones).
+* disease sieve (J3): the reference's sieve jar is closed-source; we
+  implement levels exact -> lowercase -> BioSyn-basic (P17: lower,
+  punct->space, squeeze; normalizers/neural_normalizer.py:103-108).
+* gene (J4): trailing ' gene' strip (P13, bern2/normalizer.py:341-361),
+  exact -> lower lookup, then Entrez prefixing with '-'-truncation
+  (P14, bern2/normalizer.py:396-401).
+* species ids: dict stores taxid*100; output 'NCBI:txid{id//100}'
+  (P15, bern2/normalizer.py:292-302).
+* mutations: tmVar already normalized them; cui = first ';'-alternative
+  of normalizedName (P12, bern2/normalizer.py:124-127).
+
+Divergence note: the reference's dicts resolve duplicate keys by
+last-write-wins file order; a distributed build has no line order, so
+we take min(cui) per key — deterministic and order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bern2_spark.schemas import CUI_LESS
+
+TWO_PASS_TYPES = ["species", "cell_line", "cell_type", "disease", "gene"]
+
+
+# ------------------------------------------------------------ key preps
+
+def tmchem_key(col: Column) -> Column:
+    """P16 — lowercase + remove all whitespace and punctuation."""
+    return F.regexp_replace(F.lower(col), r"[\s\p{Punct}]", "")
+
+
+def biosyn_key(col: Column) -> Column:
+    """P17 — lowercase, punctuation->space, squeeze, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[\s\p{Punct}]+", " "))
+
+
+def strip_gene_suffix(col: Column) -> Column:
+    """P13 — drop a trailing ' gene' (case-insensitive) when the surface
+    is longer than the suffix (bern2/normalizer.py:341-361)."""
+    return F.when(
+        (F.length(col) > 5) & F.lower(col).endswith(" gene"),
+        col.substr(F.lit(1), F.length(col) - 5)
+    ).otherwise(col)
+
+
+# ------------------------------------------------------- lexicon tables
+
+def _dedup(df: DataFrame) -> DataFrame:
+    return df.groupBy("ent_type", "key").agg(F.min("cui").alias("cui"))
+
+
+def build_lookup_tables(lexicon: DataFrame) -> dict:
+    """-> {level: small DF (ent_type, key, cui)} ready to broadcast."""
+    # NB: the reference's 2nd pass probes lower(mention) against the
+    # ORIGINAL-case dict keys (species_normalizer.py:20-21) — the
+    # lexicon side is NOT lowercased, so both passes share one table.
+    exact = _dedup(lexicon
+                   .filter(F.col("ent_type").isin(TWO_PASS_TYPES))
+                   .select("ent_type", F.col("name").alias("key"), "cui"))
+    tmchem = _dedup(lexicon
+                    .filter(F.col("ent_type") == "drug")
+                    .select("ent_type", tmchem_key(F.col("name")).alias("key"),
+                            "cui"))
+    biosyn = _dedup(lexicon
+                    .filter(F.col("ent_type") == "disease")
+                    .select("ent_type", biosyn_key(F.col("name")).alias("key"),
+                            "cui"))
+    return {"exact": exact, "tmchem": tmchem, "biosyn": biosyn}
+
+
+# ---------------------------------------------------------- the sieve
+
+def normalize_mentions(mentions: DataFrame, lexicon: DataFrame) -> DataFrame:
+    """MENTIONS -> NORMALIZED (adds cui, is_neural_normalized=false).
+
+    Four broadcast left joins (exact, lower, tmchem, biosyn) + one
+    priority coalesce; type-specific id post-processing; mutations pass
+    through with their tmVar-normalized name as cui."""
+    lut = build_lookup_tables(lexicon)
+
+    # P13 applied to the gene join key only (surface column unchanged)
+    m = mentions.withColumn(
+        "k_surface",
+        F.when(F.col("ent_type") == "gene",
+               strip_gene_suffix(F.col("mention")))
+         .otherwise(F.col("mention")))
+
+    def lkp(df, table, suffix, key_col):
+        t = lut[table].select(
+            F.col("ent_type").alias(f"_et_{suffix}"),
+            F.col("key").alias(f"_key_{suffix}"),
+            F.col("cui").alias(f"cui_{suffix}"))
+        return (df.join(
+                    F.broadcast(t),
+                    (F.col("ent_type") == F.col(f"_et_{suffix}"))
+                    & (key_col == F.col(f"_key_{suffix}")),
+                    "left")
+                .drop(f"_et_{suffix}", f"_key_{suffix}"))
+
+    m = lkp(m, "exact", "exact", F.col("k_surface"))
+    m = lkp(m, "exact", "lower", F.lower(F.col("k_surface")))
+    m = lkp(m, "tmchem", "tmchem", tmchem_key(F.col("k_surface")))
+    m = lkp(m, "biosyn", "biosyn", biosyn_key(F.col("k_surface")))
+
+    raw_cui = F.coalesce("cui_exact", "cui_lower", "cui_tmchem", "cui_biosyn")
+
+    cui = (
+        F.when(F.col("ent_type") == "mutation",
+               F.coalesce(F.element_at(F.split("normalized_name", ";"), 1),
+                          F.lit(CUI_LESS)))                      # P12
+        .when(raw_cui.isNull(), F.lit(CUI_LESS))
+        .when(F.col("ent_type") == "species",                    # P15
+              F.concat(F.lit("NCBI:txid"),
+                       (raw_cui.cast("long") / 100).cast("long").cast("string")))
+        .when(F.col("ent_type") == "gene",                       # P14
+              F.concat(F.lit("EntrezGene:"),
+                       F.element_at(F.split(raw_cui, "-"), 1)))
+        .otherwise(raw_cui))
+
+    return (m.withColumn("cui", cui)
+             .withColumn("is_neural_normalized", F.lit(False))
+             .drop("k_surface", "cui_exact", "cui_lower", "cui_tmchem",
+                   "cui_biosyn"))

@@ -1,0 +1,102 @@
+"""Stage 6b — output shaping. Operators P9 (CUI split), P10 (prefix
+standardization) of SURVEY §2.2, plus the triple emit.
+
+P10's bioregistry lookup (bern2/bern2.py:197-234) is materialized as a
+static prefix map (the bioregistry snapshot the reference README
+documents, README.md:17-24) — a deterministic build-time table instead
+of a runtime dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bern2_spark.schemas import CUI_LESS
+
+# bioregistry snapshot (reference README.md:17-24 mapping table).
+PREFIX_MAP = {
+    "MESH": "mesh",
+    "OMIM": "mim",
+    "EntrezGene": "NCBIGene",
+    "CL": "CL",
+    "CVCL": "cellosaurus",
+    "NCBI:txid": "NCBITaxon",
+}
+
+# types whose ids get standardized (bern2/bern2.py:203)
+_STANDARDIZED_TYPES = ["disease", "gene", "drug", "species", "cell_line",
+                       "cell_type"]
+
+
+def split_cuis(col):
+    """P9 — 'OMIM:1,MESH:2' or 'a|b' -> ['OMIM:1','MESH:2']
+    (bern2/bern2.py:181-195). Stays array-typed."""
+    return F.split(F.translate(col, "|", ","), ",")
+
+
+def standardize_prefix(cui):
+    """P10 — single-CUI prefix rewrite, mirroring standardize_prefixes
+    (bern2/bern2.py:197-234): NCBI:txid first, then '_' split
+    (CVCL_J260 -> cellosaurus:CVCL_J260), then ':' split, else as-is."""
+    txid = F.regexp_extract(cui, r"NCBI:txid(\d+)", 1)
+    us_prefix = F.regexp_extract(cui, r"^([A-Za-z]+)_(.+)$", 1)
+    us_rest = F.regexp_extract(cui, r"^([A-Za-z]+)_(.+)$", 2)
+    colon_prefix = F.regexp_extract(cui, r"^([^:]+):(.+)$", 1)
+    colon_rest = F.regexp_extract(cui, r"^([^:]+):(.+)$", 2)
+
+    def mapped(prefix):
+        m = F.create_map(*[x for k, v in PREFIX_MAP.items()
+                           for x in (F.lit(k), F.lit(v))])
+        return F.coalesce(m[prefix], prefix)
+
+    return (
+        F.when(cui == CUI_LESS, cui)
+        .when(txid != "", F.concat(F.lit("NCBITaxon:"), txid))
+        .when(us_prefix != "",
+              # cellosaurus keeps the CVCL_ stem inside the local id
+              F.when(mapped(us_prefix) == "cellosaurus",
+                     F.concat(F.lit("cellosaurus:"), cui))
+               .otherwise(F.concat(mapped(us_prefix), F.lit(":"), us_rest)))
+        .when(colon_prefix != "",
+              F.concat(mapped(colon_prefix), F.lit(":"), colon_rest))
+        .otherwise(cui))
+
+
+def to_annotations(canonical: DataFrame) -> DataFrame:
+    """NORMALIZED (post-W1/U1) -> ANNOTATIONS: split multi-CUIs into an
+    array, standardize each element (transform: no explode needed)."""
+    ids = split_cuis(F.col("cui"))
+    standardized = F.when(
+        F.col("ent_type").isin(_STANDARDIZED_TYPES),
+        F.transform(ids, standardize_prefix)).otherwise(ids)
+    return canonical.select(
+        "doc_id",
+        F.col("ent_type").alias("obj"),
+        F.col("start").alias("begin"),
+        F.col("end"),
+        "mention",
+        standardized.alias("id"),
+        "prob",
+        "is_neural_normalized",
+        F.col("mutation_type").alias("mutationType"),
+        F.col("normalized_name").alias("normalizedName"),
+    )
+
+
+def to_triples(annotations: DataFrame, keep_cuiless: bool = False,
+               distinct: bool = True) -> DataFrame:
+    """(doc_id, has_<type>, cui) triples — one row per id element
+    (FIXTURES.md §3). Set semantics by default (a doc mentioning the
+    same entity five times asserts the triple once); the P/R gate
+    compares triple SETS. Mention-level multiplicity stays available in
+    the annotations table."""
+    t = (annotations
+         .select("doc_id",
+                 F.concat(F.lit("has_"), F.col("obj")).alias("pred"),
+                 F.explode("id").alias("obj_id"))
+         .select(F.col("doc_id").alias("subj"), "pred",
+                 F.col("obj_id").alias("obj")))
+    if not keep_cuiless:
+        t = t.filter(F.col("obj") != CUI_LESS)
+    return t.distinct() if distinct else t

@@ -1,0 +1,96 @@
+"""End-to-end KG-construction plan (SURVEY §3's lifecycle, Spark-first):
+
+    read -> P1..P5 project -> [fused segment+tag+decode (M1/W2) ||
+    mutation regex battery (M3)] -> P6/P7 filter -> sieve normalize
+    (J1-J4) -> neural fallback (A2/M5/J5/J7) -> W1 dedup || U1 union ->
+    P9/P10 post-process -> triples + annotations + metrics.
+
+One logical plan, two shuffles total on the fact table (W1's window and
+the final doc-partitioned sort); every lookup is a broadcast join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bern2_spark import corpus
+from bern2_spark.operators.canonicalize import (
+    order_output, resolve_overlap, union_mutations,
+)
+from bern2_spark.operators.filters import filter_species_human
+from bern2_spark.operators.metrics import cuiless_rate, entity_counts
+from bern2_spark.operators.mutations import detect_mutations
+from bern2_spark.operators.normalize import normalize_mentions
+from bern2_spark.operators.neural import neural_normalize
+from bern2_spark.operators.postprocess import to_annotations, to_triples
+from bern2_spark.operators.preprocess import preprocess
+from bern2_spark.operators.tagging import extract_mentions
+
+
+@dataclass
+class PipelineResult:
+    docs: DataFrame
+    mentions: DataFrame
+    normalized: DataFrame
+    annotations: DataFrame
+    triples: DataFrame
+
+
+def run_pipeline(documents: DataFrame,
+                 lexicon_rows: Sequence[Tuple[str, str, str]],
+                 spark: Optional[SparkSession] = None,
+                 neural: bool = True,
+                 ordered: bool = False) -> PipelineResult:
+    """documents: (repo, path, commit, lang, content)."""
+    spark = spark or documents.sparkSession
+    # TAG_ONLY rows feed the tagger gazetteer but not the normalization
+    # lexicon (tagger coverage > dictionary coverage, like real corpora)
+    from bern2_spark.corpus import TAG_ONLY
+    norm_rows = [r for r in lexicon_rows if r[1] != TAG_ONLY]
+    lexicon_df = spark.createDataFrame(norm_rows,
+                                       "ent_type string, cui string, name string")
+
+    pre = preprocess(documents)
+
+    # O1 — the reference fans out tmvar ∥ gnormplus ∥ mtner processes
+    # (bern2/bern2.py:363-372); here they are two branches of one plan.
+    ner = extract_mentions(pre, lexicon_rows)
+    ner = filter_species_human(ner)
+    muts = detect_mutations(pre)
+
+    # Stage 4+5 on NER mentions; mutations carry tmVar normalization.
+    ner_norm = normalize_mentions(ner, lexicon_df)
+    if neural:
+        ner_norm = neural_normalize(ner_norm, lexicon_rows)
+    mut_norm = normalize_mentions(muts, lexicon_df)
+
+    # Stage 6 — W1 on typed mentions, then U1 mutation union.
+    canonical = union_mutations(resolve_overlap(ner_norm), mut_norm)
+
+    annotations = to_annotations(canonical)
+    if ordered:
+        annotations = order_output(annotations)
+    triples = to_triples(annotations)
+
+    mentions_all = ner.unionByName(muts)
+    return PipelineResult(docs=pre, mentions=mentions_all,
+                          normalized=ner_norm, annotations=annotations,
+                          triples=triples)
+
+
+def run_synthetic(spark: SparkSession, n_docs: int = 200, seed: int = 42,
+                  **kw) -> PipelineResult:
+    lex = corpus.make_lexicon(seed)
+    docs = corpus.documents_df(spark, n_docs, seed, lex)
+    return run_pipeline(docs, lex, spark, **kw)
+
+
+def metrics(result: PipelineResult) -> dict:
+    return {
+        "entity_counts": entity_counts(result.mentions),
+        "cuiless_rate": cuiless_rate(result.normalized),
+    }

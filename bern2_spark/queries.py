@@ -1,0 +1,789 @@
+"""Driver-contract query suite: one entry per implemented operator
+(SURVEY §2) plus the training-data-prep operators, each paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+Every query is written twice — once in the DataFrame API (this module,
+used by ``__spark_entry__.queries()``) and once as DuckDB SQL
+(``ORACLES``, used by ``__spark_entry__.oracle_sql()``) — computing the
+SAME deterministic result, including tie-breaks and rounding:
+
+* floats are rounded to 6 decimals on both sides;
+* positions are 1-based (DuckDB's lambda index convention);
+* every window has a total order;
+* hashes are md5/sha256 hex (identical on both engines).
+
+The synthetic inline lexicons below are the single source of truth:
+Spark builds DataFrames from them, the oracle SQL embeds them as VALUES
+(generated from the same constant — no drift).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared inline fixtures
+# --------------------------------------------------------------------------
+
+# drug lexicon over the driver corpus vocabulary (tmChem-keyed join J1)
+DRUG_LEX = [
+    ("MESH:C001", "Spark!"),      # tmchem key: spark
+    ("MESH:C002", "ha sh"),       # hash
+    ("MESH:C003", "Vector"),      # vector
+    ("MESH:C004", "MERGE"),       # merge
+]
+
+# species lexicon with original-case keys + taxid*100 ids (J2/P15)
+SPECIES_LEX = [
+    ("960600", "customer"),       # lowercase key: exact hit on 'customer'
+    ("1009000", "Window"),        # only lower('Window')='window' hits
+    ("700500", "Stream"),
+]
+
+PREFIX_CASES_MOD = 4  # p9/p10 synthetic id variants
+
+
+def _values_sql(rows, names):
+    vals = ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS lex({', '.join(names)})"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# shared Spark fragments -----------------------------------------------------
+
+def _ws_words(col):
+    """1-based whitespace words (both engines: split on single space,
+    drop empties, index among kept)."""
+    return F.filter(F.split(col, " ", -1), lambda t: t != "")
+
+
+_WS_WORDS_SQL = "list_filter(string_split(text, ' '), x -> x != '')"
+
+_CONLL_PAT = "[0-9a-zA-Z]+|[^0-9a-zA-Z]"
+
+# DuckDB fragment: 1-based (pos, tok) structs from a list
+_ORD_SQL = "unnest(list_transform({lst}, (x, i) -> {{'pos': i, 'tok': x}}))"
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def q(name: str, oracle: Optional[str] = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------------- pipeline
+
+@q("p1_p5_preprocess", """
+SELECT doc_id,
+       CASE WHEN regexp_matches(c3, '[A-Za-z]') THEN c3
+            ELSE 'No ascii letters. Please enter your text in English.'
+       END AS text_clean
+FROM (
+  SELECT doc_id,
+         array_to_string(list_transform(string_split(c2, ' '),
+                                        w -> substr(w, 1, 50)), ' ') AS c3
+  FROM (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(regexp_replace(text, '\\r\\n', ' ', 'g'),
+                            '[\\n\\t\\x{00a0}\\x{000b}\\x{000c}]', ' ', 'g'),
+             '[^\\x{00}-\\x{7f}]', '', 'g') AS c2
+    FROM documents)
+)
+""")
+def p1_p5_preprocess(spark, sf_dir):
+    from bern2_spark.operators.preprocess import (
+        cap_long_words, guard_no_ascii_letters, scrub_control_chars,
+        strip_non_ascii,
+    )
+    cleaned = guard_no_ascii_letters(
+        cap_long_words(strip_non_ascii(scrub_control_chars(F.col("text")))))
+    return _docs(spark, sf_dir).select("doc_id", cleaned.alias("text_clean"))
+
+
+@q("p8_sha256", "SELECT doc_id, sha256(text) AS content_hash FROM documents")
+def p8_sha256(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2("text", 256).alias("content_hash"))
+
+
+@q("x2_tokenize", f"""
+SELECT doc_id, t.pos AS pos, t.tok AS token
+FROM (SELECT doc_id,
+             {_ORD_SQL.format(lst=f"list_filter(regexp_extract_all(text, '{_CONLL_PAT}'), x -> x != ' ')")} AS t
+      FROM documents)
+""")
+def x2_tokenize(spark, sf_dir):
+    toks = F.filter(
+        F.regexp_extract_all("text", F.lit(_CONLL_PAT), F.lit(0)),
+        lambda t: t != " ")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.posexplode(toks).alias("pos0", "token"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token"))
+
+
+@q("j1_drug_tmchem_lookup", f"""
+WITH words AS (
+  SELECT doc_id, t.pos AS pos, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+), lex AS (
+  SELECT cui, regexp_replace(lower(name), '[\\s[:punct:]]', '', 'g') AS key
+  FROM {_values_sql(DRUG_LEX, ["cui", "name"])}
+)
+SELECT w.doc_id, w.pos, w.word, coalesce(l.cui, 'CUI-less') AS cui
+FROM words w
+LEFT JOIN lex l
+  ON regexp_replace(lower(w.word), '[\\s[:punct:]]', '', 'g') = l.key
+""")
+def j1_drug_tmchem_lookup(spark, sf_dir):
+    from bern2_spark.operators.normalize import tmchem_key
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.posexplode(_ws_words(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    lex = spark.createDataFrame(DRUG_LEX, ["cui", "name"]).select(
+        "cui", tmchem_key(F.col("name")).alias("key"))
+    return (words
+            .join(F.broadcast(lex), tmchem_key(F.col("word")) == F.col("key"),
+                  "left")
+            .select("doc_id", "pos", "word",
+                    F.coalesce("cui", F.lit("CUI-less")).alias("cui")))
+
+
+@q("j2_species_two_pass", f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+), lex AS (SELECT * FROM {_values_sql(SPECIES_LEX, ["cui", "name"])})
+SELECT w.doc_id, w.word,
+       CASE WHEN coalesce(e.cui, l.cui) IS NULL THEN 'CUI-less'
+            ELSE 'NCBI:txid' ||
+                 CAST(CAST(coalesce(e.cui, l.cui) AS BIGINT) // 100
+                      AS VARCHAR)
+       END AS species_cui
+FROM words w
+LEFT JOIN lex e ON w.word = e.name
+LEFT JOIN lex l ON lower(w.word) = l.name
+""")
+def j2_species_two_pass(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    words = (docs.select(
+        "doc_id", F.explode(_ws_words(F.col("text"))).alias("word"))
+        .distinct())
+    lex = spark.createDataFrame(SPECIES_LEX, ["cui", "name"])
+    e = lex.select(F.col("name").alias("_n1"), F.col("cui").alias("cui_e"))
+    lo = lex.select(F.col("name").alias("_n2"), F.col("cui").alias("cui_l"))
+    raw = F.coalesce("cui_e", "cui_l")
+    return (words
+            .join(F.broadcast(e), F.col("word") == F.col("_n1"), "left")
+            .join(F.broadcast(lo), F.lower("word") == F.col("_n2"), "left")
+            .select("doc_id", "word",
+                    F.when(raw.isNull(), F.lit("CUI-less"))
+                     .otherwise(F.concat(
+                         F.lit("NCBI:txid"),
+                         F.floor(raw.cast("long") / 100).cast("long")
+                         .cast("string"))).alias("species_cui")))
+
+
+@q("w1_resolve_overlap", f"""
+WITH words AS (
+  SELECT doc_id, t.pos AS pos, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+), cands AS (
+  SELECT doc_id, pos AS start, pos + 1 AS "end", 'gene' AS ent_type,
+         pos * 2 AS mention_id,
+         CASE WHEN length(word) > 4 THEN 'G:' || word ELSE 'CUI-less' END AS cui,
+         CAST((length(word) % 7) / 10.0 + 0.3 AS DOUBLE) AS prob
+  FROM words
+  UNION ALL
+  SELECT doc_id, pos, pos + 1, 'disease', pos * 2 + 1,
+         CASE WHEN substr(word, 1, 1) = 's' THEN 'D:' || word
+              ELSE 'CUI-less' END,
+         CAST((length(word) % 5) / 10.0 + 0.4 AS DOUBLE)
+  FROM words
+), ranked AS (
+  SELECT *,
+         first_value(cui) OVER w AS top_cui,
+         first_value(ent_type) OVER w AS top_type
+  FROM cands
+  WINDOW w AS (
+    PARTITION BY doc_id, start, "end"
+    ORDER BY CASE WHEN cui != 'CUI-less' THEN 1 ELSE 0 END DESC, prob DESC,
+             CASE ent_type WHEN 'disease' THEN 0 WHEN 'gene' THEN 2 END ASC,
+             mention_id ASC)
+)
+SELECT doc_id, start, ent_type, cui
+FROM ranked WHERE cui = top_cui AND ent_type = top_type
+""")
+def w1_resolve_overlap(spark, sf_dir):
+    from bern2_spark.operators.canonicalize import resolve_overlap
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.posexplode(_ws_words(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    gene = words.select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"),
+        F.lit("gene").alias("ent_type"),
+        (F.col("pos") * 2).cast("long").alias("mention_id"),
+        F.when(F.length("word") > 4,
+               F.concat(F.lit("G:"), F.col("word")))
+         .otherwise(F.lit("CUI-less")).alias("cui"),
+        ((F.length("word") % 7) / 10.0 + 0.3).alias("prob"))
+    disease = words.select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"),
+        F.lit("disease").alias("ent_type"),
+        (F.col("pos") * 2 + 1).cast("long").alias("mention_id"),
+        F.when(F.substring("word", 1, 1) == "s",
+               F.concat(F.lit("D:"), F.col("word")))
+         .otherwise(F.lit("CUI-less")).alias("cui"),
+        ((F.length("word") % 5) / 10.0 + 0.4).alias("prob"))
+    cands = gene.unionByName(disease)
+    return (resolve_overlap(cands)
+            .select("doc_id", "start", "ent_type", "cui"))
+
+
+@q("a1_entity_counts", f"""
+WITH words AS (
+  SELECT doc_id, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+), lex AS (
+  SELECT cui, regexp_replace(lower(name), '[\\s[:punct:]]', '', 'g') AS key
+  FROM {_values_sql(DRUG_LEX, ["cui", "name"])}
+)
+SELECT w.doc_id, count(*) AS num_entities
+FROM words w
+JOIN lex l ON regexp_replace(lower(w.word), '[\\s[:punct:]]', '', 'g') = l.key
+GROUP BY w.doc_id
+""")
+def a1_entity_counts(spark, sf_dir):
+    from bern2_spark.operators.normalize import tmchem_key
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(_ws_words(F.col("text"))).alias("word"))
+    lex = spark.createDataFrame(DRUG_LEX, ["cui", "name"]).select(
+        "cui", tmchem_key(F.col("name")).alias("key"))
+    return (words.join(F.broadcast(lex),
+                       tmchem_key(F.col("word")) == F.col("key"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("num_entities")))
+
+
+@q("a5_cuiless_rate", f"""
+WITH words AS (
+  SELECT doc_id, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+), lex AS (
+  SELECT cui, regexp_replace(lower(name), '[\\s[:punct:]]', '', 'g') AS key
+  FROM {_values_sql(DRUG_LEX, ["cui", "name"])}
+)
+SELECT count(*) AS n_mentions,
+       round(avg(CASE WHEN l.cui IS NULL THEN 1 ELSE 0 END), 6)
+         AS cuiless_frac
+FROM words w
+LEFT JOIN lex l
+  ON regexp_replace(lower(w.word), '[\\s[:punct:]]', '', 'g') = l.key
+""")
+def a5_cuiless_rate(spark, sf_dir):
+    from bern2_spark.operators.normalize import tmchem_key
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(_ws_words(F.col("text"))).alias("word"))
+    lex = spark.createDataFrame(DRUG_LEX, ["cui", "name"]).select(
+        "cui", tmchem_key(F.col("name")).alias("key"))
+    joined = words.join(F.broadcast(lex),
+                        tmchem_key(F.col("word")) == F.col("key"), "left")
+    return joined.agg(
+        F.count("*").alias("n_mentions"),
+        F.round(F.avg(F.col("cui").isNull().cast("int")), 6)
+        .alias("cuiless_frac"))
+
+
+@q("p9_p10_postprocess", """
+WITH ids AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'EntrezGene:' || CAST(doc_id AS VARCHAR)
+                       || ',MESH:D' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN 'OMIM:1|MESH:C' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'CVCL_J' || CAST(doc_id AS VARCHAR)
+           ELSE 'NCBI:txid' || CAST(doc_id AS VARCHAR)
+         END AS raw
+  FROM documents
+), split AS (
+  SELECT doc_id, unnest(string_split(replace(raw, '|', ','), ',')) AS cui
+  FROM ids
+)
+SELECT doc_id, cui,
+  CASE
+    WHEN cui LIKE 'NCBI:txid%' THEN 'NCBITaxon:' || substr(cui, 10)
+    WHEN cui LIKE 'CVCL%' AND contains(cui, '_') THEN 'cellosaurus:' || cui
+    WHEN contains(cui, ':') THEN
+      CASE split_part(cui, ':', 1)
+        WHEN 'MESH' THEN 'mesh' WHEN 'OMIM' THEN 'mim'
+        WHEN 'EntrezGene' THEN 'NCBIGene'
+        ELSE split_part(cui, ':', 1) END
+      || ':' || split_part(cui, ':', 2)
+    ELSE cui
+  END AS cui_std
+FROM split
+""")
+def p9_p10_postprocess(spark, sf_dir):
+    from bern2_spark.operators.postprocess import split_cuis, standardize_prefix
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    raw = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("EntrezGene:"), d, F.lit(",MESH:D"), d))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(F.lit("OMIM:1|MESH:C"), d))
+           .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("CVCL_J"), d))
+           .otherwise(F.concat(F.lit("NCBI:txid"), d)))
+    return (docs.select("doc_id", F.explode(split_cuis(raw)).alias("cui"))
+            .withColumn("cui_std", standardize_prefix(F.col("cui"))))
+
+
+@q("w3_output_order", f"""
+SELECT doc_id, pos, token,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY length(token) DESC, token ASC, pos ASC)
+         AS rank
+FROM (
+  SELECT doc_id, t.pos AS pos, t.tok AS token
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+)
+""")
+def w3_output_order(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.posexplode(_ws_words(F.col("text"))).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.length("token")), F.asc("token"), F.asc("pos"))
+    return words.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------- mutations
+
+_AUG_TAIL = " p.V600E harbors p.V600E plus c.123A>G near rs7412 and V600E."
+
+
+def _m3_oracle() -> str:
+    from bern2_spark.operators.mutations import MUTATION_PATTERNS
+    selects = []
+    for prio, (pat, grp, mtype, npat, _java, re2) in enumerate(
+            MUTATION_PATTERNS):
+        selects.append(f"""
+  SELECT doc_id, text, m.pos AS pos, m.tok AS mention, {prio} AS prio,
+         '{mtype}' AS mutation_type,
+         regexp_replace(m.tok, '{npat}', '{re2}') AS normalized_name
+  FROM (SELECT doc_id, text,
+               unnest(list_transform(
+                 regexp_extract_all(text, '{pat}', {grp}),
+                 (x, i) -> {{'pos': i, 'tok': x}})) AS m
+        FROM aug)""")
+    union = "\n  UNION ALL".join(selects)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_AUG_TAIL}'
+              ELSE text END AS text
+  FROM documents
+), matches AS ({union}
+), numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, mention
+                               ORDER BY pos) AS occ
+  FROM matches
+  WHERE NOT regexp_matches(mention, 'No text|text ')
+), located AS (
+  SELECT *,
+         CAST(list_reduce(
+           list_prepend(0, range(1, occ + 1)),
+           (acc, i) -> acc + strpos(substr(text, acc + 1), mention))
+           - 1 AS INTEGER) AS start
+  FROM numbered
+), spans AS (
+  SELECT doc_id, mention, mutation_type, normalized_name, start,
+         CAST(start + length(mention) AS INTEGER) AS "end",
+         row_number() OVER (PARTITION BY doc_id, start
+                            ORDER BY prio) AS rn
+  FROM located
+)
+SELECT doc_id, mention, mutation_type, normalized_name, start, "end"
+FROM spans WHERE rn = 1
+"""
+
+
+@q("m3_x8_mutations", _m3_oracle())
+def m3_x8_mutations(spark, sf_dir):
+    from bern2_spark.operators.mutations import detect_mutations
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(_AUG_TAIL)))
+         .otherwise(F.col("text")).alias("text"))
+    return (detect_mutations(docs)
+            .select("doc_id", "mention",
+                    F.col("mutation_type"),
+                    F.col("normalized_name"),
+                    "start", "end"))
+
+
+# ------------------------------------------------------------------- dedup
+
+# derived duplicate variants (driver corpus has no raw duplicates):
+#   doc_id % 11 == 0 -> an exact copy at doc_id + 10_000_000
+#   doc_id % 13 == 0 -> a near-copy (4 extra tail words) at + 20_000_000
+_DUP_UNION_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text || ' extra near duplicate tail'
+  FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _dup_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = (d.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 10000000).alias("doc_id"), "text"))
+    near = (d.filter(F.col("doc_id") % 13 == 0)
+            .select((F.col("doc_id") + 20000000).alias("doc_id"),
+                    F.concat("text", F.lit(" extra near duplicate tail"))
+                    .alias("text")))
+    return d.unionByName(exact).unionByName(near)
+
+
+@q("dedup_exact", f"""
+WITH docs2 AS ({_DUP_UNION_SQL})
+SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM docs2 GROUP BY 1 HAVING count(*) > 1
+""")
+def dedup_exact(spark, sf_dir):
+    from bern2_spark.dataprep.dedup import exact_duplicates
+    return exact_duplicates(_dup_docs(spark, sf_dir))
+
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+# DuckDB shingle list (token 3-grams, min 1)
+_SHINGLES_SQL = f"""
+list_transform(
+  range(1, greatest(len({_TOKS_SQL}) - 2, 1) + 1),
+  i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' '))
+"""
+
+
+@q("dedup_minhash_lsh", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2
+),
+sig AS (
+  SELECT doc_id, g.range AS seed,
+         min(md5(concat_ws(':', g.range, shingle))) AS minhash
+  FROM sh, range(16) g
+  GROUP BY doc_id, g.range
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    from bern2_spark.dataprep.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_dup_docs(spark, sf_dir), num_hashes=16,
+                             rows_per_band=4)
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    from bern2_spark.dataprep.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_dup_docs(spark, sf_dir), threshold=0.5)
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q("dedup_simhash16", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM docs2),
+votes AS (
+  SELECT doc_id, b.range AS bit,
+         sum(CASE WHEN substring(md5(token), CAST(b.range + 1 AS INTEGER), 1)
+                       IN ('0','2','4','6','8','a','c','e')
+                  THEN 1 ELSE -1 END) AS vote
+  FROM tok, range(16) b
+  GROUP BY doc_id, b.range
+),
+sk AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0
+                  THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM sk GROUP BY simhash HAVING count(*) > 1
+""")
+def dedup_simhash16(spark, sf_dir):
+    """Relational 16-bit simhash: hex-digit-parity of md5(token) as the
+    per-bit hash — identical on both engines (the 64-bit production
+    variant lives in dataprep.dedup.simhash_sketches as a pandas UDF)."""
+    docs2 = _dup_docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), " ", -1), lambda t: t != "")
+    tok = docs2.select("doc_id", F.explode(toks).alias("token"))
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (tok.crossJoin(F.broadcast(bits))
+             .withColumn(
+                 "v",
+                 F.when(F.substring(F.md5("token"), F.col("bit") + 1, 1)
+                        .isin(*"02468ace"), F.lit(1)).otherwise(F.lit(-1)))
+             .groupBy("doc_id", "bit").agg(F.sum("v").alias("vote")))
+    sk = (votes.groupBy("doc_id")
+          .agg(F.sum(F.when(F.col("vote") > 0,
+                            F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                     .otherwise(F.lit(0))).alias("simhash")))
+    return (sk.groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .filter("n_docs > 1"))
+
+
+@q("dedup_embedding_cosine", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v))
+       * sqrt(list_dot_product(b.v, b.v))) >= 0.30
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    from bern2_spark.dataprep.dedup import embedding_cosine_pairs
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return (embedding_cosine_pairs(emb, threshold=0.30)
+            .withColumn("cosine", F.round("cosine", 6)))
+
+
+# -------------------------------------------------------------- similarity
+
+@q("ann_topk_bruteforce", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v))
+          * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM q JOIN e c ON q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def ann_topk_bruteforce(spark, sf_dir):
+    from bern2_spark.dataprep.similarity import brute_force_topk
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.withColumn("cosine", F.round("cosine", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
+# ------------------------------------------------------------------ textqc
+
+_EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with"]
+
+
+@q("qc_token_counts", """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+         AS bpe_tokens
+FROM documents
+""")
+def qc_token_counts(spark, sf_dir):
+    from bern2_spark.dataprep.textqc import (
+        bpe_ish_token_count, whitespace_token_count,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"))
+
+
+@q("qc_quality_score", f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> list_contains({_EN_STOP!r}, x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_chars > 0
+                  THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END, 6)
+         AS punct_ratio,
+       round(CASE WHEN n_tokens > 0
+                  THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0 END, 6)
+         AS stopword_ratio
+FROM f
+""".replace("'", "''").replace("''", "'"))  # keep list literal quoting
+def qc_quality_score(spark, sf_dir):
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.regexp_count("text", F.lit(r"[^\w\s]"))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP)))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.when(n_chars > 0,
+                       n_punct.cast("double") / n_chars).otherwise(0.0), 6)
+        .alias("punct_ratio"),
+        F.round(F.when(n_tok > 0,
+                       n_stop.cast("double") / n_tok).otherwise(0.0), 6)
+        .alias("stopword_ratio"))
+
+
+@q("qc_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != ''), ' ')) AS fingerprint
+FROM documents
+""")
+def qc_fingerprint(spark, sf_dir):
+    from bern2_spark.dataprep.textqc import fingerprint
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------- relational
+
+@q("tpch_q1ish", """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1ish(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .alias("sum_price"),
+                 F.count("*").alias("count_order")))
+
+
+@q("join_orders_by_segment", """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def join_orders_by_segment(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (o.join(F.broadcast(c),
+                   o["o_custkey"] == c["c_custkey"])
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("total_price")))
+
+
+@q("events_user_ranked", """
+SELECT event_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS seq_in_user
+FROM events
+""")
+def events_user_ranked(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", F.row_number().over(w).alias("seq_in_user"))
+
+
+# ---------------------------------------------------- full pipeline (no SQL)
+
+@q("kg_pipeline_triples")  # non-SQL-expressible: rows-only driver check
+def kg_pipeline_triples(spark, sf_dir):
+    from bern2_spark import corpus
+    from bern2_spark.pipeline import run_pipeline
+    docs = _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+    # lexicon over the driver-corpus vocabulary so the run produces real
+    # mention/triple volume (incl. CUI-less -> neural fallback traffic)
+    return run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark).triples

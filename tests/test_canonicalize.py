@@ -1,0 +1,91 @@
+"""W1 overlap resolution vs a pure-Python transcription of the
+reference's resolve_overlap step 1 (bern2/bern2.py:451-486)."""
+
+import pytest
+
+from bern2_spark import schemas
+from bern2_spark.operators.canonicalize import resolve_overlap
+from bern2_spark.schemas import CUI_LESS, ENTITY_TYPE_ORDER
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, StructField, StructType,
+)
+
+
+def ref_resolve(mentions):
+    """mentions: list of dict(ent_type, start, end, cui, prob, mention_id).
+    Returns kept mention_ids, per the reference algorithm: group by
+    span, stable-sort desc by (has_cui, prob) with insertion order =
+    ENTITY_TYPE_ORDER, keep rows matching top-1 (cui, type)."""
+    span2 = {}
+    order = {t: i for i, t in enumerate(ENTITY_TYPE_ORDER)}
+    for m in sorted(mentions, key=lambda m: (order[m["ent_type"]],
+                                             m["mention_id"])):
+        span2.setdefault((m["doc_id"], m["start"], m["end"]), []).append(m)
+    kept = []
+    for span, ms in span2.items():
+        ranked = sorted(ms, key=lambda x: (x["cui"] != CUI_LESS, x["prob"]),
+                        reverse=True)
+        top = ranked[0]
+        for m in ms:
+            if m["cui"] == top["cui"] and m["ent_type"] == top["ent_type"]:
+                kept.append(m["mention_id"])
+    return sorted(kept)
+
+
+def to_df(spark, mentions):
+    rows = [(m["doc_id"], m["mention_id"], m["ent_type"], m["start"],
+             m["end"], "x", m["prob"], None, None, m["cui"], False)
+            for m in mentions]
+    return spark.createDataFrame(rows, schemas.NORMALIZED)
+
+
+def test_w1_matches_reference_semantics(spark):
+    mentions = [
+        # same span, CUI beats higher prob
+        dict(doc_id="d", mention_id=1, ent_type="disease", start=0, end=5,
+             cui="MESH:D1", prob=0.6),
+        dict(doc_id="d", mention_id=2, ent_type="gene", start=0, end=5,
+             cui=CUI_LESS, prob=0.99),
+        # same span, both CUI-less: prob decides
+        dict(doc_id="d", mention_id=3, ent_type="drug", start=10, end=15,
+             cui=CUI_LESS, prob=0.7),
+        dict(doc_id="d", mention_id=4, ent_type="species", start=10, end=15,
+             cui=CUI_LESS, prob=0.9),
+        # tie on (cui, prob): entity-type insertion order decides —
+        # disease (rank 0) beats gene (rank 2)
+        dict(doc_id="d", mention_id=5, ent_type="gene", start=20, end=25,
+             cui="G:1", prob=0.8),
+        dict(doc_id="d", mention_id=6, ent_type="disease", start=20, end=25,
+             cui="G:1", prob=0.8),
+        # duplicate (cui, type) rows on the winning key: both kept
+        dict(doc_id="d", mention_id=7, ent_type="drug", start=30, end=35,
+             cui="M:1", prob=0.8),
+        dict(doc_id="d", mention_id=8, ent_type="drug", start=30, end=35,
+             cui="M:1", prob=0.8),
+        # lone mention survives
+        dict(doc_id="d", mention_id=9, ent_type="RNA", start=40, end=45,
+             cui=CUI_LESS, prob=0.5),
+        # same span in another doc: independent
+        dict(doc_id="e", mention_id=10, ent_type="gene", start=0, end=5,
+             cui=CUI_LESS, prob=0.1),
+    ]
+    got = sorted(r.mention_id
+                 for r in resolve_overlap(to_df(spark, mentions)).collect())
+    assert got == ref_resolve(mentions) == [1, 4, 6, 7, 8, 9, 10]
+
+
+def test_w1_keeps_duplicate_winner_rows(spark):
+    # both rows equal to top-1 (cui, type) survive — join-back filter,
+    # not row_number()==1
+    mentions = [
+        dict(doc_id="d", mention_id=1, ent_type="drug", start=0, end=3,
+             cui="M:1", prob=0.8),
+        dict(doc_id="d", mention_id=2, ent_type="drug", start=0, end=3,
+             cui="M:1", prob=0.7),
+        dict(doc_id="d", mention_id=3, ent_type="gene", start=0, end=3,
+             cui=CUI_LESS, prob=0.9),
+    ]
+    got = sorted(r.mention_id
+                 for r in resolve_overlap(to_df(spark, mentions)).collect())
+    assert got == ref_resolve(mentions) == [1, 2]

@@ -1,0 +1,115 @@
+"""Dataprep operator tests: dedup family, similarity, multimodal
+plumbing, skew helpers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (3, "the quick brown fox jumps over the lazy cat instead"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    from bern2_spark.dataprep.dedup import exact_duplicates
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].canonical_doc_id == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from bern2_spark.dataprep.dedup import minhash_lsh_pairs
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs            # identical docs always pair
+    assert (1, 4) not in pairs        # unrelated docs don't
+
+
+def test_ngram_jaccard(spark, docs):
+    from bern2_spark.dataprep.dedup import ngram_jaccard_pairs
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.1 <= out[(1, 3)] < 1.0
+
+
+def test_simhash64_identical_and_near(spark, docs):
+    from bern2_spark.dataprep.dedup import simhash_sketches
+    sk = {r.doc_id: r.simhash for r in simhash_sketches(docs).collect()}
+    assert sk[1] == sk[2]
+    assert sk[5] == 0
+    # near-dup sketches are close in Hamming distance
+    ham = bin((sk[1] ^ sk[3]) & (2**64 - 1)).count("1")
+    assert ham <= 16
+    ham_far = bin((sk[1] ^ sk[4]) & (2**64 - 1)).count("1")
+    assert ham_far > ham
+
+
+def test_brute_force_topk_and_lsh_recall(spark):
+    from bern2_spark.dataprep.similarity import (
+        brute_force_topk, lsh_bucketed_topk,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    assert {r.query_id for r in exact} == {0, 1, 2, 3, 4}
+    assert all(1 <= r.rank <= 3 for r in exact)
+    # per-query cosine is non-increasing with rank
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for rows in by_q.values():
+        cs = [c for _, c in sorted(rows)]
+        assert cs == sorted(cs, reverse=True)
+    # LSH path returns a subset-quality result: same schema, sane ranks
+    approx = lsh_bucketed_topk(emb, queries, k=3, n_bits=4).collect()
+    assert all(1 <= r.rank <= 3 for r in approx)
+
+
+def test_multimodal_plumbing(spark, docs):
+    from bern2_spark.dataprep.multimodal import (
+        attach_fake_media, decode_image, extract_features,
+    )
+    media = attach_fake_media(docs.withColumn("doc_id",
+                                              F.col("doc_id").cast("string")))
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 5
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r.feature)
+    # decode itself is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from bern2_spark.operators.skew import salted_join
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "lab"])
+    plain = fact.join(dim, "k").groupBy("lab").count()
+    salted = salted_join(fact, dim, "k").groupBy("lab").count()
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_language_id_and_quality(spark):
+    from bern2_spark.dataprep.textqc import language_id, quality_features
+    rows = [
+        (1, "the cat and the dog went to the park for a walk in the sun"),
+        (2, "der hund und die katze sind nicht das problem"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    langs = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    feats = {r.doc_id: r for r in quality_features(df).collect()}
+    assert feats[1].quality_score > feats[3].quality_score
+    assert feats[1].stopword_ratio > 0.2

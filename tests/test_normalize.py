@@ -1,0 +1,85 @@
+"""Sieve normalization tests against pure-Python transcriptions of the
+reference normalizers' observable behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bern2_spark import schemas
+from bern2_spark.operators.normalize import normalize_mentions
+
+
+LEX = [
+    ("drug", "MESH:C1", "Aspirin-Like Compound"),
+    ("drug", "MESH:C2", "beta blocker"),
+    ("species", "960600", "Homo sapiens"),
+    ("species", "1009000", "Mus musculus"),
+    ("cell_line", "CVCL_1", "HeLa"),
+    ("cell_type", "CL_7", "T cell"),
+    ("disease", "MESH:D1", "Alpha Syndrome"),
+    ("disease", "MESH:D2", "beta-osis"),
+    ("gene", "7157", "p53"),
+    ("gene", "1956-2", "egfr"),
+]
+
+
+def mk_mentions(spark, rows):
+    """rows: (doc_id, ent_type, mention[, normalized_name])"""
+    full = []
+    for i, r in enumerate(rows):
+        nn = r[3] if len(r) > 3 else None
+        full.append((r[0], i, r[1], 0, len(r[2]), r[2], 0.9,
+                     "SNP" if r[1] == "mutation" else None, nn))
+    return spark.createDataFrame(full, schemas.MENTIONS)
+
+
+CASES = [
+    # (ent_type, mention, expected_cui)
+    ("drug", "aspirin like-compound", "MESH:C1"),   # tmChem key match
+    ("drug", "ASPIRINLIKECOMPOUND", "MESH:C1"),
+    ("drug", "unknown drug", "CUI-less"),
+    ("species", "Homo sapiens", "NCBI:txid9606"),   # taxid//100 + prefix
+    ("species", "homo sapiens", "CUI-less"),        # raw keys stay cased
+    ("species", "HOMO SAPIENS", "CUI-less"),        # upper not in dict
+    ("cell_line", "HeLa", "CVCL_1"),
+    # 2nd pass probes lower(mention) against ORIGINAL-case dict keys
+    # (species_normalizer.py:20-21): 'hela' is not a dict key -> miss
+    ("cell_line", "hela", "CUI-less"),
+    ("cell_type", "T cell", "CL_7"),
+    ("disease", "Alpha Syndrome", "MESH:D1"),
+    ("disease", "alpha syndrome", "MESH:D1"),
+    ("disease", "ALPHA, SYNDROME!", "MESH:D1"),     # biosyn level
+    ("gene", "p53", "EntrezGene:7157"),
+    ("gene", "p53 gene", "EntrezGene:7157"),        # ' gene' suffix strip
+    ("gene", "EGFR", "EntrezGene:1956"),            # '-' truncation
+    ("gene", "mystery", "CUI-less"),
+]
+
+
+def test_sieve_cases(spark):
+    m = mk_mentions(spark, [("d", t, s) for t, s, _ in CASES])
+    lex = spark.createDataFrame(LEX, schemas.LEXICON)
+    out = normalize_mentions(m, lex).collect()
+    got = {(r.ent_type, r.mention): r.cui for r in out}
+    for t, s, want in CASES:
+        assert got[(t, s)] == want, (t, s, got[(t, s)])
+    assert all(r.is_neural_normalized is False for r in out)
+
+
+def test_mutation_passthrough(spark):
+    m = mk_mentions(spark, [
+        ("d", "mutation", "rs1", "rs1"),
+        ("d", "mutation", "p.V600E", "p|SUB|V|600|E;alt|X"),
+    ])
+    lex = spark.createDataFrame(LEX, schemas.LEXICON)
+    got = {r.mention: r.cui for r in normalize_mentions(m, lex).collect()}
+    assert got["rs1"] == "rs1"
+    assert got["p.V600E"] == "p|SUB|V|600|E"  # first ';' alternative (P12)
+
+
+def test_broadcast_join_plan(spark):
+    m = mk_mentions(spark, [("d", "drug", "x")])
+    lex = spark.createDataFrame(LEX, schemas.LEXICON)
+    plan = normalize_mentions(m, lex)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

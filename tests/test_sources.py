@@ -1,0 +1,89 @@
+"""Lexicon codec, PubTator codec, checkpointed sink + resume tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bern2_spark.sources.lexicon import read_lexicon_file, write_lexicon_file
+from bern2_spark.sources.pubtator import (
+    parse_pubtator, read_pubtator, serialize_pubtator,
+)
+from bern2_spark.sources.sink import (
+    CheckpointedSink, resume_docs, write_outputs,
+)
+
+
+def test_lexicon_roundtrip(spark, tmp_path):
+    rows = [("drug", "MESH:C1", "aspirin"), ("drug", "MESH:C1", "ASA"),
+            ("drug", "MESH:C2", "ibuprofen")]
+    p = str(tmp_path / "drug.txt")
+    write_lexicon_file(rows, p)
+    got = sorted(map(tuple, read_lexicon_file(spark, p, "drug").collect()))
+    assert got == sorted(rows)
+
+
+def test_pubtator_roundtrip(spark, tmp_path):
+    docs = [{"pmid": "1", "title": "T one.", "abstract": "A one."},
+            {"pmid": "2", "title": "T two.", "abstract": ""}]
+    ents = [{"pmid": "1", "start": 0, "end": 5, "mention": "T one",
+             "ent_type": "disease", "id": "MESH:D1"}]
+    text = serialize_pubtator(docs, ents)
+    rdocs, rents = parse_pubtator(text)
+    assert [d["pmid"] for d in rdocs] == ["1", "2"]
+    assert rents[0]["mention"] == "T one"
+    p = str(tmp_path / "fixture.pubtator")
+    with open(p, "w") as f:
+        f.write(text)
+    df = read_pubtator(spark, p)
+    got = {r.path: r.content for r in df.collect()}
+    assert got["1.txt"] == "T one. A one."
+    assert got["2.txt"] == "T two."
+
+
+def test_sink_checkpoint_and_resume(spark, tmp_path):
+    sink = CheckpointedSink(str(tmp_path / "out"))
+    ann = spark.createDataFrame(
+        [("d1", "gene", 0, 3, "p53", ["NCBIGene:7157"], 0.9, False, None, None),
+         ("d2", "disease", 1, 4, "flu", ["mesh:D1"], 0.8, False, None, None)],
+        "doc_id string, obj string, begin int, end int, mention string, "
+        "id array<string>, prob double, is_neural_normalized boolean, "
+        "mutationType string, normalizedName string")
+    tri = spark.createDataFrame(
+        [("d1", "has_gene", "NCBIGene:7157"), ("d2", "has_disease", "mesh:D1")],
+        "subj string, pred string, obj string")
+    write_outputs(sink, ann, tri)
+
+    assert sink.is_committed("annotations") and sink.is_committed("triples")
+    # partitioned layout on disk
+    assert any(x.startswith("pred=") for x in
+               os.listdir(str(tmp_path / "out" / "triples")))
+    # lineage rows recorded
+    lin = spark.read.parquet(str(tmp_path / "out" / "lineage"))
+    assert lin.filter("stage = 'triples'").agg(F.sum("rows")).first()[0] == 2
+
+    # resume: d1/d2 done, d3 new -> anti-join leaves only d3
+    docs = spark.createDataFrame(
+        [("d1", "x"), ("d2", "y"), ("d3", "z")], ["doc_id", "text"])
+    remaining = sink.resume_filter(docs, "triples").collect()
+    assert [r.doc_id for r in remaining] == ["d3"]
+
+    # uncommitted stage: passthrough
+    assert sink.resume_filter(docs, "nope").count() == 3
+
+
+def test_resume_counts_zero_output_docs_as_done(spark, tmp_path):
+    sink = CheckpointedSink(str(tmp_path / "out2"))
+    ann = spark.createDataFrame(
+        [("d1", "gene", 0, 3, "p53", ["NCBIGene:7157"], 0.9, False, None,
+          None)],
+        "doc_id string, obj string, begin int, end int, mention string, "
+        "id array<string>, prob double, is_neural_normalized boolean, "
+        "mutationType string, normalizedName string")
+    tri = spark.createDataFrame([("d1", "has_gene", "NCBIGene:7157")],
+                                "subj string, pred string, obj string")
+    # d2 was processed but produced no annotations
+    docs = spark.createDataFrame([("d1", "x"), ("d2", "")],
+                                 ["doc_id", "text"])
+    write_outputs(sink, ann, tri, docs=docs)
+    assert resume_docs(sink, docs).count() == 0  # both done, even d2
