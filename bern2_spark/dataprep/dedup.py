@@ -59,31 +59,45 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of md5(seed:shingle).
-    Expressed via explode+groupBy (not nested lambdas) so the same
-    computation is 1:1 expressible in ANSI SQL for the oracle."""
+    """(doc_id, sig): array of num_hashes minhashes, sig[s] = min over
+    shingles of md5('s:shingle').
+
+    Single pass: each shingle row carries all hash values as an array
+    and one groupBy takes element-wise mins — no seeds crossJoin (which
+    would multiply the shuffle by num_hashes). Values are identical to
+    the ANSI formulation the oracle uses."""
     sh = (docs.select("doc_id",
                       F.explode_outer(shingles(F.col(text_col), shingle_n))
-                      .alias("shingle")))
-    seeds = docs.sparkSession.range(num_hashes).select(
-        F.col("id").cast("int").alias("seed"))
-    return (sh.crossJoin(F.broadcast(seeds))
-            .groupBy("doc_id", "seed")
-            .agg(F.min(F.md5(F.concat_ws(":", "seed", "shingle")))
-                 .alias("minhash")))
+                      .alias("shingle"))
+          .withColumn(
+              "hs",
+              F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                          lambda s: F.md5(F.concat_ws(":", s.cast("string"),
+                                                      F.col("shingle"))))))
+    mins = [F.min(F.element_at("hs", i + 1)).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return (sh.groupBy("doc_id").agg(*mins)
+            .select("doc_id",
+                    F.array(*[f"h{i}" for i in range(num_hashes)])
+                    .alias("sig")))
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     """(doc_id, band, band_hash): hash of the band's minhashes in seed
-    order."""
-    banded = signatures.withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int"))
-    return (banded.groupBy("doc_id", "band")
-            .agg(F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x["minhash"]),
-                ",")).alias("band_hash")))
+    order (same concatenation the oracle's string_agg ORDER BY seed
+    produces)."""
+    n_bands = F.size("sig") / rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), (n_bands - 1).cast("int")),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.array_join(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band), ","))
+            .alias("band_hash")))
+    return (signatures
+            .select("doc_id", F.explode(bands).alias("b"))
+            .select("doc_id", F.col("b.band").alias("band"),
+                    F.col("b.band_hash").alias("band_hash")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",

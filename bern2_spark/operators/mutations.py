@@ -70,23 +70,41 @@ def detect_mutations(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Entirely native SQL: per-pattern extract_all + posexplode, occurrence
     numbering, fold-of-locate offset recovery. No Python in the plan."""
-    branches = []
-    for prio, (pat, grp, mtype, npat, ntempl, _re2) in enumerate(
+    # ONE projection computes every pattern's matches as an array of
+    # structs, flattened and exploded once — a single scan of the
+    # documents instead of one scan per pattern.
+    def tagged_matches(pat, grp, prio):
+        matches = F.regexp_extract_all(text_col, F.lit(pat), F.lit(grp))
+        # NB: exactly-2-arg lambda (element, index) — Spark dispatches
+        # on python arity, so the priority binds via this closure
+        return F.transform(
+            matches,
+            lambda x, i: F.struct(x.alias("mention"), i.alias("pos"),
+                                  F.lit(prio).alias("pat_priority")))
+
+    per_pattern = []
+    for prio, (pat, grp, _mtype, _npat, _ntempl, _re2) in enumerate(
             MUTATION_PATTERNS):
-        b = (docs
-             .select("doc_id", text_col,
-                     F.posexplode(
-                         F.regexp_extract_all(text_col, F.lit(pat),
-                                              F.lit(grp))
-                     ).alias("pos", "mention"))
-             .withColumn("mutation_type", F.lit(mtype))
-             .withColumn("pat_priority", F.lit(prio))
-             .withColumn("normalized_name",
-                         F.regexp_replace("mention", npat, ntempl)))
-        branches.append(b)
-    all_matches = branches[0]
-    for b in branches[1:]:
-        all_matches = all_matches.unionByName(b)
+        per_pattern.append(tagged_matches(pat, grp, prio))
+    all_matches = (docs
+                   .select("doc_id", text_col,
+                           F.explode(F.flatten(F.array(*per_pattern)))
+                           .alias("m"))
+                   .select("doc_id", text_col,
+                           F.col("m.mention").alias("mention"),
+                           F.col("m.pos").alias("pos"),
+                           F.col("m.pat_priority").alias("pat_priority")))
+    mtype = F.lit(None).cast("string")
+    norm = F.lit(None).cast("string")
+    for prio, (_pat, _grp, mt, npat, ntempl, _re2) in reversed(
+            list(enumerate(MUTATION_PATTERNS))):
+        is_p = F.col("pat_priority") == prio
+        mtype = F.when(is_p, F.lit(mt)).otherwise(mtype)
+        norm = F.when(is_p,
+                      F.regexp_replace("mention", npat, ntempl)).otherwise(norm)
+    all_matches = (all_matches
+                   .withColumn("mutation_type", mtype)
+                   .withColumn("normalized_name", norm))
 
     # A4 — nth occurrence of the same mention string within a doc,
     # in match order (pos is per-pattern; same string => same pattern).

@@ -56,6 +56,15 @@ def run_pipeline(documents: DataFrame,
 
     pre = preprocess(documents)
 
+    # A single small input file scans as ONE partition, serializing the
+    # tagging UDF onto one core. Fan out to the cluster's parallelism
+    # before the Python stages (SURVEY §4: repartition before M1 —
+    # round-robin keeps Arrow batches dense and balanced). At real
+    # multi-file scale the scan is already wide and this is a no-op.
+    target = spark.sparkContext.defaultParallelism
+    if pre.rdd.getNumPartitions() < target:
+        pre = pre.repartition(target)
+
     # O1 — the reference fans out tmvar ∥ gnormplus ∥ mtner processes
     # (bern2/bern2.py:363-372); here they are two branches of one plan.
     ner = extract_mentions(pre, lexicon_rows)
@@ -65,8 +74,18 @@ def run_pipeline(documents: DataFrame,
     # Stage 4+5 on NER mentions; mutations carry tmVar normalization.
     ner_norm = normalize_mentions(ner, lexicon_df)
     if neural:
+        # the neural stage consumes its input twice (distinct CUI-less
+        # surfaces AND the join-back left side) — persist so the
+        # segment+tag UDF upstream executes once, not twice
+        ner_norm = ner_norm.persist()
         ner_norm = neural_normalize(ner_norm, lexicon_rows)
-    mut_norm = normalize_mentions(muts, lexicon_df)
+    # mutations never consult the lexicons (tmVar already normalized
+    # them, P12) — skip the four sieve joins on that branch entirely
+    mut_norm = (muts
+                .withColumn("cui", F.coalesce(
+                    F.element_at(F.split("normalized_name", ";"), 1),
+                    F.lit("CUI-less")))
+                .withColumn("is_neural_normalized", F.lit(False)))
 
     # Stage 6 — W1 on typed mentions, then U1 mutation union.
     canonical = union_mutations(resolve_overlap(ner_norm), mut_norm)

@@ -469,8 +469,17 @@ _DUP_UNION_SQL = """
 """
 
 
+def _spread(df, spark):
+    """Single-file inputs scan as one partition; fan map-side work out
+    to the session's parallelism (no-op cost at this data size)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dup_docs(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"), spark)
     exact = (d.filter(F.col("doc_id") % 11 == 0)
              .select((F.col("doc_id") + 10000000).alias("doc_id"), "text"))
     near = (d.filter(F.col("doc_id") % 13 == 0)
