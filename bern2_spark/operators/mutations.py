@@ -108,7 +108,10 @@ def detect_mutations(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     # A4 — nth occurrence of the same mention string within a doc,
     # in match order (pos is per-pattern; same string => same pattern).
-    occ_w = Window.partitionBy("doc_id", "mention").orderBy("pos")
+    # pat_priority tie-break: two patterns emitting the same string at
+    # the same per-pattern index must number deterministically
+    occ_w = Window.partitionBy("doc_id", "mention").orderBy("pos",
+                                                            "pat_priority")
     numbered = all_matches.withColumn("occ", F.row_number().over(occ_w))
 
     # X8 — offset of the nth occurrence: fold locate() n times, each

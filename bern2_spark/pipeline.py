@@ -44,6 +44,7 @@ def run_pipeline(documents: DataFrame,
                  lexicon_rows: Sequence[Tuple[str, str, str]],
                  spark: Optional[SparkSession] = None,
                  neural: bool = True,
+                 abbreviations: bool = True,
                  ordered: bool = False) -> PipelineResult:
     """documents: (repo, path, commit, lang, content)."""
     spark = spark or documents.sparkSession
@@ -54,16 +55,17 @@ def run_pipeline(documents: DataFrame,
     lexicon_df = spark.createDataFrame(norm_rows,
                                        "ent_type string, cui string, name string")
 
-    pre = preprocess(documents)
-
     # A single small input file scans as ONE partition, serializing the
-    # tagging UDF onto one core. Fan out to the cluster's parallelism
-    # before the Python stages (SURVEY §4: repartition before M1 —
-    # round-robin keeps Arrow batches dense and balanced). At real
-    # multi-file scale the scan is already wide and this is a no-op.
+    # regex preprocess + sha256 + tagging UDF onto one core. Fan out to
+    # the cluster's parallelism BEFORE the first heavy projection
+    # (SURVEY §4: repartition before M1 — round-robin keeps Arrow
+    # batches dense and balanced). At real multi-file scale the scan is
+    # already wide and this is a no-op.
     target = spark.sparkContext.defaultParallelism
-    if pre.rdd.getNumPartitions() < target:
-        pre = pre.repartition(target)
+    if documents.rdd.getNumPartitions() < target:
+        documents = documents.repartition(target)
+
+    pre = preprocess(documents)
 
     # O1 — the reference fans out tmvar ∥ gnormplus ∥ mtner processes
     # (bern2/bern2.py:363-372); here they are two branches of one plan.
@@ -73,11 +75,23 @@ def run_pipeline(documents: DataFrame,
 
     # Stage 4+5 on NER mentions; mutations carry tmVar normalization.
     ner_norm = normalize_mentions(ner, lexicon_df)
-    if neural:
-        # the neural stage consumes its input twice (distinct CUI-less
-        # surfaces AND the join-back left side) — persist so the
-        # segment+tag UDF upstream executes once, not twice
+    # Downstream stages consume this subtree several times (the
+    # abbreviation level joins it against a retried copy of itself; the
+    # neural stage reads it for distinct surfaces AND as the join-back
+    # left side). Persist once so the segment+tag UDF runs exactly once.
+    if abbreviations or neural:
         ner_norm = ner_norm.persist()
+    if abbreviations:
+        # M4/J3 abbreviation level: Schwartz–Hearst short->long forms,
+        # CUI-less short-form mentions retry the sieve with long forms
+        from bern2_spark.operators.abbrev import (
+            abbreviation_table, apply_abbreviation_level,
+        )
+        ner_norm = apply_abbreviation_level(
+            ner_norm, lexicon_df, abbreviation_table(pre))
+        # the expanded tree again feeds two consumers below
+        ner_norm = ner_norm.persist()
+    if neural:
         ner_norm = neural_normalize(ner_norm, lexicon_rows)
     # mutations never consult the lexicons (tmVar already normalized
     # them, P12) — skip the four sieve joins on that branch entirely
