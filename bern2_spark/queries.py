@@ -573,8 +573,9 @@ votes AS (
 ),
 sk AS (
   SELECT doc_id,
-         sum(CASE WHEN vote > 0
-                  THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN vote > 0
+                       THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
@@ -594,10 +595,12 @@ def dedup_simhash16(spark, sf_dir):
                  F.when(F.substring(F.md5("token"), F.col("bit") + 1, 1)
                         .isin(*"02468ace"), F.lit(1)).otherwise(F.lit(-1)))
              .groupBy("doc_id", "bit").agg(F.sum("v").alias("vote")))
+    # exact integer bit set (shiftleft), and DuckDB's HUGEINT sum pinned
+    # to BIGINT in the oracle — both engines emit identical int64s
     sk = (votes.groupBy("doc_id")
           .agg(F.sum(F.when(F.col("vote") > 0,
-                            F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-                     .otherwise(F.lit(0))).alias("simhash")))
+                            F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                     .otherwise(F.lit(0).cast("long"))).alias("simhash")))
     return (sk.groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("canonical_doc_id"))
@@ -734,19 +737,23 @@ def qc_fingerprint(spark, sf_dir):
 
 @q("tpch_q1ish", """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS sum_price,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """)
 def tpch_q1ish(spark, sf_dir):
+    # Spark's sum(DECIMAL(18,2)) widens to (28,2) while DuckDB widens to
+    # (38,2); pin BOTH engines to DECIMAL(38,2) so the value hashes agree.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .alias("sum_qty"),
+                 .cast("decimal(38,2)").alias("sum_qty"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                 .alias("sum_price"),
+                 .cast("decimal(38,2)").alias("sum_price"),
                  F.count("*").alias("count_order")))
 
 
