@@ -110,19 +110,28 @@ def abbreviation_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     rows["long_form"].append(lf)
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(gen, schema=ABBREV_SCHEMA).dropDuplicates(
-        ["doc_id", "short_form"])
+    # a doc defining the same short form twice resolves by min(long_form):
+    # deterministic across partitionings (dropDuplicates keeps an
+    # arbitrary row), consistent with the repo's min()-based tie-breaks
+    return (src.mapInPandas(gen, schema=ABBREV_SCHEMA)
+            .groupBy("doc_id", "short_form")
+            .agg(F.min("long_form").alias("long_form")))
 
 
 def expand_cuiless_mentions(normalized: DataFrame,
                             abbrevs: DataFrame) -> DataFrame:
     """Sieve level: CUI-less mentions whose surface is a document-local
-    short form get a ``long_form`` column to retry the lexicon with
-    (join is per-doc: broadcast-safe, abbrev tables are tiny)."""
+    short form get a ``long_form`` column to retry the lexicon with.
+
+    The abbreviation table grows LINEARLY with the corpus (one row per
+    document-local definition), so it must NOT carry a broadcast hint —
+    at 100 TB it exceeds any broadcast threshold. Both sides are keyed
+    by doc_id; an equi-join on it lets AQE pick broadcast when the
+    table happens to be tiny and a co-partitioned shuffle otherwise."""
     a = abbrevs.select(F.col("doc_id").alias("_a_doc"),
                        F.col("short_form").alias("_a_sf"), "long_form")
     return (normalized.join(
-                F.broadcast(a),
+                a,
                 (F.col("doc_id") == F.col("_a_doc"))
                 & (F.col("mention") == F.col("_a_sf"))
                 & (F.col("cui") == CUI_LESS),
@@ -131,16 +140,24 @@ def expand_cuiless_mentions(normalized: DataFrame,
 
 
 def apply_abbreviation_level(normalized: DataFrame, lexicon_df: DataFrame,
-                             abbrevs: DataFrame) -> DataFrame:
+                             abbrevs: DataFrame,
+                             track_persisted: list | None = None) -> DataFrame:
     """Full abbreviation sieve level: re-run the lexicon sieve on the
     LONG form of CUI-less short-form mentions, keep the original
-    surface/span, and adopt the long form's CUI on a hit."""
+    surface/span, and adopt the long form's CUI on a hit.
+
+    Scale note: both the abbreviation table and the retried-mentions
+    result are corpus-proportional, so neither join carries a broadcast
+    hint — they are doc-/mention-keyed equi-joins that AQE plans as
+    broadcast only while the build side is actually small."""
     from bern2_spark.operators.normalize import normalize_mentions
 
-    # the abbreviation table is consumed by two broadcast subtrees (the
-    # expand join and, transitively, the retried sieve) — persist so its
+    # the abbreviation table is consumed by two subtrees (the expand
+    # join and, transitively, the retried sieve) — persist so its
     # full-corpus mapInPandas pass executes once
     abbrevs = abbrevs.persist()
+    if track_persisted is not None:
+        track_persisted.append(abbrevs)
     # early-exit on abbreviation-free corpora: skips ~8 scheduled jobs
     # (the same guard the reference applies before normalization,
     # bern2/bern2.py:396-414; SURVEY §4 "early guard")
@@ -156,7 +173,7 @@ def apply_abbreviation_level(normalized: DataFrame, lexicon_df: DataFrame,
     retried = (normalize_mentions(retry_in, lexicon_df)
                .select(F.col("mention_id").alias("_r_id"),
                        F.col("cui").alias("_r_cui")))
-    out = exp.drop("long_form").join(F.broadcast(retried),
+    out = exp.drop("long_form").join(retried,
                                      F.col("mention_id") == F.col("_r_id"),
                                      "left").drop("_r_id")
     new_cui = F.when(

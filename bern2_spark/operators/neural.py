@@ -97,16 +97,15 @@ def neural_normalize(normalized: DataFrame, lexicon_rows) -> DataFrame:
                .distinct())
 
     def search(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
         index = index_bc.value
         for pdf in batches:
-            cuis, sims = [], []
+            # rows whose ent_type has no index keep the null/0.0 default
+            pdf["neural_cui"] = None
+            pdf["neural_sim"] = 0.0
             # re-batch per type; reference uses batch 1024 — Arrow
             # batches are already bounded by maxRecordsPerBatch
             for t, grp in pdf.groupby("ent_type"):
                 if t not in index:
-                    cuis.extend([None] * len(grp))
-                    sims.extend([0.0] * len(grp))
                     continue
                 mat, id_list = index[t]
                 q = embed_batch(list(grp["mention"]))
@@ -116,9 +115,6 @@ def neural_normalize(normalized: DataFrame, lexicon_rows) -> DataFrame:
                     id_list[b] for b in best]
                 pdf.loc[grp.index, "neural_sim"] = scores[
                     np.arange(len(best)), best].astype(float)
-            if "neural_cui" not in pdf:
-                pdf["neural_cui"] = None
-                pdf["neural_sim"] = 0.0
             yield pdf[["ent_type", "mention", "neural_cui", "neural_sim"]]
 
     hits = (cuiless.mapInPandas(

@@ -38,6 +38,21 @@ class PipelineResult:
     normalized: DataFrame
     annotations: DataFrame
     triples: DataFrame
+    # DataFrames persisted during plan construction; callers that run
+    # the pipeline repeatedly (streaming foreachBatch, benches) must
+    # release() after the consuming actions or cached RDDs accumulate.
+    _persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+
+    def __enter__(self) -> "PipelineResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 def run_pipeline(documents: DataFrame,
@@ -79,8 +94,10 @@ def run_pipeline(documents: DataFrame,
     # abbreviation level joins it against a retried copy of itself; the
     # neural stage reads it for distinct surfaces AND as the join-back
     # left side). Persist once so the segment+tag UDF runs exactly once.
+    persisted = []
     if abbreviations or neural:
         ner_norm = ner_norm.persist()
+        persisted.append(ner_norm)
     if abbreviations:
         # M4/J3 abbreviation level: Schwartz–Hearst short->long forms,
         # CUI-less short-form mentions retry the sieve with long forms
@@ -88,11 +105,16 @@ def run_pipeline(documents: DataFrame,
             abbreviation_table, apply_abbreviation_level,
         )
         ner_norm = apply_abbreviation_level(
-            ner_norm, lexicon_df, abbreviation_table(pre))
+            ner_norm, lexicon_df, abbreviation_table(pre),
+            track_persisted=persisted)
         # the expanded tree again feeds two consumers below
         ner_norm = ner_norm.persist()
+        persisted.append(ner_norm)
     if neural:
-        ner_norm = neural_normalize(ner_norm, lexicon_rows)
+        # the neural index must see only the NORMALIZATION lexicon
+        # (norm_rows): tag-only gazetteer rows carry a sentinel cui
+        # that must never be emitted as a real object id
+        ner_norm = neural_normalize(ner_norm, norm_rows)
     # mutations never consult the lexicons (tmVar already normalized
     # them, P12) — skip the four sieve joins on that branch entirely
     mut_norm = (muts
@@ -112,7 +134,7 @@ def run_pipeline(documents: DataFrame,
     mentions_all = ner.unionByName(muts)
     return PipelineResult(docs=pre, mentions=mentions_all,
                           normalized=ner_norm, annotations=annotations,
-                          triples=triples)
+                          triples=triples, _persisted=persisted)
 
 
 def run_synthetic(spark: SparkSession, n_docs: int = 200, seed: int = 42,

@@ -39,11 +39,14 @@ def stream_documents(spark: SparkSession, input_dir: str,
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        result = run_pipeline(batch_df, lexicon_rows, batch_df.sparkSession)
-        (result.annotations.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(f"{out_dir}/annotations_stream"))
-        (result.triples.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(f"{out_dir}/triples_stream"))
+        # context manager releases the pipeline's persisted RDDs after
+        # the writes — without it, caches accumulate across micro-batches
+        with run_pipeline(batch_df, lexicon_rows,
+                          batch_df.sparkSession) as result:
+            (result.annotations.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(f"{out_dir}/annotations_stream"))
+            (result.triples.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(f"{out_dir}/triples_stream"))
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -3,7 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from bern2_spark.pipeline import run_synthetic
+from bern2_spark.pipeline import run_pipeline, run_synthetic
 from bern2_spark.schemas import CUI_LESS
 
 
@@ -71,3 +71,37 @@ def test_no_overlap_conflicts(result):
                 .agg(F.countDistinct("obj").alias("n_types"))
                 .filter("n_types > 1").count())
     assert conflict == 0
+
+
+def test_tag_only_sentinel_never_escapes(spark):
+    """ADVICE r1: tag-only gazetteer rows (cui sentinel) must never be
+    emitted as real object ids — the neural index is built from the
+    NORMALIZATION lexicon only, so a tag-only surface can't match
+    itself at cosine 1.0 and smuggle the sentinel into the triples."""
+    from bern2_spark import corpus
+    from bern2_spark.queries import _docs
+
+    docs = (_docs(spark, "/root/testdata/sf0.001")
+            .selectExpr("source as repo",
+                        "concat('docs/', doc_id, '.txt') as path",
+                        "sha2(cast(doc_id as string), 256) as commit",
+                        "lang", "text as content"))
+    with run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark) as res:
+        bad = res.triples.filter(
+            F.col("obj").contains(corpus.TAG_ONLY)).count()
+        assert bad == 0
+        # tag-only surfaces still flow through tagging: they appear as
+        # mentions (the tagger knows more surfaces than the dictionaries)
+        tagged = res.mentions.filter(F.col("mention").isin(
+            "group", "sort", "agg")).count()
+        assert tagged > 0
+
+
+def test_release_unpersists(spark):
+    before = len([r for r in spark.sparkContext._jsc.getPersistentRDDs()])
+    res = run_synthetic(spark, n_docs=30)
+    res.triples.count()
+    assert len(res._persisted) > 0
+    res.release()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
