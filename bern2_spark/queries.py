@@ -787,9 +787,26 @@ def events_user_ranked(spark, sf_dir):
     return ev.select("event_id", F.row_number().over(w).alias("seq_in_user"))
 
 
-# ---------------------------------------------------- full pipeline (no SQL)
+# ------------------------------------------------- full pipeline (golden)
 
-@q("kg_pipeline_triples")  # non-SQL-expressible: rows-only driver check
+def _golden_triples_sql() -> str:
+    """The flagship pipeline is not SQL-expressible (surrogate tagger,
+    Schwartz-Hearst, neural fallback are Python), so its oracle is a
+    PINNED GOLDEN parquet regenerated by tools/make_golden.py and
+    independently validated (reference parity in test_golden_parity.py,
+    fused-vs-relational cross-check in test_tagging.py). The driver runs
+    correctness at sf0.01; local pytest picks the golden matching
+    $SPARK_GRAFT_TEST_SF."""
+    import os
+    sf = os.path.basename(
+        os.environ.get("SPARK_GRAFT_TEST_SF", "/x/sf0.01").rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden",
+        f"kg_triples_{sf}.parquet")
+    return f"SELECT subj, pred, obj FROM read_parquet('{path}')"
+
+
+@q("kg_pipeline_triples", _golden_triples_sql())
 def kg_pipeline_triples(spark, sf_dir):
     from bern2_spark import corpus
     from bern2_spark.pipeline import run_pipeline

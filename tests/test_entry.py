@@ -11,6 +11,9 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# sf-dependent oracles (the kg golden) resolve their path from this env
+# var at queries.py import time — pin it to the SF this run uses
+os.environ["SPARK_GRAFT_TEST_SF"] = SF_DIR
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

@@ -1,0 +1,57 @@
+"""Regenerate the committed golden triples parquets that back the
+``kg_pipeline_triples`` driver oracle.
+
+The flagship pipeline is not SQL-expressible (surrogate tagger +
+Schwartz-Hearst + neural fallback live in Python), so its driver oracle
+is a pinned golden: DuckDB reads these parquets while Spark re-runs the
+pipeline — any behavior drift breaks the hash match. The goldens are
+trustworthy because the pipeline they pin is independently validated:
+
+* tests/test_golden_parity.py — P/R 1.0 against reference-composed
+  oracle functions imported from /root/reference,
+* tests/test_tagging.py — fused mapInPandas path cross-checked against
+  the independent relational (tag_words + bio_decode) implementation,
+* tests/test_pipeline.py — determinism across runs.
+
+Run after ANY pipeline-behavior change:
+    python tools/make_golden.py
+then re-run pytest (tests/test_entry.py compares live output to the
+golden for the configured SF) and commit the parquets.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "golden")
+
+SFS = ["sf0.001", "sf0.01"]
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bern2_spark.queries import QUERIES
+    from bern2_spark.session import get_spark
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    spark = get_spark("make-golden", master="local[8]")
+    for sf in SFS:
+        df = QUERIES["kg_pipeline_triples"](spark, f"/root/testdata/{sf}")
+        rows = sorted(map(tuple, df.collect()))
+        table = pa.table({
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+        })
+        out = os.path.join(GOLDEN_DIR, f"kg_triples_{sf}.parquet")
+        pq.write_table(table, out)
+        print(f"{out}: {table.num_rows} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
