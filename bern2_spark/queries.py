@@ -388,6 +388,102 @@ def w3_output_order(spark, sf_dir):
     return words.withColumn("rank", F.row_number().over(w))
 
 
+# --------------------------------------------------------------- wordpiece
+
+# X5 sliding-window feature builder over the documents table. Params
+# chosen so every doc stays inside the reference windowing's working
+# domain (25 words x <=2 pieces = <=50 wordpieces < 2*32-4): max_seq=32,
+# first 25 whitespace words, word label 'B'(0) iff len>6 else 'O'(2),
+# continuations -100. Vocab = corpus pieces (len<=4 whole word, else
+# 4-char prefix + '##'-rest), ids 4+rank(sorted piece); [PAD]=0 [UNK]=1
+# [CLS]=2 [SEP]=3. The DuckDB twin reproduces the closed-form pieces,
+# the asymmetric window slices (window 0 holds max-2 tokens, windows
+# i>=1 are max wide), and the len//max+1 window-count drop quirk
+# (multi_ner/main.py:278-416).
+_X5_SQL = f"""
+WITH words AS (
+  SELECT doc_id, t.pos AS pos, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+  WHERE t.pos <= 25
+),
+pieces0 AS (
+  SELECT doc_id, pos, p.i AS piece_idx, p.pc AS piece, p.lid AS label_id
+  FROM (
+    SELECT doc_id, pos,
+      unnest(CASE WHEN length(word) <= 4
+        THEN [{{'i': 0, 'pc': word, 'lid': 2}}]
+        ELSE [{{'i': 0, 'pc': substr(word, 1, 4),
+               'lid': CASE WHEN length(word) > 6 THEN 0 ELSE 2 END}},
+              {{'i': 1, 'pc': '##' || substr(word, 5), 'lid': -100}}]
+        END) AS p
+    FROM words)
+),
+pieces AS (
+  SELECT doc_id, piece, label_id,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY pos, piece_idx) - 1 AS p
+  FROM pieces0
+),
+counts AS (SELECT doc_id, count(*) AS L FROM pieces GROUP BY doc_id),
+vocab AS (
+  SELECT piece, 3 + row_number() OVER (ORDER BY piece) AS input_id
+  FROM (SELECT DISTINCT piece FROM pieces0)
+),
+kept AS (
+  SELECT pl.doc_id, pl.piece, pl.label_id, pl.w,
+         CASE WHEN pl.w = 0 THEN pl.p + 1
+              ELSE pl.p - (32 * pl.w - 2) + 1 END AS seq_pos
+  FROM (SELECT pc.*,
+               CASE WHEN pc.p < 30 THEN 0 ELSE (pc.p + 2) // 32 END AS w
+        FROM pieces pc) pl
+  JOIN counts USING (doc_id)
+  WHERE pl.w < (counts.L // 32) + 1
+),
+wins AS (
+  SELECT DISTINCT doc_id, w FROM kept
+  UNION
+  SELECT doc_id, 0 AS w FROM documents
+),
+nper AS (
+  SELECT wins.doc_id, wins.w, coalesce(k.n, 0) AS n
+  FROM wins LEFT JOIN (SELECT doc_id, w, count(*) AS n
+                       FROM kept GROUP BY 1, 2) k
+    ON wins.doc_id = k.doc_id AND wins.w = k.w
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(w AS INTEGER) AS window_idx,
+       CAST(seq AS INTEGER) AS seq_pos, token,
+       CAST(input_id AS INTEGER) AS input_id,
+       CAST(label_id AS INTEGER) AS label_id,
+       CAST(am AS INTEGER) AS attention_mask
+FROM (
+  SELECT doc_id, w, 0 AS seq, '[CLS]' AS token, 2 AS input_id,
+         -100 AS label_id, 1 AS am
+  FROM nper
+  UNION ALL
+  SELECT k.doc_id, k.w, k.seq_pos, k.piece, v.input_id, k.label_id, 1
+  FROM kept k JOIN vocab v ON k.piece = v.piece
+  UNION ALL
+  SELECT doc_id, w, n + 1, '[SEP]', 3, -100, 1 FROM nper
+  UNION ALL
+  SELECT doc_id, w, unnest(range(n + 2, 32)), '**NULL**', 0, -100, 0
+  FROM nper
+)
+"""
+
+
+@q("x5_wordpiece_windows", _X5_SQL)
+def x5_wordpiece_windows(spark, sf_dir):
+    from bern2_spark.operators.wordpiece import (
+        corpus_vocab, wordpiece_feature_windows,
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    vocab = corpus_vocab(docs, word_limit=25)
+    return wordpiece_feature_windows(docs, vocab, max_seq_length=32,
+                                     word_limit=25)
+
+
 # ---------------------------------------------------------------- mutations
 
 _AUG_TAIL = " p.V600E harbors p.V600E plus c.123A>G near rs7412 and V600E."
