@@ -119,23 +119,35 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame = None,
                         text_col: str = "text", shingle_n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
-    """Exact Jaccard over shingle SETS for every candidate pair (or all
-    pairs when candidates is None — test scale only). Returns
-    (doc_a, doc_b, jaccard >= threshold rows)."""
+    """Exact Jaccard over shingle SETS. With ``candidates`` (the LSH
+    verify step), the candidate pair list CONSTRAINS the join upstream:
+    shingles attach to the pair list per side, so the cost is
+    O(candidates x shingles-per-doc) — never the full shingle
+    self-join. Without candidates, all pairs (test scale only).
+    Returns (doc_a, doc_b, jaccard >= threshold rows)."""
     sh = (docs.select("doc_id",
                       F.explode(shingles(F.col(text_col), shingle_n))
                       .alias("shingle"))
           .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("n_inter")))
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        cand = candidates.select("doc_a", "doc_b")
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("_b_doc"),
+                      F.col("shingle").alias("_b_shingle"))
+        inter = (cand.join(a, "doc_a")
+                 .join(b, (F.col("doc_b") == F.col("_b_doc"))
+                       & (F.col("shingle") == F.col("_b_shingle")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("n_inter")))
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("n_inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),

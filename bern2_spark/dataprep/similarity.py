@@ -48,42 +48,51 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
-def sign_lsh_bucket(vec_col, n_bits: int = 8):
-    """Deterministic sign-LSH bucket id: bit i = sign of the dot product
-    with pseudo-random hyperplane i, whose components are ±1 derived
-    from md5(i:dim) — reproducible on any engine, no RNG state."""
-    def bit(i):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(F.sequence(F.lit(0), F.size(vec_col) - 1),
-                            lambda d: F.when(
-                                F.conv(F.substring(
-                                    F.md5(F.concat_ws(
-                                        ":", F.lit(i), d.cast("string"))),
-                                    1, 4), 16, 10).cast("long") % 2 == 0,
-                                F.lit(1.0)).otherwise(F.lit(-1.0))),
-                lambda x, p: x * p),
-            F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+def hyperplanes(n_bits: int, dim: int) -> List[List[float]]:
+    """Driver-side deterministic ±1 hyperplane matrix: component (i, d)
+    = +1 iff the first 4 hex digits of md5('i:d') are even. Computed
+    ONCE (n_bits × dim floats) and embedded as plan literals — the
+    in-plan formulation recomputed these per ROW (10^15 redundant md5s
+    at 10^12 rows). Reproducible on any engine, no RNG state."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"{i}:{d}".encode())
+                        .hexdigest()[:4], 16) % 2 == 0 else -1.0
+             for d in range(dim)]
+            for i in range(n_bits)]
+
+
+def sign_lsh_bucket(vec_col, planes: List[List[float]]):
+    """Sign-LSH bucket id from a precomputed hyperplane matrix: bit i =
+    sign of dot(vec, plane_i). The dot is a LEFT-TO-RIGHT aggregate fold
+    (not a matmul) so the float summation order — and therefore the
+    sign of near-zero projections — is identical across engines."""
     bucket = F.lit(0)
-    for i in range(n_bits):
-        bucket = bucket + bit(i)
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        proj = F.aggregate(F.zip_with(vec_col, plane, lambda x, p: x * p),
+                           F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                      n_bits: int = 8, id_col: str = "vec_id",
+                      n_bits: int = 8, dim: int = 64,
+                      id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
     """ANN: bucket both sides on sign-LSH, join on bucket, exact cosine
     re-rank inside buckets. Recall < 1.0 by construction; raise via
-    multi-probe (duplicate queries with single-bit flips)."""
+    multi-probe (duplicate queries with single-bit flips). At 10^12
+    rows the bucket join shuffles only (id, bucket, vec) pairs and the
+    per-bucket re-rank is embarrassingly parallel."""
+    planes = hyperplanes(n_bits, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
-                      sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+                      sign_lsh_bucket(F.col(vec_col), planes)
+                      .alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
-                       sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"))
+                       sign_lsh_bucket(F.col(vec_col), planes)
+                       .alias("bucket"))
     scored = (c.join(F.broadcast(q), "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine",

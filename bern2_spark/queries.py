@@ -656,6 +656,57 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
+@q("dedup_lsh_verified", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+sh0 AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2
+),
+sig AS (
+  SELECT doc_id, g.range AS seed,
+         min(md5(concat_ws(':', g.range, shingle))) AS minhash
+  FROM sh0, range(16) g
+  GROUP BY doc_id, g.range
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+""")
+def dedup_lsh_verified(spark, sf_dir):
+    """The production dedup composition: MinHash-LSH candidate pairs ->
+    exact Jaccard verify CONSTRAINED by the candidate list (the verify
+    join never self-joins the full shingle table)."""
+    from bern2_spark.dataprep.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+    docs2 = _dup_docs(spark, sf_dir)
+    cands = minhash_lsh_pairs(docs2, num_hashes=16, rows_per_band=4)
+    verified = ngram_jaccard_pairs(docs2, candidates=cands, threshold=0.5)
+    return verified.withColumn("jaccard", F.round("jaccard", 6))
+
+
 @q("dedup_simhash16", f"""
 WITH docs2 AS ({_DUP_UNION_SQL}),
 tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM docs2),
@@ -755,6 +806,51 @@ def ann_topk_bruteforce(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ann_lsh_oracle(n_bits: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the sign-LSH bucketed ANN: the SAME driver-built
+    ±1 hyperplane matrix is embedded as literal arrays in both plans."""
+    from bern2_spark.dataprep.similarity import hyperplanes
+    planes = hyperplanes(n_bits, dim)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {row!r}::DOUBLE[]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, row in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+q AS (SELECT * FROM b WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v))
+          * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+@q("ann_lsh_bucketed", _ann_lsh_oracle())
+def ann_lsh_bucketed(spark, sf_dir):
+    """Scale-path ANN: bucket join (16 buckets at n_bits=4) + exact
+    cosine re-rank inside buckets; hyperplanes precomputed driver-side
+    (no per-row constant recompute)."""
+    from bern2_spark.dataprep.similarity import lsh_bucketed_topk
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = lsh_bucketed_topk(emb, queries, k=5, n_bits=4, dim=64)
+    return out.withColumn("cosine", F.round("cosine", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
 # ------------------------------------------------------------------ textqc
 
 _EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with"]
@@ -827,6 +923,293 @@ FROM documents
 def qc_fingerprint(spark, sf_dir):
     from bern2_spark.dataprep.textqc import fingerprint
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+# ------------------------------------------------ coverage-gap operators
+
+# testdata word salad contains no human synonyms, so plant a few
+# (doc_id % 5 == 0) on both sides — same device as the mutation query
+_A6_TAIL = " patients and Human children saw the patient respond."
+
+
+@q("a6_filtered_species", None)  # oracle attached below (built from const)
+def a6_filtered_species(spark, sf_dir):
+    """A6 — per-doc count of species mentions dropped by the SR4GN
+    human-synonym blocklist (P6's lineage metric). Mentions synthesized
+    from whitespace words typed 'species'."""
+    from bern2_spark.operators.filters import filtered_species_metric
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(_A6_TAIL)))
+         .otherwise(F.col("text")).alias("text"))
+    mentions = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("species").alias("ent_type"),
+        F.explode(_ws_words(F.col("text"))).alias("mention"))
+    return filtered_species_metric(mentions)
+
+
+def _a6_oracle() -> str:
+    from bern2_spark.operators.filters import SPECIES_HUMAN_BLOCKLIST
+    lst = ", ".join(f"'{w}'" for w in SPECIES_HUMAN_BLOCKLIST)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{_A6_TAIL}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, count(*) AS num_filtered_species
+FROM (SELECT doc_id, unnest({_WS_WORDS_SQL}) AS word FROM aug)
+WHERE word IN ({lst})
+GROUP BY doc_id
+"""
+
+
+ORACLES["a6_filtered_species"] = _a6_oracle()
+
+
+@q("w2_bio_decode", f"""
+WITH words AS (
+  SELECT doc_id, t.pos AS pos, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+),
+placed AS (
+  SELECT doc_id, pos, word, length(word) AS len,
+         CAST(coalesce(sum(length(word)) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (pos - 1) AS INTEGER) AS start
+  FROM words
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN len >= 7 THEN 'B'
+              WHEN (len BETWEEN 4 AND 6 OR len = 1)
+                   AND lag(len) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) >= 7 THEN 'I'
+         END AS tag,
+         CAST((len % 7) / 10.0 + 0.3 AS DOUBLE) AS prob
+  FROM placed
+),
+tags AS (SELECT * FROM tagged WHERE tag IS NOT NULL),
+runs AS (
+  SELECT *, sum(CASE WHEN tag = 'B' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM tags
+),
+enriched1 AS (
+  SELECT *, count(*) OVER w AS run_n, max(pos) OVER w AS max_pos
+  FROM runs
+  WINDOW w AS (PARTITION BY doc_id, run_id)
+),
+enriched AS (
+  SELECT *,
+         max(CASE WHEN pos = max_pos THEN len END)
+           OVER (PARTITION BY doc_id, run_id) AS last_len
+  FROM enriched1
+)
+SELECT doc_id,
+       CAST(min(start) AS INTEGER) AS start,
+       CAST(max(start + len) AS INTEGER) AS "end",
+       round(sum(CASE WHEN NOT (pos = max_pos AND last_len = 1
+                                AND run_n > 1) THEN prob END)
+             / count(CASE WHEN NOT (pos = max_pos AND last_len = 1
+                                    AND run_n > 1) THEN 1 END), 6)
+         AS prob
+FROM enriched
+GROUP BY doc_id, run_id
+""")
+def w2_bio_decode(spark, sf_dir):
+    """W2 — the relational BIO decode as a first-class driver query:
+    deterministic per-word tags (B iff len>=7; I continues a B when
+    len in 4..6 or len==1 — the len==1 case exercises A3's last-token
+    slice rule) over synthetic word offsets (space-joined coordinate
+    system), decoded by operators.tagging.bio_decode."""
+    from bern2_spark.operators.tagging import bio_decode
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.posexplode(_ws_words(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word",
+             F.length("word").alias("len"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    placed = words.withColumn(
+        "start",
+        (F.coalesce(F.sum("len").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+         + F.col("pos") - 1).cast("int"))
+    tagged = placed.withColumn(
+        "tag",
+        F.when(F.col("len") >= 7, F.lit("B"))
+         .when((F.col("len").between(4, 6) | (F.col("len") == 1))
+               & (F.lag("len").over(w) >= 7), F.lit("I")))
+    tags = (tagged.filter(F.col("tag").isNotNull())
+            .select("doc_id",
+                    F.lit(0).alias("sent_idx"),
+                    F.col("pos").alias("word_idx"),
+                    F.lit("gene").alias("ent_type"),
+                    "tag",
+                    ((F.col("len") % 7) / 10.0 + 0.3).alias("prob"),
+                    "start",
+                    (F.col("start") + F.col("len")).cast("int").alias("end")))
+    return (bio_decode(tags)
+            .select("doc_id", "start", "end", F.round("prob", 6)
+                    .alias("prob")))
+
+
+@q("qc_language_id", None)  # oracle attached below (built from const)
+def qc_language_id(spark, sf_dir):
+    from bern2_spark.dataprep.textqc import language_id
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _langid_oracle() -> str:
+    from bern2_spark.dataprep.textqc import LANG_SIGNATURES
+    vals = ", ".join(f"('{lang}', {sig!r})"
+                     for lang, sig in sorted(LANG_SIGNATURES.items()))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, l.lang,
+         len(list_filter(t, x -> list_contains(l.sig, x))) AS n
+  FROM toks, (VALUES {vals}) l(lang, sig)
+),
+best AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, lang DESC) AS rn
+  FROM hits
+)
+SELECT doc_id, CASE WHEN n > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+
+ORACLES["qc_language_id"] = _langid_oracle()
+
+
+# hex-digit value fragment for the byte-arithmetic oracles
+_HEXV = "(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _hex_byte(hexpr: str, k: int) -> str:
+    """byte k (0-based) of a hex string as an integer expression."""
+    hi = _HEXV.format(c=f"substr({hexpr}, {2 * k + 1}, 1)")
+    lo = _HEXV.format(c=f"substr({hexpr}, {2 * k + 2}, 1)")
+    return f"(16 * {hi} + {lo})"
+
+
+@q("mm_image_features", f"""
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'image/png' AS media_type,
+         substr(text, 1, 256) AS payload_text
+  FROM documents
+),
+hashed AS (
+  -- sha256(VARCHAR) hashes the string's UTF-8 bytes == sha256 of the
+  -- encoded binary payload
+  SELECT doc_id, media_type,
+         octet_length(encode(payload_text)) AS n_bytes,
+         sha256(payload_text) AS h
+  FROM media
+),
+expanded AS (
+  SELECT doc_id, media_type, n_bytes, h,
+         CAST(g.range AS INTEGER) AS dim_idx
+  FROM hashed, range(8) g
+)
+SELECT doc_id, media_type, CAST(n_bytes AS INTEGER) AS n_bytes, dim_idx,
+       CAST(CAST(CAST(u AS DOUBLE) AS REAL) AS BIGINT) AS feat_q
+FROM (
+  SELECT doc_id, media_type, n_bytes, dim_idx,
+         {" + ".join(f"CASE WHEN dim_idx = {i} THEN "
+                     + " + ".join(f"{_hex_byte('h', 4 * i + j)} * {256 ** j}"
+                                  for j in range(4))
+                     + " ELSE 0 END" for i in range(8))} AS u
+  FROM expanded
+)
+""")
+def mm_image_features(spark, sf_dir):
+    """Multimodal plumbing as a driver query: deterministic fake decode
+    (sha256-derived uint32 features) over binary payloads, exploded to
+    (dim_idx, feat_q) where feat_q = float32(u) * 2^32 quantized back to
+    an exact integer — identical on both engines (float32 rounding is
+    round-to-nearest-even everywhere)."""
+    from bern2_spark.dataprep.multimodal import (
+        attach_fake_media, extract_features,
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    media = attach_fake_media(docs)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes",
+        F.posexplode("feature").alias("dim_idx", "f")
+    ).select("doc_id", "media_type", "n_bytes", "dim_idx",
+             (F.col("f").cast("double") * F.lit(float(2 ** 32)))
+             .cast("long").alias("feat_q"))
+
+
+@q("dedup_simhash64", None)  # oracle attached below
+def dedup_simhash64(spark, sf_dir):
+    """The production 64-bit simhash sketch (vectorized pandas UDF) as
+    a driver query over the duplicate-augmented corpus."""
+    from bern2_spark.dataprep.dedup import simhash_sketches
+    docs2 = _dup_docs(spark, sf_dir)
+    return simhash_sketches(docs2)
+
+
+def _simhash64_oracle() -> str:
+    """DuckDB twin of the pandas-UDF 64-bit simhash: md5(token) first 8
+    bytes little-endian as uint64 (HUGEINT arithmetic), per-bit +-1
+    votes, sketch bits where votes > 0, wrapped to signed int64."""
+    u64 = " + ".join(f"{_hex_byte('h', k)}::HUGEINT * {256 ** k}::HUGEINT"
+                     for k in range(8))
+    return f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x != '')) AS token
+  FROM docs2
+),
+hs AS (
+  SELECT doc_id, ({u64}) AS u
+  FROM (SELECT doc_id, md5(token) AS h FROM tok)
+),
+votes AS (
+  SELECT doc_id, b.range AS bit,
+         sum(CASE WHEN (u >> CAST(b.range AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hs, range(64) b
+  GROUP BY doc_id, b.range
+),
+sk AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN vote > 0
+                           THEN (1::HUGEINT << CAST(bit AS INTEGER)) END),
+                  0::HUGEINT) AS raw
+  FROM votes GROUP BY doc_id
+),
+alldocs AS (SELECT doc_id FROM docs2)
+SELECT d.doc_id,
+       CAST(CASE WHEN s.raw IS NULL THEN 0
+                 WHEN s.raw >= 9223372036854775808::HUGEINT
+                 THEN s.raw - 18446744073709551616::HUGEINT
+                 ELSE s.raw END AS BIGINT) AS simhash
+FROM alldocs d LEFT JOIN sk s USING (doc_id)
+"""
+
+
+ORACLES["dedup_simhash64"] = _simhash64_oracle()
 
 
 # --------------------------------------------------------------- relational
