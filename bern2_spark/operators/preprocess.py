@@ -47,6 +47,48 @@ def guard_no_ascii_letters(col: Column) -> Column:
     return F.when(col.rlike("[A-Za-z]"), col).otherwise(F.lit(NO_ASCII_SENTINEL))
 
 
+# P4 character set (multi_ner/ops.py:383-430): unicode spaces -> ' ',
+# plus two private-use glyph substitutions. 1:1 mappings go through one
+# translate(); the 2-char '\r ' -> ' ' rule runs FIRST, as in the
+# reference (later single-char replaces may create new '\r ' pairs the
+# reference leaves alone).
+_P4_SRC = ("\u2028\u2029\u200a\u2009\u2008\u2005\u2004\u2003\u2002"
+           "\u00a0\uf8ff\u202f\ufeff\uf044\uf02d\uf0bb\uf048\uf0b0")
+_P4_DST = " " * 16 + "\u0397\u00b0"  # capital eta, degree sign
+
+
+def normalize_unicode_spaces(col: Column) -> Column:
+    """P4 — exotic unicode spaces to ' ' (multi_ner/ops.py:383-430).
+    Applied at INGEST (PubTator path), before any span exists: the
+    reference applies it on the mtner input where the 2-char '\\r '
+    rule shifts offsets against the server text — running it before
+    P1/P2 keeps spans aligned while producing identical bytes."""
+    return F.translate(F.regexp_replace(col, "\r ", " "), _P4_SRC, _P4_DST)
+
+
+# O5 quarantine codes (reference returns error_code 1 for any per-doc
+# failure, bern2/bern2.py:108-116; we keep distinguishable causes)
+ERROR_NO_ASCII_LETTERS = 1
+ERROR_EMPTY = 2
+ERROR_NULL_CONTENT = 3
+
+
+def quarantine(docs: DataFrame, content_col: str = "content",
+               doc_col: str = "doc_id") -> DataFrame:
+    """O5 — error side-output table (doc_id, error_code): docs the
+    reference would short-circuit with a nonzero error_code instead of
+    silently re-labeling. The main plan still substitutes the P5
+    sentinel (annotation output stays total); this table makes the
+    substitution REPORTED."""
+    c = F.col(content_col)
+    code = (F.when(c.isNull(), F.lit(ERROR_NULL_CONTENT))
+             .when(F.trim(c) == "", F.lit(ERROR_EMPTY))
+             .when(~c.rlike("[A-Za-z]"), F.lit(ERROR_NO_ASCII_LETTERS)))
+    return (docs.withColumn("error_code", code)
+            .filter(F.col("error_code").isNotNull())
+            .select(F.col(doc_col).alias("doc_id"), "error_code"))
+
+
 def doc_id_col(col: Column) -> Column:
     """P8 — deterministic document id. The reference hashes text+now
     (sha224, bern2/bern2.py:494-497) only to dodge tmp-file collisions;

@@ -38,6 +38,9 @@ class PipelineResult:
     normalized: DataFrame
     annotations: DataFrame
     triples: DataFrame
+    # O5 — error side-output (doc_id, error_code) for docs the reference
+    # would short-circuit; None when the pipeline ran without the stage
+    quarantine: Optional[DataFrame] = None
     # DataFrames persisted during plan construction; callers that run
     # the pipeline repeatedly (streaming foreachBatch, benches) must
     # release() after the consuming actions or cached RDDs accumulate.
@@ -74,11 +77,11 @@ def run_pipeline(documents: DataFrame,
     # regex preprocess + sha256 + tagging UDF onto one core. Fan out to
     # the cluster's parallelism BEFORE the first heavy projection
     # (SURVEY §4: repartition before M1 — round-robin keeps Arrow
-    # batches dense and balanced). At real multi-file scale the scan is
-    # already wide and this is a no-op.
-    target = spark.sparkContext.defaultParallelism
-    if documents.rdd.getNumPartitions() < target:
-        documents = documents.repartition(target)
+    # batches dense and balanced). The probe counts scan FILES
+    # (inputFiles: driver metadata only — df.rdd.getNumPartitions()
+    # would silently convert the whole plan); at real multi-file scale
+    # the scan is already wide and no repartition is added.
+    documents = _fan_out_narrow_scan(documents, spark)
 
     pre = preprocess(documents)
 
@@ -131,10 +134,23 @@ def run_pipeline(documents: DataFrame,
         annotations = order_output(annotations)
     triples = to_triples(annotations)
 
+    from bern2_spark.operators.preprocess import quarantine as _quarantine
     mentions_all = ner.unionByName(muts)
     return PipelineResult(docs=pre, mentions=mentions_all,
                           normalized=ner_norm, annotations=annotations,
-                          triples=triples, _persisted=persisted)
+                          triples=triples, quarantine=_quarantine(pre),
+                          _persisted=persisted)
+
+
+def _fan_out_narrow_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition to the session's parallelism when the source scans
+    fewer files than cores (single-file parquet, local relations)."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    return df.repartition(target) if n_files < target else df
 
 
 def run_synthetic(spark: SparkSession, n_docs: int = 200, seed: int = 42,

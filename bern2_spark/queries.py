@@ -568,10 +568,8 @@ _DUP_UNION_SQL = """
 def _spread(df, spark):
     """Single-file inputs scan as one partition; fan map-side work out
     to the session's parallelism (no-op cost at this data size)."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    from bern2_spark.pipeline import _fan_out_narrow_scan
+    return _fan_out_narrow_scan(df, spark)
 
 
 def _dup_docs(spark, sf_dir):
@@ -926,6 +924,67 @@ def qc_fingerprint(spark, sf_dir):
 
 
 # ------------------------------------------------ coverage-gap operators
+
+# testdata is pure ASCII, so plant the P4 character set (doc_id % 3)
+_P4_TAIL = ("\u2009thin\u00a0nbsp\u2028ls\r cr"
+            "\uf048eta\uf0b0deg")
+
+
+def _sql_str(s: str) -> str:
+    """ASCII-safe DuckDB string expression for s (chr() for non-ASCII
+    and CR — DuckDB E-strings have no \\uXXXX escape)."""
+    parts, run = [], ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run += ch
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return "(" + " || ".join(parts or ["''"]) + ")"
+
+
+def _p4_oracle() -> str:
+    from bern2_spark.operators.preprocess import _P4_DST, _P4_SRC
+    expr = f"CASE WHEN doc_id % 3 = 0 THEN text || {_sql_str(_P4_TAIL)} ELSE text END"
+    expr = f"replace({expr}, {_sql_str(chr(13) + ' ')}, ' ')"
+    for s, d in zip(_P4_SRC, _P4_DST):
+        expr = f"replace({expr}, {_sql_str(s)}, {_sql_str(d)})"
+    return f"SELECT doc_id, {expr} AS text_p4 FROM documents"
+
+
+@q("p4_unicode_spaces", _p4_oracle())
+def p4_unicode_spaces(spark, sf_dir):
+    from bern2_spark.operators.preprocess import normalize_unicode_spaces
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(_P4_TAIL)))
+         .otherwise(F.col("text")).alias("text"))
+    return docs.select(
+        "doc_id", normalize_unicode_spaces(F.col("text")).alias("text_p4"))
+
+
+@q("o5_quarantine", """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN doc_id % 34 = 0 THEN 2 ELSE 1 END AS error_code
+FROM documents
+WHERE doc_id % 17 = 0
+""")
+def o5_quarantine(spark, sf_dir):
+    """O5 — the quarantine side-output over a corpus with planted bad
+    docs: doc_id%34==0 -> empty text, other doc_id%17==0 -> digits-only
+    (the P5 no-ascii-letters condition)."""
+    from bern2_spark.operators.preprocess import quarantine
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 34 == 0, F.lit("  "))
+         .when(F.col("doc_id") % 17 == 0, F.lit("123 456 !!!"))
+         .otherwise(F.col("text")).alias("content"))
+    return quarantine(docs)
 
 # testdata word salad contains no human synonyms, so plant a few
 # (doc_id % 5 == 0) on both sides — same device as the mutation query

@@ -63,13 +63,22 @@ def serialize_pubtator(docs: List[dict], ents: List[dict]) -> str:
 def read_pubtator(spark: SparkSession, path: str) -> DataFrame:
     """Whole-file read -> documents DataFrame in the engine's input
     shape (content = title + ' ' + abstract, multi_ner/ops.py:153)."""
-    raw = spark.read.text(path).agg(
+    # pin the record separator: the default splits on bare \r too,
+    # corrupting texts that carry the P4 '\r ' sequence
+    raw = spark.read.option("lineSep", "\n").text(path).agg(
         {"value": "collect_list"}).first()[0]
     docs, _ = parse_pubtator("\n".join(raw))
     rows = [("pubtator", f"{d['pmid']}.txt", "0" * 40, "text",
              (d.get("title", "") + " " + d["abstract"]
               if d.get("abstract") else d.get("title", "")))
             for d in docs]
-    return spark.createDataFrame(
+    from pyspark.sql import functions as F
+
+    from bern2_spark.operators.preprocess import normalize_unicode_spaces
+    df = spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, "
               "content string")
+    # P4 — real PubTator corpora carry exotic unicode spaces; normalize
+    # at ingest, BEFORE any offset exists (multi_ner/ops.py:383-430)
+    return df.withColumn("content",
+                         normalize_unicode_spaces(F.col("content")))

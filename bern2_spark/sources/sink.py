@@ -30,6 +30,14 @@ from bern2_spark.operators.metrics import partition_lineage
 
 
 class CheckpointedSink:
+    """Each write_stage call commits a NEW snapshot subdirectory
+    (``<stage>/run-<k>``) and appends it to the stage manifest — never
+    overwriting committed data, so a resumed run's writes ADD the
+    remainder instead of replacing the full output (the Iceberg
+    snapshot-append discipline on plain parquet). read_stage unions all
+    committed snapshots; uncommitted (crashed) run dirs are invisible
+    because only the manifest names readable snapshots."""
+
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
         os.makedirs(os.path.join(base_dir, "manifests"), exist_ok=True)
@@ -40,17 +48,31 @@ class CheckpointedSink:
     def manifest_path(self, stage: str) -> str:
         return os.path.join(self.base_dir, "manifests", f"{stage}.json")
 
+    def _manifest(self, stage: str) -> dict:
+        p = self.manifest_path(stage)
+        if not os.path.exists(p):
+            return {"stage": stage, "runs": []}
+        with open(p) as f:
+            return json.load(f)
+
     def is_committed(self, stage: str) -> bool:
-        return os.path.exists(self.manifest_path(stage))
+        return bool(self._manifest(stage)["runs"])
+
+    def committed_paths(self, stage: str) -> List[str]:
+        return [r["path"] for r in self._manifest(stage)["runs"]]
 
     def write_stage(self, df: DataFrame, stage: str,
                     partition_by: Optional[List[str]] = None,
                     lineage: bool = True) -> str:
-        """Write a stage snapshot + lineage rows + manifest. The
-        manifest is written LAST (commit point): a crash mid-write
-        leaves no manifest, so resume re-runs the stage — all-or-
-        nothing per stage, like an Iceberg snapshot commit."""
-        path = self._path(stage)
+        """Write one snapshot + lineage rows, then commit by appending
+        the run to the manifest LAST: a crash mid-write leaves an
+        unreferenced run dir, so resume re-runs the stage — all-or-
+        nothing per snapshot, like an Iceberg snapshot commit."""
+        manifest = self._manifest(stage)
+        run_id = len(manifest["runs"])
+        # key=value dir name: snapshots read back as one partitioned
+        # table (basePath = stage root) with _run as a lineage column
+        path = os.path.join(self._path(stage), f"_run={run_id}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -61,14 +83,19 @@ class CheckpointedSink:
                 df.sparkSession.read.parquet(path), stage)
             lin.write.mode("append").parquet(self._path("lineage"))
             n_rows = lin.agg(F.sum("rows")).first()[0] or 0
+        manifest["runs"].append({
+            "run_id": run_id, "path": path, "rows": n_rows,
+            "partition_by": partition_by or [],
+            "committed_at": time.time()})
         with open(self.manifest_path(stage), "w") as f:
-            json.dump({"stage": stage, "path": path, "rows": n_rows,
-                       "partition_by": partition_by or [],
-                       "committed_at": time.time()}, f)
+            json.dump(manifest, f)
         return path
 
-    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(self._path(stage))
+    def read_stage(self, spark: SparkSession, stage: str,
+                   with_run: bool = False) -> DataFrame:
+        df = (spark.read.option("basePath", self._path(stage))
+              .parquet(*self.committed_paths(stage)))
+        return df if with_run else df.drop("_run")
 
     def resume_filter(self, docs: DataFrame, stage: str,
                       doc_col: str = "doc_id") -> DataFrame:
@@ -90,9 +117,14 @@ class CheckpointedSink:
 
 def write_outputs(sink: CheckpointedSink, annotations: DataFrame,
                   triples: DataFrame,
-                  docs: Optional[DataFrame] = None) -> None:
+                  docs: Optional[DataFrame] = None,
+                  quarantine: Optional[DataFrame] = None) -> None:
     sink.write_stage(annotations, "annotations", partition_by=["obj"])
     sink.write_stage(triples, "triples", partition_by=["pred"])
+    if quarantine is not None:
+        # O5 — per-doc error side-output (reference short-circuits with
+        # error_code, bern2/bern2.py:108-116)
+        sink.write_stage(quarantine, "quarantine", lineage=False)
     if docs is not None:
         # the resume ledger: INPUT doc ids, not output doc ids — a doc
         # that legitimately produced zero annotations must still count

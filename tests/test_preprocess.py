@@ -64,3 +64,26 @@ def test_preprocess_property(spark, text):
                                ["repo", "path", "commit", "lang", "content"])
     got = preprocess(df).select("text").first().text
     assert got == ref_preprocess(text)
+
+
+def test_quarantine_side_output(spark):
+    """O5: malformed docs are REPORTED (doc_id, error_code), not just
+    silently re-labeled by the P5 sentinel."""
+    from bern2_spark.operators.preprocess import (
+        ERROR_EMPTY, ERROR_NO_ASCII_LETTERS, ERROR_NULL_CONTENT, quarantine,
+    )
+    docs = spark.createDataFrame(
+        [("d1", "fine text"), ("d2", "123 !!!"), ("d3", "   "),
+         ("d4", None)],
+        "doc_id string, content string")
+    rows = {r.doc_id: r.error_code for r in quarantine(docs).collect()}
+    assert rows == {"d2": ERROR_NO_ASCII_LETTERS, "d3": ERROR_EMPTY,
+                    "d4": ERROR_NULL_CONTENT}
+
+
+def test_pipeline_quarantine_wired(spark):
+    from bern2_spark.pipeline import run_synthetic
+    res = run_synthetic(spark, n_docs=30)
+    codes = {r.error_code for r in res.quarantine.collect()}
+    # the synthetic corpus plants a digits-only doc and an empty doc
+    assert codes == {1, 2}

@@ -57,7 +57,7 @@ def test_sink_checkpoint_and_resume(spark, tmp_path):
     assert sink.is_committed("annotations") and sink.is_committed("triples")
     # partitioned layout on disk
     assert any(x.startswith("pred=") for x in
-               os.listdir(str(tmp_path / "out" / "triples")))
+               os.listdir(str(tmp_path / "out" / "triples" / "_run=0")))
     # lineage rows recorded
     lin = spark.read.parquet(str(tmp_path / "out" / "lineage"))
     assert lin.filter("stage = 'triples'").agg(F.sum("rows")).first()[0] == 2
@@ -87,3 +87,54 @@ def test_resume_counts_zero_output_docs_as_done(spark, tmp_path):
                                  ["doc_id", "text"])
     write_outputs(sink, ann, tri, docs=docs)
     assert resume_docs(sink, docs).count() == 0  # both done, even d2
+
+
+def test_resume_run_preserves_committed_output(spark, tmp_path):
+    """ADVICE r1: a resumed run must ADD the remainder, not replace the
+    committed output. Two write cycles -> union of both runs' rows."""
+    sink = CheckpointedSink(str(tmp_path / "out3"))
+
+    def ann_tri(doc_ids):
+        ann = spark.createDataFrame(
+            [(d, "gene", 0, 3, "m", ["NCBIGene:1"], 0.9, False, None, None)
+             for d in doc_ids],
+            "doc_id string, obj string, begin int, end int, mention string,"
+            " id array<string>, prob double, is_neural_normalized boolean,"
+            " mutationType string, normalizedName string")
+        tri = spark.createDataFrame(
+            [(d, "has_gene", "NCBIGene:1") for d in doc_ids],
+            "subj string, pred string, obj string")
+        return ann, tri
+
+    docs_all = spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",)], "doc_id string")
+
+    # run 1 processes d1/d2
+    ann, tri = ann_tri(["d1", "d2"])
+    write_outputs(sink, ann, tri,
+                  docs=docs_all.filter("doc_id in ('d1','d2')"))
+    # run 2: resume leaves only d3; write its output
+    remaining = resume_docs(sink, docs_all)
+    assert {r.doc_id for r in remaining.collect()} == {"d3"}
+    ann2, tri2 = ann_tri(["d3"])
+    write_outputs(sink, ann2, tri2, docs=remaining)
+
+    # committed output is the UNION of both runs
+    tri_all = sink.read_stage(spark, "triples")
+    assert {r.subj for r in tri_all.collect()} == {"d1", "d2", "d3"}
+    # and the resume ledger now covers everything
+    assert resume_docs(sink, docs_all).count() == 0
+
+
+def test_pubtator_ingest_normalizes_unicode_spaces(spark, tmp_path):
+    """P4: exotic unicode spaces are normalized at ingest, before any
+    offset exists (multi_ner/ops.py:383-430)."""
+    from bern2_spark.sources.pubtator import read_pubtator
+    raw = ("77|t|Thin\u2009space and\u00a0seps\u2028here\r tail\n"
+           "77|a|Glyphs \uf048BB and 37\uf0b0C plus\u200ahair.\n")
+    f = tmp_path / "p4.pubtator"
+    f.write_text(raw, encoding="utf-8")
+    docs = read_pubtator(spark, str(f))
+    content = docs.collect()[0].content
+    assert content == ("Thin space and seps here tail "
+                       "Glyphs \u0397BB and 37\u00b0C plus hair.")
