@@ -32,6 +32,8 @@ we take min(cui) per key — deterministic and order-free.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,14 +88,80 @@ def build_lookup_tables(lexicon: DataFrame) -> dict:
     return {"exact": exact, "tmchem": tmchem, "biosyn": biosyn}
 
 
+# ----------------------------------------------- gene taxon context (J4)
+
+HUMAN_TAXID = 9606  # the reference's hardcoded jar argument
+                    # (bern2/normalizer.py:375: '9606',  # human)
+
+
+def species_context(mentions: DataFrame) -> DataFrame:
+    """Per-doc species context: the smallest NCBI taxid among the doc's
+    normalized species mentions (min = deterministic under any
+    partitioning). Docs without species mentions fall back to human at
+    join time. The reference hardcodes 9606 for every doc; this helper
+    is the multi-species extension its jar argument implies."""
+    return (mentions
+            .filter((F.col("ent_type") == "species")
+                    & F.col("cui").startswith("NCBI:txid"))
+            .select("doc_id",
+                    F.regexp_extract("cui", r"NCBI:txid(\d+)", 1)
+                    .cast("long").alias("taxid"))
+            .groupBy("doc_id")
+            .agg(F.min("taxid").alias("context_taxid")))
+
+
+def gene_taxon_lookup(mentions: DataFrame, gene_taxa: DataFrame,
+                      context: Optional[DataFrame] = None,
+                      surface_col: str = "mention") -> DataFrame:
+    """J4 with taxon context: probe the (taxid, surface) gene dictionary
+    with the doc's context taxon first, then the human fallback —
+    approximating GNormPlus's taxon-ranked gene resolution (the jar is
+    closed-source; the reference passes taxid 9606,
+    bern2/normalizer.py:369-377). Adds ``gene_cui`` (raw Entrez id or
+    null). ``gene_taxa``: (taxid, name, cui) lexicon — broadcast-safe;
+    ``context``: (doc_id, context_taxid) — corpus-proportional, joined
+    WITHOUT a broadcast hint."""
+    key = F.lower(strip_gene_suffix(F.col(surface_col)))
+    g = (gene_taxa.select(F.col("taxid").cast("long").alias("taxid"),
+                          F.lower("name").alias("key"), "cui")
+         .groupBy("taxid", "key").agg(F.min("cui").alias("cui")))
+
+    if context is not None:
+        m = mentions.join(context, "doc_id", "left").withColumn(
+            "_ctx", F.coalesce("context_taxid", F.lit(HUMAN_TAXID)))
+        m = m.drop("context_taxid")
+    else:
+        m = mentions.withColumn("_ctx", F.lit(HUMAN_TAXID))
+
+    ctx_t = g.select(F.col("taxid").alias("_ct_tax"),
+                     F.col("key").alias("_ct_key"),
+                     F.col("cui").alias("_cui_ctx"))
+    hum_t = (g.filter(F.col("taxid") == HUMAN_TAXID)
+             .select(F.col("key").alias("_h_key"),
+                     F.col("cui").alias("_cui_hum")))
+    m = (m.join(F.broadcast(ctx_t),
+                (key == F.col("_ct_key")) & (F.col("_ctx") == F.col("_ct_tax")),
+                "left")
+         .drop("_ct_key", "_ct_tax"))
+    m = (m.join(F.broadcast(hum_t), key == F.col("_h_key"), "left")
+         .drop("_h_key"))
+    return (m.withColumn("gene_cui", F.coalesce("_cui_ctx", "_cui_hum"))
+            .drop("_cui_ctx", "_cui_hum", "_ctx"))
+
+
 # ---------------------------------------------------------- the sieve
 
-def normalize_mentions(mentions: DataFrame, lexicon: DataFrame) -> DataFrame:
+def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
+                       gene_taxa: Optional[DataFrame] = None,
+                       gene_context: Optional[DataFrame] = None) -> DataFrame:
     """MENTIONS -> NORMALIZED (adds cui, is_neural_normalized=false).
 
     Four broadcast left joins (exact, lower, tmchem, biosyn) + one
     priority coalesce; type-specific id post-processing; mutations pass
-    through with their tmVar-normalized name as cui."""
+    through with their tmVar-normalized name as cui. When ``gene_taxa``
+    (taxid, name, cui) is given, gene surfaces first probe the
+    taxon-aware dictionary under the doc's ``gene_context`` (default
+    human 9606, like the reference's jar argument)."""
     lut = build_lookup_tables(lexicon)
 
     # P13 applied to the gene join key only (surface column unchanged)
@@ -120,7 +188,18 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame) -> DataFrame:
     m = lkp(m, "tmchem", "tmchem", tmchem_key(F.col("k_surface")))
     m = lkp(m, "biosyn", "biosyn", biosyn_key(F.col("k_surface")))
 
-    raw_cui = F.coalesce("cui_exact", "cui_lower", "cui_tmchem", "cui_biosyn")
+    gene_cols = []
+    if gene_taxa is not None:
+        m = gene_taxon_lookup(m, gene_taxa, gene_context,
+                              surface_col="k_surface")
+        m = m.withColumn(
+            "_cui_gtax",
+            F.when(F.col("ent_type") == "gene", F.col("gene_cui"))
+        ).drop("gene_cui")
+        gene_cols = ["_cui_gtax"]
+
+    raw_cui = F.coalesce(*gene_cols, "cui_exact", "cui_lower",
+                         "cui_tmchem", "cui_biosyn")
 
     cui = (
         F.when(F.col("ent_type") == "mutation",
@@ -138,4 +217,4 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame) -> DataFrame:
     return (m.withColumn("cui", cui)
              .withColumn("is_neural_normalized", F.lit(False))
              .drop("k_surface", "cui_exact", "cui_lower", "cui_tmchem",
-                   "cui_biosyn"))
+                   "cui_biosyn", *gene_cols))

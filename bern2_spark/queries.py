@@ -925,6 +925,64 @@ def qc_fingerprint(spark, sf_dir):
 
 # ------------------------------------------------ coverage-gap operators
 
+# taxon-qualified gene lexicon over the driver vocabulary: 'spark' is a
+# different gene in human vs mouse; 'merge' exists only in mouse
+GENE_TAXA_LEX = [
+    ("9606", "spark", "7157"),
+    ("10090", "spark", "20423"),
+    ("9606", "vector", "2001"),
+    ("10090", "merge", "5555-2"),
+]
+
+
+@q("j4_gene_taxon_context", f"""
+WITH words AS (
+  SELECT doc_id, t.pos AS pos, t.tok AS word
+  FROM (SELECT doc_id, {_ORD_SQL.format(lst=_WS_WORDS_SQL)} AS t
+        FROM documents)
+),
+ctx AS (
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 9606 ELSE 10090 END AS taxid
+  FROM documents
+),
+lex AS (
+  SELECT CAST(taxid AS BIGINT) AS taxid, lower(name) AS key, cui
+  FROM {_values_sql(GENE_TAXA_LEX, ["taxid", "name", "cui"])}
+)
+SELECT w.doc_id, w.pos, w.word,
+       CASE WHEN coalesce(c.cui, h.cui) IS NULL THEN 'CUI-less'
+            ELSE 'EntrezGene:'
+                 || split_part(coalesce(c.cui, h.cui), '-', 1)
+       END AS gene_cui
+FROM words w
+JOIN ctx ON w.doc_id = ctx.doc_id
+LEFT JOIN lex c ON lower(w.word) = c.key AND c.taxid = ctx.taxid
+LEFT JOIN lex h ON lower(w.word) = h.key AND h.taxid = 9606
+""")
+def j4_gene_taxon_context(spark, sf_dir):
+    """J4 with taxon context: the doc's species context (synthetic:
+    even docs human, odd docs mouse) steers the gene dictionary probe;
+    human is the fallback, like the reference's hardcoded jar taxid."""
+    from bern2_spark.operators.normalize import gene_taxon_lookup
+    docs = _docs(spark, sf_dir)
+    mentions = docs.select(
+        "doc_id", F.posexplode(_ws_words(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"),
+             F.col("word"), F.col("word").alias("mention"))
+    ctx = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(9606))
+         .otherwise(F.lit(10090)).cast("long").alias("context_taxid"))
+    gene_taxa = spark.createDataFrame(GENE_TAXA_LEX,
+                                      ["taxid", "name", "cui"])
+    out = gene_taxon_lookup(mentions, gene_taxa, ctx)
+    return out.select(
+        "doc_id", "pos", "word",
+        F.when(F.col("gene_cui").isNull(), F.lit("CUI-less"))
+         .otherwise(F.concat(F.lit("EntrezGene:"),
+                             F.element_at(F.split("gene_cui", "-"), 1)))
+         .alias("gene_cui"))
+
 # testdata is pure ASCII, so plant the P4 character set (doc_id % 3)
 _P4_TAIL = ("\u2009thin\u00a0nbsp\u2028ls\r cr"
             "\uf048eta\uf0b0deg")

@@ -83,3 +83,47 @@ def test_broadcast_join_plan(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gene_taxon_context_changes_cui(spark):
+    """J4 taxon context (VERDICT r1 #10): the same surface resolves to a
+    different Entrez id under a non-human doc context; human is the
+    fallback when the context taxon has no entry."""
+    from bern2_spark.operators.normalize import gene_taxon_lookup
+
+    mentions = spark.createDataFrame(
+        [("dh", "tp53"), ("dm", "tp53"), ("dm", "brca1"), ("dm", "nope")],
+        "doc_id string, mention string")
+    gene_taxa = spark.createDataFrame(
+        [("9606", "tp53", "7157"), ("10090", "tp53", "22059"),
+         ("9606", "brca1", "672")],
+        "taxid string, name string, cui string")
+    ctx = spark.createDataFrame(
+        [("dh", 9606), ("dm", 10090)], "doc_id string, context_taxid long")
+    out = {(r.doc_id, r.mention): r.gene_cui
+           for r in gene_taxon_lookup(mentions, gene_taxa, ctx).collect()}
+    assert out[("dh", "tp53")] == "7157"     # human context
+    assert out[("dm", "tp53")] == "22059"    # mouse context wins
+    assert out[("dm", "brca1")] == "672"     # human fallback
+    assert out[("dm", "nope")] is None
+
+
+def test_normalize_mentions_with_gene_taxa(spark):
+    from bern2_spark.operators.normalize import normalize_mentions
+
+    mentions = spark.createDataFrame(
+        [("d1", 1, "gene", 0, 4, "tp53", 0.9, None, None)],
+        "doc_id string, mention_id long, ent_type string, start int, "
+        "end int, mention string, prob double, mutation_type string, "
+        "normalized_name string")
+    lexicon = spark.createDataFrame(
+        [("drug", "MESH:C1", "aspirin")],
+        "ent_type string, cui string, name string")
+    gene_taxa = spark.createDataFrame(
+        [("10090", "tp53", "22059-1")], "taxid string, name string, cui string")
+    ctx = spark.createDataFrame([("d1", 10090)],
+                                "doc_id string, context_taxid long")
+    out = normalize_mentions(mentions, lexicon, gene_taxa=gene_taxa,
+                             gene_context=ctx).collect()
+    # '-'-truncation (P14) still applies to the taxon-resolved id
+    assert out[0].cui == "EntrezGene:22059"
