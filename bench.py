@@ -60,17 +60,24 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     if "--scale-leg" in sys.argv:
-        # one fresh-process measurement leg: warm-up + N runs
+        # one fresh-process measurement leg: warm-up + one timed run of
+        # the full pipeline AND of the tag-only stage (the pure
+        # map-parallel section — stage-level scaling evidence)
         cpus = int(sys.argv[sys.argv.index("--scale-leg") + 1])
-        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "12"))
-        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
+        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "32"))
         spark = _session(cpus)
-        _run_kg_scaled(spark, sf_dir, 1)  # warm-up, same plan shape
-        secs, triples = [], 0
-        for _ in range(runs):
-            sec, triples = _run_kg_scaled(spark, sf_dir, replicas)
-            secs.append(round(sec, 2))
-        print(json.dumps({"cpus": cpus, "secs": secs, "triples": triples}))
+        # warm-up at FULL size: the first execution of the plan pays
+        # JIT/codegen/python-worker spawn; the steady-state run is the
+        # honest per-run cost of a long job (startup amortizes at 100TB)
+        _run_kg_scaled(spark, sf_dir, replicas)
+        load0 = _wait_quiet()
+        sec, triples = _run_kg_scaled(spark, sf_dir, replicas)
+        tag_sec, n_mentions = _run_tag_scaled(spark, sf_dir, replicas)
+        print(json.dumps({
+            "cpus": cpus, "pipeline_sec": round(sec, 2),
+            "tag_sec": round(tag_sec, 2), "triples": triples,
+            "mentions": n_mentions,
+            "loadavg_before": load0, "loadavg_after": _loadavg()}))
         spark.stop()
         return
 
@@ -111,7 +118,10 @@ def _scale_corpus(spark, sf_dir: str, replicas: int):
     copy (distinct sha256 doc ids), so the scaling run is long enough
     that fixed per-job overhead doesn't mask parallel speedup."""
     from pyspark.sql import functions as F
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # widen the single-file scan BEFORE inflation: the crossJoin then
+    # runs (and shuffle-writes) in parallel instead of on one core
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism)
     r = spark.range(replicas).select(F.col("id").alias("copy"))
     return (d.crossJoin(r)
             .select(F.col("source").alias("repo"),
@@ -124,77 +134,155 @@ def _scale_corpus(spark, sf_dir: str, replicas: int):
                              F.col("copy").cast("string")).alias("content")))
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_quiet(max_load: float | None = None,
+                max_wait: float | None = None) -> float:
+    """Block until the 1-min loadavg drops under max_load (neighbor
+    tenants share this kernel; measuring under their bursts benchmarks
+    the neighbors, not the engine). Gives up after max_wait seconds and
+    proceeds — the recorded loadavg exposes a still-noisy window."""
+    max_load = max_load if max_load is not None else float(
+        os.environ.get("SPARK_GRAFT_SCALE_MAX_LOAD", "4"))
+    max_wait = max_wait if max_wait is not None else float(
+        os.environ.get("SPARK_GRAFT_SCALE_MAX_WAIT", "240"))
+    t0 = time.time()
+    while _loadavg() > max_load and time.time() - t0 < max_wait:
+        time.sleep(10)
+    return _loadavg()
+
+
 def _run_kg_scaled(spark, sf_dir: str, replicas: int) -> tuple[float, int]:
     from bern2_spark import corpus
     from bern2_spark.pipeline import run_pipeline
     docs = _scale_corpus(spark, sf_dir, replicas)
-    t0 = time.perf_counter()
-    n = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark).triples.count()
+    t0 = time.perf_counter()  # inclusive: plan construction runs jobs
+    result = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark)
+    n = result.triples.count()
     el = time.perf_counter() - t0
-    # drop run-scoped persisted data so repeated runs don't accumulate
-    spark.catalog.clearCache()
+    result.release()
     return el, n
 
 
+def _run_tag_scaled(spark, sf_dir: str, replicas: int) -> tuple[float, int]:
+    """The fused segment+tag mapInPandas stage alone: embarrassingly
+    parallel (zero shuffles), so its scaling isolates the engine's
+    parallel section from fixed job/driver overhead."""
+    from bern2_spark import corpus
+    from bern2_spark.operators.preprocess import preprocess
+    from bern2_spark.operators.tagging import extract_mentions
+    docs = preprocess(_scale_corpus(spark, sf_dir, replicas))
+    from bern2_spark.pipeline import _fan_out_narrow_scan
+    docs = _fan_out_narrow_scan(docs, spark)
+    t0 = time.perf_counter()
+    n = extract_mentions(docs, corpus.DRIVER_VOCAB_LEXICON).count()
+    return time.perf_counter() - t0, n
+
+
 def scale_report(sf_dir: str, levels=None, replicas: int | None = None,
-                 runs: int | None = None) -> None:
+                 rounds: int | None = None) -> None:
     """Same job, same input, two parallelism levels -> BENCH/BASELINE.md
     (north rule: throughput scaling efficiency >= 0.8 from N to 4N).
 
-    The input is inflated (replicas) so parallel work dominates fixed
-    per-job overhead, and each level takes min-of-N runs — the shared
-    sandbox box has noisy neighbors, and min is robust to additive
-    noise."""
-    # Default N=4 -> 4N=16: this sandbox shares its kernel with noisy
-    # neighbors (loadavg ~10 while locally idle), so a 32-thread run
-    # competes for cores it was promised and anti-scales; 4->16 is the
-    # same 4x ratio measured inside the box's actually-free capacity.
+    Measurement protocol (round-2 rework): legs run in FRESH processes,
+    INTERLEAVED lo/hi/lo/hi so neighbor-noise bursts hit both levels
+    equally; each adjacent (lo, hi) pair yields one efficiency sample
+    and the MEDIAN of pair efficiencies is the headline number (robust
+    to bursts that a min-of-N per level can still straddle). The
+    tag-only stage (zero-shuffle mapInPandas) is timed alongside as the
+    stage-level parallel-section evidence; per-leg loadavg is recorded
+    so a noisy window is visible in the artifact."""
+    import statistics
+    import subprocess
+
+    # Default N=4 -> 4N=16: a local[K] leg runs K JVM task threads PLUS
+    # up to K python UDF workers, so local[32] demands 64 hardware
+    # threads on a 32-core shared box and anti-scales; 4->16 keeps even
+    # the hi leg (16+16) inside the box's real capacity.
     if levels is None:
         lv = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16")
         levels = tuple(int(x) for x in lv.split(","))
+    # replicas sized so the parallel section dominates the ~2.4s fixed
+    # per-job overhead (measured round 2): a 5s job benchmarks the
+    # scheduler, a 50s job benchmarks the engine — and 100TB jobs are
+    # the latter.
     replicas = replicas or int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS",
-                                              "8"))
-    runs = runs or int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "4"))
-    results = {}
-    for cpus in levels:
-        spark = _session(cpus)
-        _run_kg_scaled(spark, sf_dir, 1)  # warm-up, same plan shape
-        secs, triples = [], 0
-        for _ in range(runs):  # min-of-N: robust to neighbor bursts
-            sec, triples = _run_kg_scaled(spark, sf_dir, replicas)
-            secs.append(sec)
-        spark.stop()
-        sec = min(secs)
-        results[cpus] = {
-            "sec": sec,
-            "all_runs_sec": [round(s, 2) for s in secs],
-            "triples": triples,
-            "triples_per_sec": triples / sec,
-        }
+                                              "32"))
+    rounds = rounds or int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     lo, hi = levels
-    speedup = results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"]
-    efficiency = speedup / (hi / lo)
+    legs = {lo: [], hi: []}
+    legs_file = os.environ.get("SPARK_GRAFT_SCALE_LEGS_FILE")
+    if legs_file:
+        # aggregate pre-collected legs (driven leg-by-leg externally to
+        # fit command timeouts); file = one --scale-leg JSON per line,
+        # in the interleaved order they ran
+        with open(legs_file) as f:
+            for line in f:
+                if line.strip():
+                    leg = json.loads(line)
+                    legs[leg["cpus"]].append(leg)
+    else:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_SCALE_REPLICAS=str(replicas))
+        for _ in range(rounds):
+            for cpus in (lo, hi):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scale-leg", str(cpus)],
+                    capture_output=True, text=True, env=env, check=True)
+                legs[cpus].append(
+                    json.loads(out.stdout.strip().splitlines()[-1]))
+    rounds = min(len(legs[lo]), len(legs[hi]))
+
+    def _eff(key):
+        pairs = [(a[key], b[key]) for a, b in zip(legs[lo], legs[hi])]
+        effs = [(p_lo / p_hi) / (hi / lo) for p_lo, p_hi in pairs]
+        return effs, statistics.median(effs)
+
+    pipe_effs, pipe_eff = _eff("pipeline_sec")
+    tag_effs, tag_eff = _eff("tag_sec")
+    triples = legs[hi][-1]["triples"]
+    best = {c: min(l["pipeline_sec"] for l in legs[c]) for c in (lo, hi)}
+    min_eff = (best[lo] / best[hi]) / (hi / lo)
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — scaling evidence\n\n"
-            f"Flagship KG pipeline (documents -> triples) at `{sf_dir}`, "
-            "same input, two parallelism levels (sandbox proxy for N vs 4N "
-            "executors).\n\n"
-            "| parallelism | wall sec | triples | triples/sec |\n"
-            "|---|---|---|---|\n")
-        for cpus in levels:
-            r = results[cpus]
-            f.write(f"| local[{cpus}] | {r['sec']:.2f} (min of "
-                    f"{r['all_runs_sec']}) | {r['triples']} "
-                    f"| {r['triples_per_sec']:.1f} |\n")
+            f"Flagship KG pipeline (documents -> triples, x{replicas} "
+            f"corpus) at `{sf_dir}`, same input, two parallelism levels "
+            "(sandbox proxy for N vs 4N executors). Protocol: fresh "
+            "process per leg, legs interleaved lo/hi per round, one "
+            "efficiency sample per adjacent pair, median reported; the "
+            "zero-shuffle tag stage is the parallel-section control.\n\n"
+            "| round | leg | pipeline sec | tag-stage sec | loadavg "
+            "before/after |\n|---|---|---|---|---|\n")
+        for i in range(rounds):
+            for cpus in (lo, hi):
+                l = legs[cpus][i]
+                f.write(f"| {i} | local[{cpus}] | {l['pipeline_sec']:.2f} "
+                        f"| {l['tag_sec']:.2f} "
+                        f"| {l['loadavg_before']:.1f}/"
+                        f"{l['loadavg_after']:.1f} |\n")
         f.write(
-            f"\n**Speedup {lo}->{hi} cores: {speedup:.2f}x** over a "
-            f"{hi // lo}x core increase -> **scaling efficiency "
-            f"{efficiency:.2f}** (target >= 0.8).\n")
-    print(json.dumps({"scale": {str(k): results[k] for k in results},
-                      "speedup": round(speedup, 3),
-                      "efficiency": round(efficiency, 3)}))
+            f"\n| metric | per-pair efficiencies | median |\n|---|---|---|\n"
+            f"| full pipeline | {[round(e, 2) for e in pipe_effs]} "
+            f"| **{pipe_eff:.2f}** |\n"
+            f"| tag stage (zero-shuffle) | "
+            f"{[round(e, 2) for e in tag_effs]} | **{tag_eff:.2f}** |\n"
+            f"\nBest-of-legs efficiency (min {lo}-leg / min {hi}-leg): "
+            f"{min_eff:.2f}. Triples per run: {triples}. "
+            f"Target >= 0.8 from N to 4N cores.\n")
+    print(json.dumps({
+        "levels": [lo, hi], "replicas": replicas, "rounds": rounds,
+        "pipeline_eff_median": round(pipe_eff, 3),
+        "tag_stage_eff_median": round(tag_eff, 3),
+        "pipeline_eff_pairs": [round(e, 3) for e in pipe_effs],
+        "best_of_legs_eff": round(min_eff, 3),
+        "legs": {str(k): v for k, v in legs.items()}}))
 
 
 if __name__ == "__main__":

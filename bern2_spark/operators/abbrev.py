@@ -95,10 +95,15 @@ ABBREV_SCHEMA = "doc_id string, short_form string, long_form string"
 
 
 def abbreviation_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, short_form, long_form) via mapInPandas."""
+    """(doc_id, short_form, long_form) via mapInPandas.
+
+    Docs without a '(' cannot define an abbreviation, so a JVM-side
+    substring filter prunes them BEFORE the Python stage — on
+    paren-free corpora the Arrow round trip never happens."""
     import pandas as pd
 
-    src = docs.select("doc_id", text_col)
+    src = (docs.select("doc_id", text_col)
+           .filter(F.col(text_col).contains("(")))
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

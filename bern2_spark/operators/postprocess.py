@@ -84,6 +84,51 @@ def to_annotations(canonical: DataFrame) -> DataFrame:
     )
 
 
+def to_pubannotation(annotations: DataFrame, docs: DataFrame,
+                     project: str = "BERN",
+                     timestamp: str = "") -> DataFrame:
+    """PubAnnotation nested output documents (bern2/convert.py:263-335):
+    one row per doc — (project, sourcedb, sourceid, text, annotations,
+    timestamp) with the annotations array sorted by (span.begin, obj),
+    exactly the reference's double sort (convert.py:330-335).
+
+    Divergences, both documented: the reference stamps wall-clock time
+    (convert.py:276) — we take ``timestamp`` as a parameter so output
+    is deterministic; and the reference's mutation ``end += 1``
+    (convert.py:312) converts tmVar's inclusive ends — our spans are
+    already exclusive-end internally (schemas.py), so no shift is
+    applied. Null fields (mutationType/normalizedName on non-mutations)
+    vanish in JSON output (Spark's ignoreNullFields), matching the
+    reference's per-type key sets."""
+    ann = F.struct(
+        F.col("id"),
+        F.struct(F.col("begin"), F.col("end")).alias("span"),
+        F.col("obj"),
+        F.col("mention"),
+        F.col("prob"),
+        F.col("is_neural_normalized"),
+        F.col("mutationType"),
+        F.col("normalizedName"))
+    per_doc = (annotations
+               .groupBy("doc_id")
+               .agg(F.collect_list(ann).alias("_anns")))
+    ordered = F.array_sort(
+        F.col("_anns"),
+        lambda a, b: F.when(a["span"]["begin"] < b["span"]["begin"], -1)
+                      .when(a["span"]["begin"] > b["span"]["begin"], 1)
+                      .when(a["obj"] < b["obj"], -1)
+                      .when(a["obj"] > b["obj"], 1)
+                      .otherwise(0))
+    return (per_doc
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .select(F.lit(project).alias("project"),
+                    F.lit("").alias("sourcedb"),
+                    F.col("doc_id").alias("sourceid"),
+                    "text",
+                    ordered.alias("annotations"),
+                    F.lit(timestamp).alias("timestamp")))
+
+
 def to_triples(annotations: DataFrame, keep_cuiless: bool = False,
                distinct: bool = True) -> DataFrame:
     """(doc_id, has_<type>, cui) triples — one row per id element

@@ -83,7 +83,15 @@ def run_pipeline(documents: DataFrame,
     # the scan is already wide and no repartition is added.
     documents = _fan_out_narrow_scan(documents, spark)
 
-    pre = preprocess(documents)
+    persisted = []
+    # THREE plan branches consume the preprocessed docs (tagger,
+    # mutation battery, abbreviation table) — unpersisted, each branch
+    # re-executes the scan + preprocess + fan-out shuffle, and on a
+    # narrow source that subtree is the pipeline's serial section.
+    # MEMORY_AND_DISK: at real scale the corpus spills instead of OOMing.
+    from pyspark import StorageLevel
+    pre = preprocess(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(pre)
 
     # O1 — the reference fans out tmvar ∥ gnormplus ∥ mtner processes
     # (bern2/bern2.py:363-372); here they are two branches of one plan.
@@ -97,7 +105,6 @@ def run_pipeline(documents: DataFrame,
     # abbreviation level joins it against a retried copy of itself; the
     # neural stage reads it for distinct surfaces AND as the join-back
     # left side). Persist once so the segment+tag UDF runs exactly once.
-    persisted = []
     if abbreviations or neural:
         ner_norm = ner_norm.persist()
         persisted.append(ner_norm)

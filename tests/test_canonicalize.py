@@ -89,3 +89,34 @@ def test_w1_keeps_duplicate_winner_rows(spark):
     got = sorted(r.mention_id
                  for r in resolve_overlap(to_df(spark, mentions)).collect())
     assert got == ref_resolve(mentions) == [1, 2]
+
+
+def test_pubannotation_document_shape(spark):
+    """PubAnnotation nested output (bern2/convert.py:263-335): one row
+    per doc, annotations array sorted by (span.begin, obj), JSON output
+    drops the null mutation fields on non-mutation annotations."""
+    import json
+
+    from bern2_spark.operators.postprocess import to_pubannotation
+    from bern2_spark.pipeline import run_synthetic
+
+    res = run_synthetic(spark, n_docs=30)
+    pa = to_pubannotation(res.annotations, res.docs,
+                          timestamp="Thu Jan 01 00:00:00 +0000 1970")
+    rows = pa.collect()
+    assert len(rows) == res.annotations.select("doc_id").distinct().count()
+    r = max(rows, key=lambda r: len(r.annotations))
+    assert r.project == "BERN" and r.sourcedb == ""
+    spans = [(a.span.begin, a.obj) for a in r.annotations]
+    assert spans == sorted(spans)
+    # span/mention invariant carried into the nested shape
+    for a in r.annotations:
+        assert r.text[a.span.begin:a.span.end] == a.mention
+    # JSON: non-mutation annotations drop the null mutation keys
+    j = json.loads(pa.filter(F.col("sourceid") == r.sourceid)
+                   .toJSON().first())
+    non_mut = [a for a in j["annotations"] if a["obj"] != "mutation"]
+    assert non_mut and all("mutationType" not in a for a in non_mut)
+    mut = [a for a in j["annotations"] if a["obj"] == "mutation"]
+    for a in mut:
+        assert "mutationType" in a and "normalizedName" in a
