@@ -200,12 +200,47 @@ def simhash_sketches(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Near-dup groups by identical 64-bit simhash (Hamming-0 buckets;
-    Hamming<=k extends this by joining on rotated 16-bit chunks)."""
+    simhash_near_pairs handles Hamming<=k)."""
     return (simhash_sketches(docs, text_col)
             .groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("canonical_doc_id"))
             .filter(F.col("n_docs") > 1))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with Hamming distance <= k over the 64-bit
+    simhash, via the band-rotation (pigeonhole) trick: split the sketch
+    into 4 x 16-bit chunks — any pair within Hamming<=3 shares at least
+    one IDENTICAL chunk, so candidates come from an equi-join on
+    (chunk_idx, chunk) and the exact distance check (bit_count of xor)
+    runs only inside those buckets. At 10^12 docs only (doc_id,
+    chunk_idx, chunk) rows shuffle — never text. Requires
+    max_hamming < 4 (pigeonhole over 4 chunks)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("band-rotation over 4 chunks covers Hamming<=3")
+    sk = simhash_sketches(docs, text_col)
+    chunks = sk.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            # logical right shift: cast through unsigned-style masking
+            (F.expr(f"shiftrightunsigned(simhash, {16 * i})")
+             .bitwiseAND(F.lit(0xFFFF))).alias(f"c{i}")
+            for i in range(4)
+        ])).alias("chunk_idx", "chunk"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sim_a"),
+                      "chunk_idx", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sim_b"),
+                      "chunk_idx", "chunk")
+    return (a.join(b, ["chunk_idx", "chunk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.bit_count(F.expr("sim_a ^ sim_b")).alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 # ---------------------------------------------------- embedding near-dup

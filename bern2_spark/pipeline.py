@@ -151,7 +151,11 @@ def run_pipeline(documents: DataFrame,
 
 def _fan_out_narrow_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition to the session's parallelism when the source scans
-    fewer files than cores (single-file parquet, local relations)."""
+    fewer files than cores (single-file parquet, local relations).
+    Persisted inputs are trusted as already distributed — re-sharding a
+    cached table would add a full shuffle for nothing."""
+    if df.is_cached:
+        return df
     target = spark.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())

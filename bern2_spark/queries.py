@@ -1284,6 +1284,72 @@ def dedup_simhash64(spark, sf_dir):
     return simhash_sketches(docs2)
 
 
+@q("dedup_simhash_hamming", None)  # oracle attached below
+def dedup_simhash_hamming(spark, sf_dir):
+    """Hamming<=3 simhash near-dup pairs via 4x16-bit band rotation
+    (pigeonhole candidates, exact bit_count verify)."""
+    from bern2_spark.dataprep.dedup import simhash_near_pairs
+    return simhash_near_pairs(_dup_docs(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_hamming_oracle() -> str:
+    u64 = " + ".join(f"{_hex_byte('h', k)}::HUGEINT * {256 ** k}::HUGEINT"
+                     for k in range(8))
+    return f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x != '')) AS token
+  FROM docs2
+),
+hs AS (
+  SELECT doc_id, ({u64}) AS u
+  FROM (SELECT doc_id, md5(token) AS h FROM tok)
+),
+votes AS (
+  SELECT doc_id, b.range AS bit,
+         sum(CASE WHEN (u >> CAST(b.range AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hs, range(64) b
+  GROUP BY doc_id, b.range
+),
+sk AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN vote > 0
+                           THEN (1::HUGEINT << CAST(bit AS INTEGER)) END),
+                  0::HUGEINT) AS raw
+  FROM votes GROUP BY doc_id
+),
+signed AS (
+  SELECT d.doc_id,
+         coalesce(s.raw, 0::HUGEINT) AS raw,
+         CAST(CASE WHEN coalesce(s.raw, 0::HUGEINT)
+                        >= 9223372036854775808::HUGEINT
+                   THEN coalesce(s.raw, 0::HUGEINT)
+                        - 18446744073709551616::HUGEINT
+                   ELSE coalesce(s.raw, 0::HUGEINT) END AS BIGINT)
+           AS simhash
+  FROM (SELECT doc_id FROM docs2) d LEFT JOIN sk s USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, simhash, g.range AS chunk_idx,
+         CAST((raw >> CAST(16 * g.range AS INTEGER)) & 65535 AS BIGINT)
+           AS chunk
+  FROM signed, range(4) g
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+ORACLES["dedup_simhash_hamming"] = _simhash_hamming_oracle()
+
+
 def _simhash64_oracle() -> str:
     """DuckDB twin of the pandas-UDF 64-bit simhash: md5(token) first 8
     bytes little-endian as uint64 (HUGEINT arithmetic), per-bit +-1
