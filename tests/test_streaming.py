@@ -36,3 +36,37 @@ def test_streaming_incremental(spark, tmp_path):
     dup = (t2.groupBy("subj", "pred", "obj").count()
            .filter("count > 2").count())
     assert dup == 0
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-type totals ACCUMULATE across
+    micro-batches (state survives; each batch emits refreshed rows)."""
+    from bern2_spark import corpus, schemas
+    from bern2_spark.streaming.stateful import stream_entity_totals
+
+    lex = corpus.make_lexicon(seed=5, per_type=30)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(n0, n1, part):
+        rows = corpus.make_documents(n1, seed=5, lexicon=lex)[n0:]
+        (spark.createDataFrame(rows, schemas.DOCUMENTS)
+         .write.mode("append").parquet(f"{in_dir}/part={part}"))
+
+    drop(0, 25, 0)
+    stream_entity_totals(spark, in_dir, lex, out_dir, ckpt)
+    first = {r.ent_type: r.total_mentions
+             for r in spark.read.parquet(out_dir).collect()}
+    assert first and all(v > 0 for v in first.values())
+
+    drop(25, 50, 1)  # second backlog -> second run resumes from state
+    stream_entity_totals(spark, in_dir, lex, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:
+        if r.ent_type not in latest or r.batch_id > latest[r.ent_type][1]:
+            latest[r.ent_type] = (r.total_mentions, r.batch_id, r.total_batches)
+    # totals grew (state carried over) and batch counters advanced
+    assert all(latest[t][0] >= first[t] for t in first)
+    assert any(latest[t][0] > first[t] for t in first)
+    assert all(latest[t][2] >= 2 for t in latest if t in first)
