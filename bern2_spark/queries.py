@@ -1468,6 +1468,34 @@ def _golden_triples_sql() -> str:
     return f"SELECT subj, pred, obj FROM read_parquet('{path}')"
 
 
+def _golden_sql(prefix: str, cols: str) -> str:
+    """Pinned-golden oracle (see _golden_triples_sql) for operators
+    whose semantics are Python-only but already reference-validated in
+    pytest; the golden makes them driver-visible."""
+    import os
+    sf = os.path.basename(
+        os.environ.get("SPARK_GRAFT_TEST_SF", "/x/sf0.01").rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden",
+        f"{prefix}_{sf}.parquet")
+    return f"SELECT {cols} FROM read_parquet('{path}')"
+
+
+@q("x1_x3_segment",
+   _golden_sql("segment_words",
+               "doc_id, sent_idx, word_idx, tok_idx, word, start, \"end\""))
+def x1_x3_segment(spark, sf_dir):
+    """X1/X3 — sentence split + word offsets over the documents table.
+    Oracle = pinned golden (tools/make_golden.py); the splitter itself
+    is property-tested against the reference module in
+    tests/test_segment.py (lookahead heuristics are not
+    SQL-expressible, SURVEY §2.8)."""
+    from bern2_spark.operators.segment import segment
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return segment(docs)
+
+
 @q("kg_pipeline_triples", _golden_triples_sql())
 def kg_pipeline_triples(spark, sf_dir):
     from bern2_spark import corpus

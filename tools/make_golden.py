@@ -50,6 +50,24 @@ def main() -> None:
         out = os.path.join(GOLDEN_DIR, f"kg_triples_{sf}.parquet")
         pq.write_table(table, out)
         print(f"{out}: {table.num_rows} rows")
+
+        # X1/X3 golden: segmentation word rows (the operator itself is
+        # property-tested against the reference module; the golden
+        # makes it driver-visible)
+        seg = QUERIES["x1_x3_segment"](spark, f"/root/testdata/{sf}")
+        srows = sorted(map(tuple, seg.collect()))
+        stable = pa.table({
+            "doc_id": pa.array([r[0] for r in srows], pa.string()),
+            "sent_idx": pa.array([r[1] for r in srows], pa.int32()),
+            "word_idx": pa.array([r[2] for r in srows], pa.int32()),
+            "tok_idx": pa.array([r[3] for r in srows], pa.int32()),
+            "word": pa.array([r[4] for r in srows], pa.string()),
+            "start": pa.array([r[5] for r in srows], pa.int32()),
+            "end": pa.array([r[6] for r in srows], pa.int32()),
+        })
+        out = os.path.join(GOLDEN_DIR, f"segment_words_{sf}.parquet")
+        pq.write_table(stable, out)
+        print(f"{out}: {stable.num_rows} rows")
     spark.stop()
 
 
