@@ -1437,6 +1437,42 @@ def join_orders_by_segment(spark, sf_dir):
                  .alias("total_price")))
 
 
+@q("skew_salted_agg", """
+SELECT CASE WHEN event_id % 2 = 0 THEN 'hot'
+            ELSE CAST(user_id AS VARCHAR) END AS k,
+       count(*) AS count
+FROM events GROUP BY 1
+""")
+def skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation on a synthetically skewed key (half
+    of all rows share one key): result identical to a plain groupBy —
+    the salt only changes the shuffle distribution."""
+    from bern2_spark.operators.skew import salted_agg_count
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
+         .otherwise(F.col("user_id").cast("string")).alias("k"))
+    return salted_agg_count(ev, ["k"])
+
+
+@q("skew_salted_join", """
+SELECT e.event_id, d.cohort
+FROM events e
+LEFT JOIN (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events) d
+  ON e.user_id = d.user_id
+""")
+def skew_salted_join(spark, sf_dir):
+    """Salted shuffle join (the escape hatch when the dimension exceeds
+    the broadcast threshold): fact rows carry a random salt, the dim is
+    replicated per salt — result identical to the plain join."""
+    from bern2_spark.operators.skew import salted_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact = ev.select("event_id", "user_id")
+    dim = (ev.select("user_id").distinct()
+           .withColumn("cohort", F.col("user_id") % 7))
+    return (salted_join(fact, dim, "user_id", n_salts=8)
+            .select("event_id", "cohort"))
+
+
 @q("events_user_ranked", """
 SELECT event_id,
        row_number() OVER (PARTITION BY user_id
