@@ -73,10 +73,13 @@ def main() -> None:
         # JIT/codegen/python-worker spawn; the steady-state run is the
         # honest per-run cost of a long job (startup amortizes at 100TB)
         _run_kg_scaled(spark, sf_dir, replicas, docs=docs)
+        # gate before EACH timed run; the short tag stage goes first
+        # (more likely to fit inside a calm streak)
         load0 = _wait_quiet()
-        sec, triples = _run_kg_scaled(spark, sf_dir, replicas, docs=docs)
         tag_sec, n_mentions = _run_tag_scaled(spark, sf_dir, replicas,
                                               docs=docs)
+        _wait_quiet()
+        sec, triples = _run_kg_scaled(spark, sf_dir, replicas, docs=docs)
         print(json.dumps({
             "cpus": cpus, "pipeline_sec": round(sec, 2),
             "tag_sec": round(tag_sec, 2), "triples": triples,

@@ -75,6 +75,32 @@ def sign_lsh_bucket(vec_col, planes: List[List[float]]):
     return bucket
 
 
+def lsh_bucket_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                     n_bits: int = 8, dim: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs at scale: candidates = same sign-LSH bucket
+    (self-join on the bucket id — shuffles (id, bucket, vec), never
+    all pairs), then exact cosine verify inside buckets. The bucketed
+    complement of dedup.embedding_cosine_pairs' exact all-pairs."""
+    planes = hyperplanes(n_bits, dim)
+    b = embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"),
+                          sign_lsh_bucket(F.col(vec_col), planes)
+                          .alias("bucket"))
+    a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                 "bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                 "bucket")
+    return (a.join(c, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine",
+                        _dot(F.col("vec_a"), F.col("vec_b"))
+                        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       n_bits: int = 8, dim: int = 64,
                       id_col: str = "vec_id",

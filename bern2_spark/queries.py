@@ -773,6 +773,41 @@ def dedup_embedding_cosine(spark, sf_dir):
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def _emb_lsh_pairs_oracle(n_bits: int = 4, dim: int = 64) -> str:
+    from bern2_spark.dataprep.similarity import hyperplanes
+    planes = hyperplanes(n_bits, dim)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {row!r}::DOUBLE[]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, row in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v) /
+             (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) /
+      (sqrt(list_dot_product(a.v, a.v))
+       * sqrt(list_dot_product(c.v, c.v))) >= 0.30
+"""
+
+
+@q("dedup_embedding_lsh", _emb_lsh_pairs_oracle())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup at scale: sign-LSH bucket candidates + exact
+    cosine verify (the bucketed complement of dedup_embedding_cosine's
+    all-pairs baseline)."""
+    from bern2_spark.dataprep.similarity import lsh_bucket_pairs
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    pairs = lsh_bucket_pairs(emb, threshold=0.30, n_bits=4, dim=64)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
 # -------------------------------------------------------------- similarity
 
 @q("ann_topk_bruteforce", """
