@@ -290,11 +290,13 @@ def scale_report(sf_dir: str, levels=None, replicas: int | None = None,
                         f"| {l['loadavg_before']:.1f}/"
                         f"{l['loadavg_after']:.1f} |\n")
         f.write(
-            f"\n| metric | per-pair efficiencies | median |\n|---|---|---|\n"
+            f"\n| metric | per-pair efficiencies | median | best pair |\n"
+            f"|---|---|---|---|\n"
             f"| full pipeline | {[round(e, 2) for e in pipe_effs]} "
-            f"| **{pipe_eff:.2f}** |\n"
+            f"| **{pipe_eff:.2f}** | {max(pipe_effs):.2f} |\n"
             f"| tag stage (zero-shuffle) | "
-            f"{[round(e, 2) for e in tag_effs]} | **{tag_eff:.2f}** |\n"
+            f"{[round(e, 2) for e in tag_effs]} | **{tag_eff:.2f}** "
+            f"| {max(tag_effs):.2f} |\n"
             f"\nBest-of-legs efficiency (min {lo}-leg / min {hi}-leg): "
             f"{min_eff:.2f}. Triples per run: {triples}. "
             f"Target >= 0.8 from N to 4N cores.\n"
