@@ -75,6 +75,79 @@ def sign_lsh_bucket(vec_col, planes: List[List[float]]):
     return bucket
 
 
+# ------------------------------------------------------------------- IVF
+
+def ivf_centroids(n_centroids: int, dim: int,
+                  scale: float = 0.15) -> List[List[float]]:
+    """Deterministic seed centroids (+-scale components from md5
+    parity): a fixed Voronoi partition of the embedding space. A
+    production deployment k-means-trains centroids offline (MLlib) and
+    broadcasts them the same way; correctness of the cell/probe
+    machinery is independent of centroid quality."""
+    import hashlib
+    return [[scale if int(hashlib.md5(f"ivf:{c}:{d}".encode())
+                          .hexdigest()[:4], 16) % 2 == 0 else -scale
+             for d in range(dim)]
+            for c in range(n_centroids)]
+
+
+def _cell_scores(vec_col, centroids: List[List[float]]):
+    """Per-centroid squared-L2 surrogate ||c||^2 - 2*v.c (the ||v||^2
+    term is constant per row): array of (score, idx) structs, ordered
+    args — LEFT-TO-RIGHT dot folds for cross-engine float parity."""
+    out = []
+    for i, c in enumerate(centroids):
+        c_norm_sq = sum(x * x for x in c)
+        plane = F.array(*[F.lit(v) for v in c])
+        dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        out.append(F.struct((F.lit(c_norm_sq) - 2.0 * dot).alias("s"),
+                            F.lit(i).alias("i")))
+    return F.array(*out)
+
+
+def ivf_assign(df: DataFrame, centroids: List[List[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Adds ``cell`` = nearest centroid (argmin L2, idx tiebreak)."""
+    return df.withColumn(
+        "cell", F.array_min(_cell_scores(F.col(vec_col), centroids))["i"])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: corpus rows live in their nearest-centroid cell; each
+    query probes its ``n_probe`` nearest cells and exact-cosine re-ranks
+    inside them. At scale the corpus shuffles once by cell (or is
+    bucketed on it at write time) and each query touches n_probe/n_c of
+    the data. Recall < 1 by construction; raise n_probe to trade cost
+    for recall."""
+    centroids = ivf_centroids(n_centroids, dim)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")),
+        centroids, "c_vec")
+    scores = _cell_scores(F.col("q_vec"), centroids)
+    probes = F.slice(F.array_sort(scores), 1, n_probe)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .select("query_id", "q_vec",
+                 F.explode(F.transform(probes, lambda p: p["i"]))
+                 .alias("cell")))
+    scored = (c.join(q, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine",
+                          _dot(F.col("q_vec"), F.col("c_vec"))
+                          / (_norm(F.col("q_vec"))
+                             * _norm(F.col("c_vec")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def lsh_bucket_pairs(embeddings: DataFrame, threshold: float = 0.95,
                      n_bits: int = 8, dim: int = 64,
                      id_col: str = "vec_id",

@@ -773,6 +773,66 @@ def dedup_embedding_cosine(spark, sf_dir):
             .withColumn("cosine", F.round("cosine", 6)))
 
 
+def _ivf_oracle(n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
+                k: int = 5) -> str:
+    from bern2_spark.dataprep.similarity import ivf_centroids
+    cents = ivf_centroids(n_centroids, dim)
+    vals = ", ".join(
+        f"({i}, {c!r}::DOUBLE[], {sum(x * x for x in c)!r})"
+        for i, c in enumerate(cents))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES {vals}) c(i, arr, c2)),
+sc AS (
+  SELECT e.vec_id, e.v, c.i,
+         c.c2 - 2 * list_dot_product(e.v, c.arr) AS s
+  FROM e, cent c
+),
+cells AS (
+  SELECT vec_id, v, i AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s, i) AS rn FROM sc)
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, v, i AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s, i) AS rn
+        FROM sc WHERE vec_id % 97 = 0)
+  WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v))
+          * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM qprobe q JOIN cells c
+    ON q.cell = c.cell AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@q("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: nearest-centroid cells + n_probe query probing + exact
+    cosine re-rank — the inverted-file scale path beside sign-LSH."""
+    from bern2_spark.dataprep.similarity import ivf_topk
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2, dim=64)
+    return out.withColumn("cosine", F.round("cosine", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
 def _emb_lsh_pairs_oracle(n_bits: int = 4, dim: int = 64) -> str:
     from bern2_spark.dataprep.similarity import hyperplanes
     planes = hyperplanes(n_bits, dim)

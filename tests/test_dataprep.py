@@ -113,3 +113,19 @@ def test_language_id_and_quality(spark):
     feats = {r.doc_id: r for r in quality_features(df).collect()}
     assert feats[1].quality_score > feats[3].quality_score
     assert feats[1].stopword_ratio > 0.2
+
+
+def test_ann_variants_recall_floor(spark):
+    """IVF and sign-LSH are recall<1 by construction; on the driver
+    embeddings (unclustered gaussians - the ANN worst case) they must
+    still recover a nontrivial share of the exact top-5 while scoring
+    only a cell/bucket fraction of the corpus."""
+    from bern2_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.query_id, r.neighbor_id)
+          for r in QUERIES["ann_topk_bruteforce"](spark, sf).collect()}
+    for name in ("ann_ivf_topk", "ann_lsh_bucketed"):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in QUERIES[name](spark, sf).collect()}
+        recall = len(bf & approx) / len(bf)
+        assert recall >= 0.15, f"{name} recall {recall}"

@@ -70,3 +70,50 @@ def test_stateful_running_totals(spark, tmp_path):
     assert all(latest[t][0] >= first[t] for t in first)
     assert any(latest[t][0] > first[t] for t in first)
     assert all(latest[t][2] >= 2 for t in latest if t in first)
+
+
+def test_windowed_counts_with_watermark_and_late_data(spark, tmp_path):
+    """Watermarked tumbling windows: append mode emits only finalized
+    windows; a late row arriving within the allowed lateness still
+    counts in its event-time window."""
+    from datetime import datetime, timedelta
+
+    from bern2_spark.streaming.windowed import stream_windowed_counts
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def rows(hours, offset=0):
+        out = []
+        for h in hours:
+            for i in range(10):
+                out.append((offset + h * 100 + i,
+                            base + timedelta(hours=h, minutes=i * 5 + 1),
+                            i, "a", 1.0, "{}"))
+        return out
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(rows(range(0, 6)), schema) \
+        .write.mode("append").parquet(f"{in_dir}/b=0")
+    stream_windowed_counts(spark, in_dir, out_dir, ckpt,
+                           window_duration="1 hour", watermark="2 hours")
+    got1 = {r.window.start.hour: r.n_events
+            for r in spark.read.parquet(out_dir).collect()}
+    # run1 max ts ~5:46 -> watermark ~3:46 -> windows [0,1)..[2,3) final
+    assert got1 and all(v == 10 for v in got1.values())
+    assert max(got1) <= 3
+
+    # batch 2: hours 6..8 plus ONE late row for hour 4 (within lateness)
+    late = [(9999, base + timedelta(hours=4, minutes=50), 1, "a", 1.0,
+             "{}")]
+    spark.createDataFrame(rows(range(6, 9), offset=10000) + late, schema) \
+        .write.mode("append").parquet(f"{in_dir}/b=1")
+    stream_windowed_counts(spark, in_dir, out_dir, ckpt,
+                           window_duration="1 hour", watermark="2 hours")
+    got2 = {r.window.start.hour: r.n_events
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2[4] == 11  # the late row folded into its window
+    assert got2[5] == 10
