@@ -57,18 +57,35 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------------ minhash LSH
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text",
-                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+def shingle_table(docs: DataFrame, text_col: str = "text",
+                  shingle_n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) rows — the shared subtree for both the
+    MinHash signature stage and the Jaccard verify stage.  ``shingles``
+    always yields >=1 element (short docs get one joined-token shingle),
+    so explode never drops a doc; distinct is harmless for minhash (min
+    over a set == min over the multiset) and required for Jaccard."""
+    return (docs.select("doc_id",
+                        F.explode(shingles(F.col(text_col), shingle_n))
+                        .alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(docs: DataFrame = None, text_col: str = "text",
+                       num_hashes: int = 16, shingle_n: int = 3,
+                       shingle_df: DataFrame = None) -> DataFrame:
     """(doc_id, sig): array of num_hashes minhashes, sig[s] = min over
     shingles of md5('s:shingle').
 
     Single pass: each shingle row carries all hash values as an array
     and one groupBy takes element-wise mins — no seeds crossJoin (which
     would multiply the shuffle by num_hashes). Values are identical to
-    the ANSI formulation the oracle uses."""
-    sh = (docs.select("doc_id",
-                      F.explode_outer(shingles(F.col(text_col), shingle_n))
-                      .alias("shingle"))
+    the ANSI formulation the oracle uses.
+
+    Pass ``shingle_df`` (a shingle_table result, possibly persisted) to
+    share the shingle scan with a downstream verify stage."""
+    sh = (shingle_df if shingle_df is not None
+          else shingle_table(docs, text_col, shingle_n))
+    sh = (sh
           .withColumn(
               "hs",
               F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -100,12 +117,14 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
                     F.col("b.band_hash").alias("band_hash")))
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+def minhash_lsh_pairs(docs: DataFrame = None, text_col: str = "text",
                       num_hashes: int = 16, rows_per_band: int = 4,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      shingle_df: DataFrame = None) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH bucket."""
     bands = lsh_bands(minhash_signatures(docs, text_col, num_hashes,
-                                         shingle_n), rows_per_band)
+                                         shingle_n, shingle_df=shingle_df),
+                      rows_per_band)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     return (a.join(b, ["band", "band_hash"])
@@ -116,19 +135,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 # --------------------------------------------------------- ngram jaccard
 
-def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame = None,
+def ngram_jaccard_pairs(docs: DataFrame = None, candidates: DataFrame = None,
                         text_col: str = "text", shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        shingle_df: DataFrame = None) -> DataFrame:
     """Exact Jaccard over shingle SETS. With ``candidates`` (the LSH
     verify step), the candidate pair list CONSTRAINS the join upstream:
     shingles attach to the pair list per side, so the cost is
     O(candidates x shingles-per-doc) — never the full shingle
     self-join. Without candidates, all pairs (test scale only).
     Returns (doc_a, doc_b, jaccard >= threshold rows)."""
-    sh = (docs.select("doc_id",
-                      F.explode(shingles(F.col(text_col), shingle_n))
-                      .alias("shingle"))
-          .distinct())
+    sh = (shingle_df if shingle_df is not None
+          else shingle_table(docs, text_col, shingle_n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     if candidates is not None:
@@ -158,6 +176,30 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame = None,
                         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def lsh_verified_pairs(docs: DataFrame, text_col: str = "text",
+                       num_hashes: int = 16, rows_per_band: int = 4,
+                       shingle_n: int = 3,
+                       threshold: float = 0.8) -> DataFrame:
+    """The production dedup composition: MinHash-LSH candidates ->
+    exact Jaccard verify constrained by the candidate list — with the
+    shingle subtree computed ONCE and persisted, feeding both stages.
+
+    Without the shared persist the signature stage and the verify stage
+    each independently scan the corpus and re-shingle it; at 100 TB
+    that is two full corpus scans where one suffices (this was the
+    slowest headline query at sf0.1 before sharing).  The persisted
+    artifact is the distinct (doc_id, shingle) table — small relative
+    to the corpus (strings of ~3 tokens), spillable to disk."""
+    from pyspark import StorageLevel
+    sh = (shingle_table(docs, text_col, shingle_n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    cands = minhash_lsh_pairs(num_hashes=num_hashes,
+                              rows_per_band=rows_per_band,
+                              shingle_df=sh)
+    return ngram_jaccard_pairs(candidates=cands, threshold=threshold,
+                               shingle_df=sh)
 
 
 # -------------------------------------------------------------- simhash

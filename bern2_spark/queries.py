@@ -695,13 +695,12 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
 def dedup_lsh_verified(spark, sf_dir):
     """The production dedup composition: MinHash-LSH candidate pairs ->
     exact Jaccard verify CONSTRAINED by the candidate list (the verify
-    join never self-joins the full shingle table)."""
-    from bern2_spark.dataprep.dedup import (
-        minhash_lsh_pairs, ngram_jaccard_pairs,
-    )
+    join never self-joins the full shingle table).  The shingle subtree
+    is computed once and persisted, shared by both stages."""
+    from bern2_spark.dataprep.dedup import lsh_verified_pairs
     docs2 = _dup_docs(spark, sf_dir)
-    cands = minhash_lsh_pairs(docs2, num_hashes=16, rows_per_band=4)
-    verified = ngram_jaccard_pairs(docs2, candidates=cands, threshold=0.5)
+    verified = lsh_verified_pairs(docs2, num_hashes=16, rows_per_band=4,
+                                  threshold=0.5)
     return verified.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -1494,42 +1493,51 @@ ORACLES["dedup_simhash64"] = _simhash64_oracle()
 
 @q("tpch_q1ish", """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS sum_price,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """)
 def tpch_q1ish(spark, sf_dir):
-    # Spark's sum(DECIMAL(18,2)) widens to (28,2) while DuckDB widens to
-    # (38,2); pin BOTH engines to DECIMAL(38,2) so the value hashes agree.
+    # Exact integer cents on BOTH engines.  DECIMAL output is a trap:
+    # DuckDB's pandas fetch narrows DECIMAL(38,2) -> float64, so an
+    # integral sum renders '253942.0' vs Spark's '253942.00' and the
+    # driver's value hash diverges even though the Decimals are
+    # byte-identical.  Per-row round(x*100) -> BIGINT, then an exact
+    # integer sum, is representation-stable on every fetch path.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("sum_qty"),
-                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("sum_price"),
+            .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                 .cast("bigint").alias("sum_qty_cents"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("bigint"))
+                 .cast("bigint").alias("sum_price_cents"),
                  F.count("*").alias("count_order")))
 
 
 @q("join_orders_by_segment", """
 SELECT c.c_mktsegment AS mktsegment,
        count(*) AS n_orders,
-       sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_price_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """)
 def join_orders_by_segment(spark, sf_dir):
+    # Integer cents (see tpch_q1ish): the DECIMAL formulation passed
+    # only while the sums happened to carry non-zero cents.
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return (o.join(F.broadcast(c),
                    o["o_custkey"] == c["c_custkey"])
             .groupBy(F.col("c_mktsegment").alias("mktsegment"))
             .agg(F.count("*").alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .alias("total_price")))
+                 F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint"))
+                 .cast("bigint").alias("total_price_cents")))
 
 
 @q("skew_salted_agg", """
