@@ -198,7 +198,14 @@ def _run_tag_scaled(spark, sf_dir: str, replicas: int,
     from bern2_spark.pipeline import _fan_out_narrow_scan
     if docs is None:
         docs = _scale_corpus(spark, sf_dir, replicas)
-    pre = _fan_out_narrow_scan(preprocess(docs), spark)
+    if docs.is_cached:
+        # the materialized corpus is already repartitioned to the leg's
+        # parallelism — wrapping it in the narrow-scan fan-out would put
+        # a full round-robin shuffle of the corpus INSIDE the timed
+        # region and tag_sec would no longer measure the map stage alone
+        pre = preprocess(docs)
+    else:
+        pre = _fan_out_narrow_scan(preprocess(docs), spark)
     t0 = time.perf_counter()
     n = extract_mentions(pre, corpus.DRIVER_VOCAB_LEXICON).count()
     return time.perf_counter() - t0, n

@@ -205,12 +205,26 @@ def detokenize(tokens: Sequence[str], predicts: Sequence,
         if t.startswith("##"):
             if cur_w:
                 cur_w[-1] = cur_w[-1] + t[2:]
-            else:
+            elif words and words[-1]:
                 # window starts mid-word: append to the previous
                 # window's final word (ops.py:236-238)
                 words[-1][-1] += t[2:]
+            else:
+                raise WindowOverflowError(
+                    f"continuation piece {t!r} with no preceding word "
+                    "(malformed window stream)")
         elif t.startswith("Ġ"):   # roberta 'Ġ' piece (ops.py:239)
-            cur_w[-1] = cur_w[-1] + t.replace("Ġ", " ")
+            if cur_w:
+                cur_w[-1] = cur_w[-1] + t.replace("Ġ", " ")
+            elif words and words[-1]:
+                # window starts mid-word (BPE checkpoint): same
+                # previous-window fallback as the '##' branch above.
+                # The reference ops.py lacks this and would IndexError.
+                words[-1][-1] += t.replace("Ġ", " ")
+            else:
+                raise WindowOverflowError(
+                    f"continuation piece {t!r} with no preceding word "
+                    "(malformed window stream)")
         else:
             cur_w.append(t)
             cur_l.append(l)
@@ -430,15 +444,24 @@ def wordpiece_feature_windows(docs: DataFrame, vocab: WordpieceVocab,
 
 def corpus_vocab(docs: DataFrame, word_limit: int = 25,
                  prefix_len: int = 4,
-                 text_col: str = "text") -> WordpieceVocab:
+                 text_col: str = "text",
+                 max_vocab_words: int = 262_144) -> WordpieceVocab:
     """Driver-side vocab build over the corpus' (limited) words — the
-    batch analogue of loading a checkpoint's vocab file. One distinct
-    + collect of short strings; at 100 TB a real vocab is a fixed file,
-    not derived from the corpus."""
+    batch analogue of loading a checkpoint's vocab file. At 100 TB a
+    real vocab is a fixed file, not derived from the corpus.
+
+    Driver memory is BOUNDED: orderBy+limit plans as
+    TakeOrderedAndProject, so at most ``max_vocab_words`` short strings
+    ever reach the driver even on a pathological corpus with no
+    repeated words. The cap is deterministic (lexicographic first-N),
+    matching the sorted-distinct vocab the oracle builds; a corpus
+    whose distinct-word count exceeds the cap should load a fixed
+    vocab file instead (WordpieceVocab.from_words on the file)."""
     words_col = F.slice(
         F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != ""),
         1, word_limit)
     distinct_words = (docs.select(F.explode(words_col).alias("w"))
-                      .distinct().collect())
+                      .distinct().orderBy("w").limit(max_vocab_words)
+                      .collect())
     return WordpieceVocab.from_words(sorted(r.w for r in distinct_words),
                                      prefix_len=prefix_len)

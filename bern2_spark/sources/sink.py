@@ -10,9 +10,11 @@ cluster with an Iceberg catalog, swap ``parquet`` for
 against already-committed output, processing only the remainder.
 
 Output layout under ``base_dir``:
-    annotations/   partitioned by obj (entity type)
-    triples/       partitioned by pred
-    lineage/       per-stage, per-partition row counts
+    annotations/_run=<k>/           partitioned by obj (entity type)
+    triples/_run=<k>/               partitioned by pred
+    <stage>/_run=<k>/_lineage/      per-partition row counts for that
+                                    snapshot (committed atomically with
+                                    it — orphans invisible)
     manifests/<stage>.json
 """
 
@@ -79,9 +81,16 @@ class CheckpointedSink:
         writer.parquet(path)
         n_rows = None
         if lineage:
+            # lineage lives INSIDE the run dir (underscore-prefixed, so
+            # data reads skip it): a crash before the manifest commit
+            # leaves the rows as invisible as the uncommitted snapshot,
+            # and a retried run's overwrite wipes them — no double
+            # counting (lineage readers go through read_lineage, which
+            # only sees manifest-committed runs)
             lin = partition_lineage(
                 df.sparkSession.read.parquet(path), stage)
-            lin.write.mode("append").parquet(self._path("lineage"))
+            lin.write.mode("overwrite").parquet(
+                os.path.join(path, "_lineage"))
             n_rows = lin.agg(F.sum("rows")).first()[0] or 0
         manifest["runs"].append({
             "run_id": run_id, "path": path, "rows": n_rows,
@@ -90,6 +99,23 @@ class CheckpointedSink:
         with open(self.manifest_path(stage), "w") as f:
             json.dump(manifest, f)
         return path
+
+    def read_lineage(self, spark: SparkSession,
+                     stage: Optional[str] = None) -> DataFrame:
+        """Union of lineage rows across manifest-COMMITTED runs only
+        (all stages, or one). Orphan rows from crashed attempts never
+        appear: they live under run dirs no manifest references."""
+        stages = ([stage] if stage is not None else
+                  [f[:-5] for f in
+                   os.listdir(os.path.join(self.base_dir, "manifests"))
+                   if f.endswith(".json")])
+        paths = [os.path.join(p, "_lineage")
+                 for s in stages for p in self.committed_paths(s)
+                 if os.path.exists(os.path.join(p, "_lineage"))]
+        if not paths:
+            return spark.createDataFrame(
+                [], "stage string, partition_id int, rows long")
+        return spark.read.parquet(*paths)
 
     def read_stage(self, spark: SparkSession, stage: str,
                    with_run: bool = False) -> DataFrame:

@@ -58,9 +58,18 @@ def test_sink_checkpoint_and_resume(spark, tmp_path):
     # partitioned layout on disk
     assert any(x.startswith("pred=") for x in
                os.listdir(str(tmp_path / "out" / "triples" / "_run=0")))
-    # lineage rows recorded
-    lin = spark.read.parquet(str(tmp_path / "out" / "lineage"))
-    assert lin.filter("stage = 'triples'").agg(F.sum("rows")).first()[0] == 2
+    # lineage rows recorded (manifest-gated reader)
+    lin = sink.read_lineage(spark, "triples")
+    assert lin.agg(F.sum("rows")).first()[0] == 2
+    # an orphan run dir (crashed before manifest commit) with lineage
+    # inside is invisible to the reader — no double counting on retry
+    orphan = tmp_path / "out" / "triples" / "_run=9"
+    tri.write.mode("overwrite").parquet(str(orphan))
+    spark.createDataFrame([("triples", 0, 99)],
+                          "stage string, partition_id int, rows long") \
+        .write.parquet(str(orphan / "_lineage"))
+    assert sink.read_lineage(spark, "triples") \
+        .agg(F.sum("rows")).first()[0] == 2
 
     # resume: d1/d2 done, d3 new -> anti-join leaves only d3
     docs = spark.createDataFrame(

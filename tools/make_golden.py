@@ -17,17 +17,39 @@ Run after ANY pipeline-behavior change:
     python tools/make_golden.py
 then re-run pytest (tests/test_entry.py compares live output to the
 golden for the configured SF) and commit the parquets.
+
+The tool REFUSES to write unless the independent parity tests pass in
+the same invocation — otherwise a behavioral regression could be
+silently re-pinned into the golden and the driver check would stay
+green. Pass --skip-gate only to debug the generator itself.
 """
 
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "tests", "golden")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
 
 SFS = ["sf0.001", "sf0.01"]
+
+GATE_TESTS = ["tests/test_golden_parity.py", "tests/test_tagging.py"]
+
+
+def run_gate() -> None:
+    """The independence gate: the goldens pin pipeline behavior, so the
+    pipeline must first prove itself against the reference-derived
+    oracles (test_golden_parity) and the independent relational
+    cross-check (test_tagging) IN THIS INVOCATION."""
+    print(f"gate: pytest {' '.join(GATE_TESTS)}")
+    r = subprocess.run([sys.executable, "-m", "pytest", "-x", "-q",
+                       *GATE_TESTS], cwd=REPO)
+    if r.returncode != 0:
+        sys.exit("REFUSING to regenerate goldens: parity/cross-check "
+                 "tests failed — fix the pipeline (or the tests) first. "
+                 "(--skip-gate overrides, for generator debugging only)")
 
 
 def main() -> None:
@@ -36,6 +58,12 @@ def main() -> None:
 
     from bern2_spark.queries import QUERIES
     from bern2_spark.session import get_spark
+
+    if "--skip-gate" not in sys.argv:
+        run_gate()
+    else:
+        print("WARNING: --skip-gate — goldens written without the "
+              "parity gate; do not commit these")
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     spark = get_spark("make-golden", master="local[8]")
