@@ -27,6 +27,7 @@ HEADLINE = [
     "dedup_lsh_verified",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "qc_quality_score",
     "tpch_q1ish",
 ]

@@ -148,6 +148,89 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def probe_masks(n_bits: int, max_flip: int = 2) -> List[int]:
+    """All bit-flip masks with popcount <= max_flip, the candidate
+    probe set for multi-probe LSH. 0 (the home bucket) comes first;
+    the per-query ORDER among the rest is decided at query time by
+    flip cost (sum of |projection| over flipped bits — flipping a
+    near-zero projection is almost free, flipping a confident bit is
+    expensive)."""
+    return [m for m in range(1 << n_bits)
+            if bin(m).count("1") <= max_flip]
+
+
+def lsh_multiprobe_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        n_bits: int = 8, dim: int = 64, n_probe: int = 4,
+                        max_flip: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe sign-LSH ANN (Lv et al., VLDB'07 shape): each query
+    probes its home bucket plus the buckets reached by the CHEAPEST bit
+    flips — cost of flipping bit i = |dot(vec, plane_i)|, so the probe
+    order follows the query's own uncertainty. Raises recall without
+    touching the corpus-side layout: the corpus is still bucketed once;
+    only the (broadcast) query side explodes to n_probe rows.
+
+    Candidate masks are enumerated driver-side with popcount <=
+    ``max_flip`` (n_bits + C(n_bits,2) masks at the default 2), then
+    ranked per query by flip cost inside the plan — all scalar
+    expressions, fully codegen'd. At production n_bits (16+) keep
+    max_flip at 2 and let banded multi-table LSH supply the rest of the
+    recall (see dedup docs); enumerating 2^n_bits masks is only for
+    tiny demo configs."""
+    planes = hyperplanes(n_bits, dim)
+    masks = probe_masks(n_bits, max_flip)
+
+    def probed_queries():
+        vec = F.col("q_vec")
+        projs = [
+            F.aggregate(F.zip_with(vec, F.array(*[F.lit(v) for v in row]),
+                                   lambda x, p: x * p),
+                        F.lit(0.0), lambda acc, v: acc + v)
+            for row in planes]
+        home = sum((F.when(projs[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                    for i in range(n_bits)), F.lit(0))
+        cands = []
+        for m in masks:
+            cost = sum((F.abs(projs[i]) for i in range(n_bits)
+                        if m & (1 << i)), F.lit(0.0))
+            # home XOR m, written per-bit with literal weights so it
+            # stays plain arithmetic: bit set in home -> subtract
+            flipped = home
+            for i in range(n_bits):
+                if m & (1 << i):
+                    flipped = flipped + F.when(
+                        projs[i] > 0, F.lit(-(1 << i))
+                    ).otherwise(F.lit(1 << i))
+            cands.append(F.struct(cost.alias("cost"),
+                                  F.lit(m).alias("mask"),
+                                  flipped.alias("bucket")))
+        ranked = F.array_sort(F.array(*cands))  # (cost, mask) lexicographic
+        probes = F.transform(F.slice(ranked, 1, n_probe),
+                             lambda s: s["bucket"])
+        return (queries.select(F.col(id_col).alias("query_id"),
+                               F.col(vec_col).alias("q_vec"))
+                .withColumn("bucket", F.explode(probes)))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      sign_lsh_bucket(F.col(vec_col), planes)
+                      .alias("bucket"))
+    scored = (c.join(F.broadcast(probed_queries()), "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine",
+                          _dot(F.col("q_vec"), F.col("c_vec"))
+                          / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))))
+    # a (query, neighbor) pair can surface from several probed buckets
+    # only if bucketing were ambiguous — it is not (one bucket per
+    # corpus row), so no distinct is needed before ranking
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def lsh_bucket_pairs(embeddings: DataFrame, threshold: float = 0.95,
                      n_bits: int = 8, dim: int = 64,
                      id_col: str = "vec_id",
