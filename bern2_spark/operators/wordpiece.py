@@ -317,12 +317,19 @@ def tag_sentence_real(words: List[str], vocab: WordpieceVocab,
 def extract_mentions_real(docs: DataFrame, lexicon_rows,
                           logits_fn_factory=None,
                           max_seq_length: int = 128,
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          vocab: Optional[WordpieceVocab] = None
+                          ) -> DataFrame:
     """M1-real — the fused extract_mentions with the real-model path in
     place of the surrogate: segment -> X5 windows -> logits -> X6 ->
     BIO decode. ``logits_fn_factory(gazetteer)`` builds the per-executor
     inference fn; default is the deterministic fake (a checkpoint
-    forward drops in here). Output schema == tagging.extract_mentions."""
+    forward drops in here — see operators/checkpoint.py for the frozen
+    numpy one). Pass ``vocab`` to build features against a CHECKPOINT's
+    fixed vocabulary (required whenever the logits fn consumes
+    input_ids: ids must be keyed to the model's embedding rows, not a
+    per-sentence vocab); it is broadcast to executors. Output schema ==
+    tagging.extract_mentions."""
     import pandas as pd
 
     from bern2_spark import schemas
@@ -333,6 +340,8 @@ def extract_mentions_real(docs: DataFrame, lexicon_rows,
 
     spark = docs.sparkSession
     gaz_bc = spark.sparkContext.broadcast(build_gazetteer(lexicon_rows))
+    vocab_bc = (spark.sparkContext.broadcast(vocab)
+                if vocab is not None else None)
     factory = logits_fn_factory or fake_logits_fn
     src = docs.select("doc_id", text_col)
     out_schema = ("doc_id string, ent_type string, start int, end int, "
@@ -355,9 +364,10 @@ def extract_mentions_real(docs: DataFrame, lexicon_rows,
                 for s_i in sorted(sents):
                     word_rows = sents[s_i]
                     words = [w for w, _s, _e in word_rows]
-                    vocab = WordpieceVocab.from_words(words)
+                    sent_vocab = (vocab_bc.value if vocab_bc is not None
+                                  else WordpieceVocab.from_words(words))
                     tagged = tag_sentence_real(
-                        words, vocab, logits_fn, NER_TYPES,
+                        words, sent_vocab, logits_fn, NER_TYPES,
                         max_seq_length)
                     for ent_type, tags in tagged.items():
                         _emit_runs(rows, doc_id, ent_type, tags,

@@ -1731,6 +1731,35 @@ def x1_x3_segment(spark, sf_dir):
     return segment(docs)
 
 
+@q("m1_real_mentions",
+   _golden_sql("m1_real_mentions",
+               "doc_id, ent_type, start, \"end\", mention, prob"))
+def m1_real_mentions(spark, sf_dir):
+    """M1-real — NER through the FROZEN numpy checkpoint: X5 features
+    against the checkpoint's fixed vocab, a REAL batched matmul forward
+    over input_ids/attention_mask (batch 32 like the reference,
+    multi_ner/main.py:702-801), M2 argmax, X6 detokenize, BIO decode.
+    Deterministic by construction (see operators/checkpoint.py), so the
+    oracle is a pinned golden; the forward itself is hand-verified in
+    tests/test_checkpoint.py."""
+    from bern2_spark import corpus
+    from bern2_spark.operators.checkpoint import (
+        TinyNumpyCheckpoint, checkpoint_logits_factory,
+    )
+    from bern2_spark.operators.tagging import NER_TYPES
+    from bern2_spark.operators.wordpiece import extract_mentions_real
+    ckpt = TinyNumpyCheckpoint.from_lexicon(corpus.DRIVER_VOCAB_LEXICON,
+                                            NER_TYPES)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    out = extract_mentions_real(
+        docs, corpus.DRIVER_VOCAB_LEXICON,
+        logits_fn_factory=checkpoint_logits_factory(ckpt),
+        vocab=ckpt.vocab)
+    return out.select("doc_id", "ent_type", "start", "end", "mention",
+                      F.round("prob", 6).alias("prob"))
+
+
 @q("kg_pipeline_triples", _golden_triples_sql())
 def kg_pipeline_triples(spark, sf_dir):
     from bern2_spark import corpus

@@ -96,6 +96,23 @@ def main() -> None:
         out = os.path.join(GOLDEN_DIR, f"segment_words_{sf}.parquet")
         pq.write_table(stable, out)
         print(f"{out}: {stable.num_rows} rows")
+
+        # M1-real golden: mentions through the frozen numpy checkpoint
+        # (deterministic: constructed weights, argmax provably stable
+        # under the bounded context term — tests/test_checkpoint.py)
+        m1 = QUERIES["m1_real_mentions"](spark, f"/root/testdata/{sf}")
+        mrows = sorted(map(tuple, m1.collect()))
+        mtable = pa.table({
+            "doc_id": pa.array([r[0] for r in mrows], pa.string()),
+            "ent_type": pa.array([r[1] for r in mrows], pa.string()),
+            "start": pa.array([r[2] for r in mrows], pa.int32()),
+            "end": pa.array([r[3] for r in mrows], pa.int32()),
+            "mention": pa.array([r[4] for r in mrows], pa.string()),
+            "prob": pa.array([r[5] for r in mrows], pa.float64()),
+        })
+        out = os.path.join(GOLDEN_DIR, f"m1_real_mentions_{sf}.parquet")
+        pq.write_table(mtable, out)
+        print(f"{out}: {mtable.num_rows} rows")
     spark.stop()
 
 
