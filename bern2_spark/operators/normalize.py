@@ -15,8 +15,10 @@ reference):
 * exact / lowercase keys (J2): species / cell_line / cell_type
   (normalizers/species_normalizer.py:15-25 and clones).
 * disease sieve (J3): the reference's sieve jar is closed-source; we
-  implement levels exact -> lowercase -> BioSyn-basic (P17: lower,
-  punct->space, squeeze; normalizers/neural_normalizer.py:103-108).
+  implement the published Sieve level cascade (D'Souza & Ng 2015)
+  exact -> lowercase -> BioSyn-basic (P17: lower, punct->space,
+  squeeze; normalizers/neural_normalizer.py:103-108) -> stemmed
+  (plural-suffix strip per token, lowest priority).
 * gene (J4): trailing ' gene' strip (P13, bern2/normalizer.py:341-361),
   exact -> lower lookup, then Entrez prefixing with '-'-truncation
   (P14, bern2/normalizer.py:396-401).
@@ -54,6 +56,28 @@ def biosyn_key(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"[\s\p{Punct}]+", " "))
 
 
+def stem_key(col: Column) -> Column:
+    """J3 stemmed level — biosyn key with English plural suffixes
+    stripped per token, the Sieve algorithm's stemming/partial level
+    (D'Souza & Ng 2015, the published algorithm the reference's
+    closed-source disease_normalizer jar implements; launch
+    scripts/run_bern2.sh:33-40): 'cancers of the lung' and
+    'cancer of the lungs' both key to 'cancer of the lung'.
+
+    Rules (guarded so short words are untouched):
+    * ...ies -> ...y        (bodies -> body)
+    * sibilant + es -> stem (viruses -> virus, patches -> patch)
+    * trailing s (not ss)   (cancers -> cancer)
+    All pure regexp_replace with capture groups (no lookbehind — the
+    patterns run verbatim under RE2 in the DuckDB oracle; only the
+    backreference dialect differs, $1 vs \\1)."""
+    k = biosyn_key(col)
+    k = F.regexp_replace(k, r"([a-z]{2})ies\b", "$1y")
+    k = F.regexp_replace(k, r"([a-z](?:[sxz]|ch|sh))es\b", "$1")
+    k = F.regexp_replace(k, r"([a-z]{2}[a-rt-z])s\b", "$1")
+    return k
+
+
 def strip_gene_suffix(col: Column) -> Column:
     """P13 — drop a trailing ' gene' (case-insensitive) when the surface
     is longer than the suffix (bern2/normalizer.py:341-361)."""
@@ -85,7 +109,12 @@ def build_lookup_tables(lexicon: DataFrame) -> dict:
                     .filter(F.col("ent_type") == "disease")
                     .select("ent_type", biosyn_key(F.col("name")).alias("key"),
                             "cui"))
-    return {"exact": exact, "tmchem": tmchem, "biosyn": biosyn}
+    stem = _dedup(lexicon
+                  .filter(F.col("ent_type") == "disease")
+                  .select("ent_type", stem_key(F.col("name")).alias("key"),
+                          "cui"))
+    return {"exact": exact, "tmchem": tmchem, "biosyn": biosyn,
+            "stem": stem}
 
 
 # ----------------------------------------------- gene taxon context (J4)
@@ -187,6 +216,10 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
     m = lkp(m, "exact", "lower", F.lower(F.col("k_surface")))
     m = lkp(m, "tmchem", "tmchem", tmchem_key(F.col("k_surface")))
     m = lkp(m, "biosyn", "biosyn", biosyn_key(F.col("k_surface")))
+    # J3 stemmed level: disease-only LUT, lowest rule priority — an
+    # inflected surface ('lung cancers') resolves when every stricter
+    # level missed (Sieve level ordering)
+    m = lkp(m, "stem", "stem", stem_key(F.col("k_surface")))
 
     gene_cols = []
     if gene_taxa is not None:
@@ -199,7 +232,7 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
         gene_cols = ["_cui_gtax"]
 
     raw_cui = F.coalesce(*gene_cols, "cui_exact", "cui_lower",
-                         "cui_tmchem", "cui_biosyn")
+                         "cui_tmchem", "cui_biosyn", "cui_stem")
 
     cui = (
         F.when(F.col("ent_type") == "mutation",
@@ -217,4 +250,4 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
     return (m.withColumn("cui", cui)
              .withColumn("is_neural_normalized", F.lit(False))
              .drop("k_surface", "cui_exact", "cui_lower", "cui_tmchem",
-                   "cui_biosyn", *gene_cols))
+                   "cui_biosyn", "cui_stem", *gene_cols))

@@ -208,6 +208,120 @@ def j2_species_two_pass(spark, sf_dir):
                          .cast("string"))).alias("species_cui")))
 
 
+DISEASE_SIEVE_LEX = [
+    ("MESH:D100", "stream"),   # 'streams'  -> stem rule 3 (s-strip)
+    ("MESH:D200", "batch"),    # 'batches'  -> stem rule 2 (sibilant es)
+    ("MESH:D300", "hash"),     # 'hashes'   -> stem rule 2
+    ("MESH:D400", "query"),    # 'queries'  -> stem rule 1 (ies -> y)
+    ("MESH:D500", "join"),     # 'joins'    -> stem rule 3
+]
+
+
+def _j3_oracle() -> str:
+    """DuckDB twin of the 4-level disease sieve (exact -> lower ->
+    biosyn -> stem). Lexicon-side keys are precomputed in Python (the
+    names are plan literals); the mention-side keys run the SAME regex
+    patterns under RE2 ('\\1' backrefs) that Spark runs under Java
+    ('$1')."""
+    import re
+
+    def pyb(s):
+        return re.sub(r"[\s!-/:-@\[-`{-~]+", " ", s.lower()).strip()
+
+    def pys(s):
+        k = pyb(s)
+        k = re.sub(r"([a-z]{2})ies\b", r"\1y", k)
+        k = re.sub(r"([a-z](?:[sxz]|ch|sh))es\b", r"\1", k)
+        k = re.sub(r"([a-z]{2}[a-rt-z])s\b", r"\1", k)
+        return k
+
+    rows = ", ".join(f"('{c}', '{n}', '{pyb(n)}', '{pys(n)}')"
+                     for c, n in DISEASE_SIEVE_LEX)
+    return f"""
+WITH base AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, t AS w
+  FROM (SELECT doc_id, unnest({_WS_WORDS_SQL}) AS t FROM documents)
+),
+words AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, w AS word FROM base
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN regexp_matches(w, 'y$')
+                  THEN substr(w, 1, length(w) - 1) || 'ies'
+                WHEN regexp_matches(w, '(s|x|z|ch|sh)$') THEN w || 'es'
+                ELSE w || 's' END
+    FROM base)
+),
+keys AS (
+  SELECT doc_id, word,
+         trim(regexp_replace(lower(word),
+              '[\\s!-/:-@\\[-`{{-~]+', ' ', 'g')) AS bk
+  FROM words
+),
+sk AS (
+  SELECT doc_id, word, bk,
+         regexp_replace(regexp_replace(regexp_replace(bk,
+           '([a-z]{{2}})ies\\b', '\\1y', 'g'),
+           '([a-z](?:[sxz]|ch|sh))es\\b', '\\1', 'g'),
+           '([a-z]{{2}}[a-rt-z])s\\b', '\\1', 'g') AS stk
+  FROM keys
+),
+lex AS (SELECT * FROM (VALUES {rows}) t(cui, name, bname, sname))
+SELECT s.doc_id, s.word,
+       coalesce(e.cui, l.cui, b.cui, st.cui, 'CUI-less') AS cui
+FROM sk s
+LEFT JOIN lex e  ON s.word = e.name
+LEFT JOIN lex l  ON lower(s.word) = l.name
+LEFT JOIN lex b  ON s.bk = b.bname
+LEFT JOIN lex st ON s.stk = st.sname
+"""
+
+
+@q("j3_disease_sieve", _j3_oracle())
+def j3_disease_sieve(spark, sf_dir):
+    """J3 — the REAL normalize_mentions operator over per-word disease
+    mentions: exact -> lower -> biosyn -> stemmed cascade (the
+    published Sieve levels; the reference's closed jar, launch
+    scripts/run_bern2.sh:33-40). The mention stream carries each corpus
+    word AND its English plural (y->ies / sibilant+es / +s, built
+    identically in both engines), so every stem rule resolves real
+    rows: 'streams'/'joins' (s-strip), 'batches'/'hashes' (sibilant),
+    'queries' (ies->y) — all CUI-less until the stemmed level."""
+    from bern2_spark import schemas
+    from bern2_spark.operators.normalize import normalize_mentions
+    docs = _docs(spark, sf_dir)
+    base = (docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(_ws_words(F.col("text"))).alias("w"))
+        .distinct())
+    plural = (F.when(F.col("w").rlike("y$"),
+                     F.concat(F.expr("substring(w, 1, length(w)-1)"),
+                              F.lit("ies")))
+              .when(F.col("w").rlike("(s|x|z|ch|sh)$"),
+                    F.concat(F.col("w"), F.lit("es")))
+              .otherwise(F.concat(F.col("w"), F.lit("s"))))
+    words = (base.select("doc_id",
+                         F.explode(F.array(F.col("w"), plural))
+                         .alias("word"))
+             .distinct())
+    m = words.select(
+        "doc_id",
+        F.xxhash64("doc_id", "word").alias("mention_id"),
+        F.lit("disease").alias("ent_type"),
+        F.lit(0).alias("start"),
+        F.length("word").cast("int").alias("end"),
+        F.col("word").alias("mention"),
+        F.lit(0.9).alias("prob"),
+        F.lit(None).cast("string").alias("mutation_type"),
+        F.lit(None).cast("string").alias("normalized_name"))
+    lex = spark.createDataFrame(
+        [("disease", c, n) for c, n in DISEASE_SIEVE_LEX],
+        schemas.LEXICON)
+    out = normalize_mentions(m, lex)
+    return out.select("doc_id", F.col("mention").alias("word"), "cui")
+
+
 @q("w1_resolve_overlap", f"""
 WITH words AS (
   SELECT doc_id, t.pos AS pos, t.tok AS word

@@ -48,6 +48,15 @@ CASES = [
     ("disease", "Alpha Syndrome", "MESH:D1"),
     ("disease", "alpha syndrome", "MESH:D1"),
     ("disease", "ALPHA, SYNDROME!", "MESH:D1"),     # biosyn level
+    # J3 stemmed level (Sieve stemming/partial): plural & inflected
+    # surfaces resolve when every stricter level misses
+    ("disease", "Alpha Syndromes", "MESH:D1"),
+    ("disease", "alpha, syndromes!", "MESH:D1"),
+    ("disease", "beta-osises", "MESH:D2"),          # sibilant es-strip
+    ("disease", "alpha syndromesque", "CUI-less"),  # no over-stemming
+    # stem level is disease-ONLY (the Sieve jar is the disease
+    # normalizer): a plural species surface must NOT resolve via stem
+    ("species", "Homo sapienss", "CUI-less"),
     ("gene", "p53", "EntrezGene:7157"),
     ("gene", "p53 gene", "EntrezGene:7157"),        # ' gene' suffix strip
     ("gene", "EGFR", "EntrezGene:1956"),            # '-' truncation
