@@ -148,6 +148,89 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+# ------------------------------------------- occupancy / banding math
+
+def bit_agree_prob(cosine: float) -> float:
+    """P(one sign-LSH bit agrees) for a pair at the given cosine:
+    1 - theta/pi (Goemans-Williamson / Charikar)."""
+    import math
+    return 1.0 - math.acos(max(-1.0, min(1.0, cosine))) / math.pi
+
+
+def banded_lsh_recall(p_bit: float, r: int, tables: int) -> float:
+    """Candidate-recall of ``tables`` independent r-bit sign-LSH
+    tables: 1 - (1 - p^r)^L (the MinHash banding formula applied to
+    sign bits)."""
+    return 1.0 - (1.0 - p_bit ** r) ** tables
+
+
+def banded_lsh_plan(n_rows: int, cos_threshold: float,
+                    target_occupancy: int = 1024,
+                    target_recall: float = 0.9) -> tuple:
+    """The production near-dup configuration: choose r so the expected
+    bucket occupancy N/2^r stays ~target_occupancy (keeping the
+    in-bucket pair join LINEAR in N: sum_b occ_b^2 ~ N * occupancy),
+    then choose the table count L for the target candidate recall at
+    the cosine threshold. Returns (r, L, expected_occupancy,
+    predicted_recall). See PARITY.md 'Sign-LSH occupancy at scale' for
+    the worked 10^12-row numbers."""
+    import math
+    r = max(1, math.ceil(math.log2(max(2.0, n_rows / target_occupancy))))
+    p = bit_agree_prob(cos_threshold)
+    miss = 1.0 - p ** r
+    tables = (1 if miss <= 0.0 else
+              max(1, math.ceil(math.log(1.0 - target_recall)
+                               / math.log(miss))))
+    return r, tables, n_rows / (2 ** r), banded_lsh_recall(p, r, tables)
+
+
+def hyperplanes_seeded(seed: str, n_bits: int, dim: int) -> List[List[float]]:
+    """Like ``hyperplanes`` but namespaced by a seed string — gives
+    each banded table its own independent plane set."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(f"{seed}:{i}:{d}".encode())
+                        .hexdigest()[:4], 16) % 2 == 0 else -1.0
+             for d in range(dim)]
+            for i in range(n_bits)]
+
+
+def lsh_banded_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                     r: int = 8, tables: int = 4, dim: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Banded multi-table sign-LSH near-dup pairs — the 10^12-row
+    configuration (single-table recall decays as p^r once r is large
+    enough to keep buckets small; L tables recover it as
+    1-(1-p^r)^L). Each row computes L bucket ids (one per table's
+    plane set), candidates join per (table, bucket), pairs are
+    DISTINCT-ed before the exact cosine verify so a pair colliding in
+    several tables verifies once. Shuffled artifact: (id, table,
+    bucket, vec) rows — L x corpus, never pairs."""
+    b = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"),
+                     sign_lsh_bucket(F.col(vec_col),
+                                     hyperplanes_seeded(f"t{t}", r, dim))
+                     .alias("bucket"))
+            for t in range(tables)])).alias("tb")
+    ).select("id", "vec", "tb.table", "tb.bucket")
+    a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                 "table", "bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                 "table", "bucket")
+    cand = (a.join(c, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "vec_a", "vec_b")
+            .distinct())
+    return (cand
+            .withColumn("cosine",
+                        _dot(F.col("vec_a"), F.col("vec_b"))
+                        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def probe_masks(n_bits: int, max_flip: int = 2) -> List[int]:
     """All bit-flip masks with popcount <= max_flip, the candidate
     probe set for multi-probe LSH. 0 (the home bucket) comes first;

@@ -967,6 +967,58 @@ WHERE list_dot_product(a.v, c.v) /
 """
 
 
+def _emb_lsh_banded_oracle(r: int = 4, tables: int = 3,
+                           dim: int = 64) -> str:
+    """DuckDB twin of banded multi-table sign-LSH: per-table bucket
+    exprs from the same seeded plane literals, UNION of per-table
+    candidate joins, DISTINCT pairs, exact cosine verify."""
+    from bern2_spark.dataprep.similarity import hyperplanes_seeded
+    table_sqls = []
+    for t in range(tables):
+        planes = hyperplanes_seeded(f"t{t}", r, dim)
+        bucket = " + ".join(
+            f"CASE WHEN list_dot_product(v, {row!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i, row in enumerate(planes))
+        table_sqls.append(f"SELECT vec_id, v, ({bucket}) AS bucket, "
+                          f"{t} AS tbl FROM e")
+    union = "\n  UNION ALL\n  ".join(table_sqls)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS ({union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c
+    ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT cand.id_a, cand.id_b,
+       round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+FROM cand
+JOIN e x ON cand.id_a = x.vec_id
+JOIN e y ON cand.id_b = y.vec_id
+WHERE list_dot_product(x.v, y.v) /
+      (sqrt(list_dot_product(x.v, x.v))
+       * sqrt(list_dot_product(y.v, y.v))) >= 0.30
+"""
+
+
+@q("dedup_lsh_banded", _emb_lsh_banded_oracle())
+def dedup_lsh_banded(spark, sf_dir):
+    """Banded multi-table sign-LSH near-dup pairs — the 10^12-row
+    configuration (PARITY.md 'Sign-LSH occupancy at scale'): L tables
+    of r bits recover the recall a single small-bucket table loses,
+    with in-bucket work linear in N at fixed occupancy."""
+    from bern2_spark.dataprep.similarity import lsh_banded_pairs
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    pairs = lsh_banded_pairs(emb, threshold=0.30, r=4, tables=3, dim=64)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
 @q("dedup_embedding_lsh", _emb_lsh_pairs_oracle())
 def dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup at scale: sign-LSH bucket candidates + exact

@@ -115,6 +115,69 @@ def test_language_id_and_quality(spark):
     assert feats[1].stopword_ratio > 0.2
 
 
+@pytest.mark.parametrize("n_bits", [4, 8])
+def test_lsh_bucket_occupancy_matches_expectation(spark, n_bits):
+    """PARITY.md 'Sign-LSH occupancy at scale': with direction-
+    symmetric data the 2^b buckets are ~equiprobable, so mean occupancy
+    tracks N/2^b — the quantity the banded plan's r is chosen from."""
+    from bern2_spark.dataprep.similarity import hyperplanes, sign_lsh_bucket
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    n = emb.count()
+    planes = hyperplanes(n_bits, 64)
+    occ = (emb.select(sign_lsh_bucket(F.col("embedding"), planes)
+                      .alias("bucket"))
+           .groupBy("bucket").count().collect())
+    expected = n / (1 << n_bits)
+    mean_occ = sum(r["count"] for r in occ) / len(occ)
+    # within 2x of the uniform expectation, both directions
+    assert expected / 2 <= mean_occ <= expected * 2, \
+        (n_bits, mean_occ, expected)
+    # candidate-pair volume scales ~ N*occ: sum occ^2 tracks N^2/2^b
+    pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in occ)
+    uniform_pairs = n * expected / 2
+    assert uniform_pairs / 3 <= pairs <= uniform_pairs * 3, \
+        (n_bits, pairs, uniform_pairs)
+
+
+def test_banded_lsh_plan_and_recall(spark):
+    """banded_lsh_plan picks (r, L) for a target occupancy + recall;
+    lsh_banded_pairs at that config must reach ~the predicted candidate
+    recall against the exact all-pairs oracle (precision is 1.0 by
+    construction — every emitted pair is cosine-verified)."""
+    from bern2_spark.dataprep.dedup import embedding_cosine_pairs
+    from bern2_spark.dataprep.similarity import (
+        banded_lsh_plan, lsh_banded_pairs,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    n = emb.count()
+    r, tables, occ, predicted = banded_lsh_plan(
+        n, 0.30, target_occupancy=64, target_recall=0.8)
+    assert predicted >= 0.8
+    exact = {(p.id_a, p.id_b) for p in embedding_cosine_pairs(
+        emb, threshold=0.30, id_col="vec_id").collect()}
+    banded = {(p.id_a, p.id_b) for p in lsh_banded_pairs(
+        emb, threshold=0.30, r=r, tables=tables, dim=64).collect()}
+    assert banded <= exact                       # precision 1.0
+    recall = len(banded & exact) / max(1, len(exact))
+    # allow sampling slack below the analytic prediction
+    assert recall >= predicted - 0.2, (recall, predicted, r, tables)
+
+
+def test_banded_plan_worked_example():
+    """The PARITY.md 10^12-row worked example is reproduced by the
+    planner: r=30, L=56, occupancy ~931, predicted recall >=0.9."""
+    from bern2_spark.dataprep.similarity import banded_lsh_plan
+    r, tables, occ, predicted = banded_lsh_plan(
+        10 ** 12, 0.95, target_occupancy=1024, target_recall=0.9)
+    assert r == 30 and tables == 56
+    assert 900 <= occ <= 1024
+    assert predicted >= 0.9
+
+
 def test_ann_variants_recall_floor(spark):
     """IVF and sign-LSH are recall<1 by construction; on the driver
     embeddings (unclustered gaussians - the ANN worst case) they must
