@@ -50,7 +50,16 @@ def _run_once(spark, sf_dir: str, names) -> tuple[dict, dict]:
 
 def _session(cpus: int):
     from bern2_spark.session import get_spark
-    return get_spark(f"bern2-bench-{cpus}", master=f"local[{cpus}]")
+    # shuffle granularity follows the leg's core count (4 waves-worth):
+    # a fixed partition count gives the hi leg coarse 2-wave stages
+    # whose second wave idles most cores (straggler tax the lo leg
+    # never pays, which depresses measured scaling efficiency). AQE
+    # coalesces the excess on small shuffles, so over-provisioning is
+    # free — the same rule a real cluster uses (partitions ~ 2-4x
+    # total cores).
+    return get_spark(
+        f"bern2-bench-{cpus}", master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(4 * cpus)})
 
 
 def _sf_of(sf_dir: str) -> float:

