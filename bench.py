@@ -78,11 +78,18 @@ def main() -> None:
         cpus = int(sys.argv[sys.argv.index("--scale-leg") + 1])
         replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "32"))
         spark = _session(cpus)
+        # warm-up on a 1/8-size corpus: the cold first execution pays
+        # JIT/codegen/python-worker spawn, whose cost is per compiled
+        # class + first interpreted rows, NOT per input row (profiled
+        # in BENCH/PROFILE_r3.md: cold = 5.7x steady core-seconds) —
+        # a small corpus compiles the same operator classes at a
+        # fraction of the interpreted-row cost, which matters once
+        # legs are CPU-pinned (a full-size cold run on 4 pinned cores
+        # would dominate the leg's wall clock)
+        warm = _materialized_corpus(spark, sf_dir, max(4, replicas // 8))
+        _run_kg_scaled(spark, sf_dir, replicas, docs=warm)
+        warm.unpersist()
         docs = _materialized_corpus(spark, sf_dir, replicas)
-        # warm-up at FULL size: the first execution of the plan pays
-        # JIT/codegen/python-worker spawn; the steady-state run is the
-        # honest per-run cost of a long job (startup amortizes at 100TB)
-        _run_kg_scaled(spark, sf_dir, replicas, docs=docs)
         # gate before EACH timed run; the short tag stage goes first
         # (more likely to fit inside a calm streak)
         load0 = _wait_quiet()
@@ -149,6 +156,26 @@ def _scale_corpus(spark, sf_dir: str, replicas: int):
                     F.col("lang"),
                     F.concat("text", F.lit(" copy "),
                              F.col("copy").cast("string")).alias("content")))
+
+
+def _pin_cmd(cpus: int) -> list:
+    """Pin a scaling leg to exactly ``cpus`` hardware CPUs (taskset).
+
+    Without pinning, local[K] bounds only Spark TASK SLOTS: the K
+    python UDF workers plus JVM GC/shuffle threads overflow onto idle
+    cores, so a 'local[4]' leg on a 32-core box really uses ~2K cores
+    and the measured lo/hi ratio understates true scaling (observed:
+    an unpinned 4-core leg ran 1.7x faster than its core budget
+    allows, collapsing apparent efficiency to ~0.3). Pinning makes
+    'K cores' mean K cores for JVM + python combined — exactly the
+    N-vs-4N executor comparison the north rule asks for. Disable with
+    SPARK_GRAFT_SCALE_PIN=0 (e.g. no taskset on the box)."""
+    import shutil
+    if os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "1":
+        return []
+    if not shutil.which("taskset"):
+        return []
+    return ["taskset", "-c", f"0-{cpus - 1}"]
 
 
 def _loadavg() -> float:
@@ -269,8 +296,9 @@ def scale_report(sf_dir: str, levels=None, replicas: int | None = None,
         for _ in range(rounds):
             for cpus in (lo, hi):
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--scale-leg", str(cpus)],
+                    _pin_cmd(cpus) + [sys.executable,
+                                      os.path.abspath(__file__),
+                                      "--scale-leg", str(cpus)],
                     capture_output=True, text=True, env=env, check=True)
                 legs[cpus].append(
                     json.loads(out.stdout.strip().splitlines()[-1]))
@@ -294,8 +322,12 @@ def scale_report(sf_dir: str, levels=None, replicas: int | None = None,
             f"Flagship KG pipeline (documents -> triples, x{replicas} "
             f"corpus) at `{sf_dir}`, same input, two parallelism levels "
             "(sandbox proxy for N vs 4N executors). Protocol: fresh "
-            "process per leg, legs interleaved lo/hi per round, one "
-            "efficiency sample per adjacent pair, median reported; the "
+            "process per leg, each leg CPU-PINNED (taskset) to exactly "
+            "its core budget — without pinning, local[K]'s python "
+            "workers overflow onto idle cores and the lo leg silently "
+            "uses ~2K cores, understating true scaling; legs "
+            "interleaved lo/hi per round, load-gated, one efficiency "
+            "sample per adjacent pair, median reported; the "
             "zero-shuffle tag stage is the parallel-section control.\n\n"
             "| round | leg | pipeline sec | tag-stage sec | loadavg "
             "before/after |\n|---|---|---|---|---|\n")
