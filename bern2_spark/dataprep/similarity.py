@@ -113,17 +113,56 @@ def ivf_assign(df: DataFrame, centroids: List[List[float]],
         "cell", F.array_min(_cell_scores(F.col(vec_col), centroids))["i"])
 
 
+def kmeans_train(df: DataFrame, k: int, iters: int = 2, dim: int = 64,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> List[List[float]]:
+    """Lloyd's k-means over the embedding column, DataFrame-native —
+    the trained-centroid upgrade the IVF docstring promises (the
+    reference trains its faiss index the same way,
+    normalizers/neural_normalizer.py:145-158, nlist=2048).
+
+    Deterministic: init = the k vectors with the smallest ids; each
+    iteration assigns via the same broadcast-literal argmin used by
+    ``ivf_assign`` (centroid list is a k x dim dimension table — plan
+    literals, no shuffle on the corpus beyond the component-mean agg)
+    and recomputes centroids as per-cell component means via
+    posexplode + groupBy(cell, pos) with map-side combine. Centroids
+    round-trip through the driver between iterations exactly like
+    MLlib's implementation; the corpus-proportional work per iteration
+    is one scan + one (cell, pos)-keyed agg of dim floats per row.
+    Empty cells keep their previous centroid."""
+    init = (df.orderBy(id_col).limit(k)
+            .select(F.col(vec_col).alias("v")).collect())
+    cents = [[float(x) for x in r["v"]] for r in init]
+    for _ in range(iters):
+        a = ivf_assign(df.select(F.col(vec_col).alias("embedding")),
+                       cents, "embedding")
+        means = (a.select("cell", F.posexplode("embedding")
+                          .alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                 .collect())
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r["cell"]][r["pos"]] = float(r["m"])
+        cents = new
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: List[List[float]] | None = None) -> DataFrame:
     """IVF ANN: corpus rows live in their nearest-centroid cell; each
     query probes its ``n_probe`` nearest cells and exact-cosine re-ranks
     inside them. At scale the corpus shuffles once by cell (or is
     bucketed on it at write time) and each query touches n_probe/n_c of
     the data. Recall < 1 by construction; raise n_probe to trade cost
-    for recall."""
-    centroids = ivf_centroids(n_centroids, dim)
+    for recall. ``centroids`` overrides the deterministic seed cells —
+    pass ``kmeans_train(corpus, k=n_centroids)`` for the trained
+    variant (balanced cells: better recall at the same n_probe)."""
+    if centroids is None:
+        centroids = ivf_centroids(n_centroids, dim)
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec")),

@@ -78,6 +78,19 @@ def stem_key(col: Column) -> Column:
     return k
 
 
+def swap_key(col: Column) -> Column:
+    """J3 subject/object-conversion level — Sieve level 4 (D'Souza &
+    Ng 2015): 'disorder of the lung' and 'lung disorder' key
+    identically. Built ON the stem key (so 'disorders of the lungs'
+    also matches) by swapping around the FIRST ' of [the] ' — the
+    non-greedy (.+?) pins that choice identically in Java regex and
+    RE2, so the DuckDB oracle runs the same pattern. Names without a
+    preposition pass through unchanged, which is what makes one
+    lookup table serve both directions."""
+    return F.regexp_replace(stem_key(col),
+                            r"^(.+?) of (?:the )?(.+)$", "$2 $1")
+
+
 def strip_gene_suffix(col: Column) -> Column:
     """P13 — drop a trailing ' gene' (case-insensitive) when the surface
     is longer than the suffix (bern2/normalizer.py:341-361)."""
@@ -113,8 +126,12 @@ def build_lookup_tables(lexicon: DataFrame) -> dict:
                   .filter(F.col("ent_type") == "disease")
                   .select("ent_type", stem_key(F.col("name")).alias("key"),
                           "cui"))
+    swap = _dedup(lexicon
+                  .filter(F.col("ent_type") == "disease")
+                  .select("ent_type", swap_key(F.col("name")).alias("key"),
+                          "cui"))
     return {"exact": exact, "tmchem": tmchem, "biosyn": biosyn,
-            "stem": stem}
+            "stem": stem, "swap": swap}
 
 
 # ----------------------------------------------- gene taxon context (J4)
@@ -185,7 +202,8 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
                        gene_context: Optional[DataFrame] = None) -> DataFrame:
     """MENTIONS -> NORMALIZED (adds cui, is_neural_normalized=false).
 
-    Four broadcast left joins (exact, lower, tmchem, biosyn) + one
+    Six broadcast left joins (exact, lower, tmchem, biosyn, stemmed,
+    subject/object-swap — the Sieve cascade in priority order) + one
     priority coalesce; type-specific id post-processing; mutations pass
     through with their tmVar-normalized name as cui. When ``gene_taxa``
     (taxid, name, cui) is given, gene surfaces first probe the
@@ -216,10 +234,13 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
     m = lkp(m, "exact", "lower", F.lower(F.col("k_surface")))
     m = lkp(m, "tmchem", "tmchem", tmchem_key(F.col("k_surface")))
     m = lkp(m, "biosyn", "biosyn", biosyn_key(F.col("k_surface")))
-    # J3 stemmed level: disease-only LUT, lowest rule priority — an
-    # inflected surface ('lung cancers') resolves when every stricter
-    # level missed (Sieve level ordering)
+    # J3 stemmed level: disease-only LUT — an inflected surface
+    # ('lung cancers') resolves when every stricter level missed
+    # (Sieve level ordering)
     m = lkp(m, "stem", "stem", stem_key(F.col("k_surface")))
+    # J3 subject/object conversion, the lowest-priority level:
+    # 'disorder of the lung' <-> 'lung disorder'
+    m = lkp(m, "swap", "swap", swap_key(F.col("k_surface")))
 
     gene_cols = []
     if gene_taxa is not None:
@@ -232,7 +253,8 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
         gene_cols = ["_cui_gtax"]
 
     raw_cui = F.coalesce(*gene_cols, "cui_exact", "cui_lower",
-                         "cui_tmchem", "cui_biosyn", "cui_stem")
+                         "cui_tmchem", "cui_biosyn", "cui_stem",
+                         "cui_swap")
 
     cui = (
         F.when(F.col("ent_type") == "mutation",
@@ -250,4 +272,4 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
     return (m.withColumn("cui", cui)
              .withColumn("is_neural_normalized", F.lit(False))
              .drop("k_surface", "cui_exact", "cui_lower", "cui_tmchem",
-                   "cui_biosyn", "cui_stem", *gene_cols))
+                   "cui_biosyn", "cui_stem", "cui_swap", *gene_cols))

@@ -214,6 +214,9 @@ DISEASE_SIEVE_LEX = [
     ("MESH:D300", "hash"),     # 'hashes'   -> stem rule 2
     ("MESH:D400", "query"),    # 'queries'  -> stem rule 1 (ies -> y)
     ("MESH:D500", "join"),     # 'joins'    -> stem rule 3
+    # 'disorder of the stream(s)' -> swap level (subject/object
+    # conversion): both sides key to 'stream disorder'
+    ("MESH:D600", "stream disorder"),
 ]
 
 
@@ -235,7 +238,10 @@ def _j3_oracle() -> str:
         k = re.sub(r"([a-z]{2}[a-rt-z])s\b", r"\1", k)
         return k
 
-    rows = ", ".join(f"('{c}', '{n}', '{pyb(n)}', '{pys(n)}')"
+    def pyw(s):
+        return re.sub(r"^(.+?) of (?:the )?(.+)$", r"\2 \1", pys(s))
+
+    rows = ", ".join(f"('{c}', '{n}', '{pyb(n)}', '{pys(n)}', '{pyw(n)}')"
                      for c, n in DISEASE_SIEVE_LEX)
     return f"""
 WITH base AS (
@@ -251,7 +257,9 @@ words AS (
                   THEN substr(w, 1, length(w) - 1) || 'ies'
                 WHEN regexp_matches(w, '(s|x|z|ch|sh)$') THEN w || 'es'
                 ELSE w || 's' END
-    FROM base)
+    FROM base
+    UNION ALL
+    SELECT doc_id, 'disorder of the ' || w FROM base)
 ),
 keys AS (
   SELECT doc_id, word,
@@ -267,27 +275,35 @@ sk AS (
            '([a-z]{{2}}[a-rt-z])s\\b', '\\1', 'g') AS stk
   FROM keys
 ),
-lex AS (SELECT * FROM (VALUES {rows}) t(cui, name, bname, sname))
+wk AS (
+  SELECT doc_id, word, bk, stk,
+         regexp_replace(stk, '^(.+?) of (?:the )?(.+)$', '\\2 \\1') AS swk
+  FROM sk
+),
+lex AS (SELECT * FROM (VALUES {rows}) t(cui, name, bname, sname, wname))
 SELECT s.doc_id, s.word,
-       coalesce(e.cui, l.cui, b.cui, st.cui, 'CUI-less') AS cui
-FROM sk s
+       coalesce(e.cui, l.cui, b.cui, st.cui, sw.cui, 'CUI-less') AS cui
+FROM wk s
 LEFT JOIN lex e  ON s.word = e.name
 LEFT JOIN lex l  ON lower(s.word) = l.name
 LEFT JOIN lex b  ON s.bk = b.bname
 LEFT JOIN lex st ON s.stk = st.sname
+LEFT JOIN lex sw ON s.swk = sw.wname
 """
 
 
 @q("j3_disease_sieve", _j3_oracle())
 def j3_disease_sieve(spark, sf_dir):
     """J3 — the REAL normalize_mentions operator over per-word disease
-    mentions: exact -> lower -> biosyn -> stemmed cascade (the
-    published Sieve levels; the reference's closed jar, launch
-    scripts/run_bern2.sh:33-40). The mention stream carries each corpus
-    word AND its English plural (y->ies / sibilant+es / +s, built
-    identically in both engines), so every stem rule resolves real
-    rows: 'streams'/'joins' (s-strip), 'batches'/'hashes' (sibilant),
-    'queries' (ies->y) — all CUI-less until the stemmed level."""
+    mentions: exact -> lower -> biosyn -> stemmed -> subject/object-
+    swap cascade (the published Sieve levels; the reference's closed
+    jar, launch scripts/run_bern2.sh:33-40). The mention stream
+    carries each corpus word, its English plural (y->ies /
+    sibilant+es / +s), AND a 'disorder of the <w>' phrase (built
+    identically in both engines), so every rule resolves real rows:
+    'streams'/'joins' (s-strip), 'batches'/'hashes' (sibilant),
+    'queries' (ies->y), 'disorder of the stream' (swap -> 'stream
+    disorder') — all CUI-less until their level fires."""
     from bern2_spark import schemas
     from bern2_spark.operators.normalize import normalize_mentions
     docs = _docs(spark, sf_dir)
@@ -301,8 +317,9 @@ def j3_disease_sieve(spark, sf_dir):
               .when(F.col("w").rlike("(s|x|z|ch|sh)$"),
                     F.concat(F.col("w"), F.lit("es")))
               .otherwise(F.concat(F.col("w"), F.lit("s"))))
+    phrase = F.concat(F.lit("disorder of the "), F.col("w"))
     words = (base.select("doc_id",
-                         F.explode(F.array(F.col("w"), plural))
+                         F.explode(F.array(F.col("w"), plural, phrase))
                          .alias("word"))
              .distinct())
     m = words.select(
@@ -1205,6 +1222,29 @@ def ann_ivf_probed(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
+@q("ann_ivf_trained")
+def ann_ivf_trained(spark, sf_dir):
+    """IVF with k-means-TRAINED centroids (2 Lloyd's iterations,
+    deterministic smallest-id init) — the production configuration the
+    reference uses (faiss IVF, nlist=2048 trained offline,
+    normalizers/neural_normalizer.py:145-158). Iterative training is
+    not SQL-expressible in one statement, so this query has no DuckDB
+    oracle (driver rows-only check); training determinism + better
+    cell balance than the seed centroids + a recall floor are
+    asserted in tests/test_dataprep.py."""
+    from bern2_spark.dataprep.similarity import ivf_topk, kmeans_train
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    cents = kmeans_train(emb, k=8, iters=2, dim=64)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2, dim=64,
+                   centroids=cents)
+    return out.withColumn("cosine", F.round("cosine", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
 # ------------------------------------------------------------------ textqc
 
 _EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with"]
@@ -1924,6 +1964,37 @@ def m1_real_mentions(spark, sf_dir):
         vocab=ckpt.vocab)
     return out.select("doc_id", "ent_type", "start", "end", "mention",
                       F.round("prob", 6).alias("prob"))
+
+
+def _golden_triples_path() -> str:
+    import os
+    sf = os.path.basename(
+        os.environ.get("SPARK_GRAFT_TEST_SF", "/x/sf0.01").rstrip("/"))
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden",
+        f"kg_triples_{sf}.parquet")
+
+
+@q("kg_cooccurrence", f"""
+WITH e AS (SELECT DISTINCT subj AS doc, obj AS cui
+           FROM read_parquet('{_golden_triples_path()}'))
+SELECT a.cui AS cui_a, b.cui AS cui_b, count(*) AS n_docs
+FROM e a JOIN e b ON a.doc = b.doc AND a.cui < b.cui
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""")
+def kg_cooccurrence(spark, sf_dir):
+    """KG edge construction over the triple store: entity pairs
+    co-asserted by >= 2 documents. UNLIKE the pinned-golden oracles
+    above, this oracle is a genuine dual formulation — both engines
+    RECOMPUTE the self-join + aggregation from the same triple table
+    (the flagship golden, standing in for the KG's triple store), so
+    the check validates the operator, not a pin. Scale notes in
+    operators/cooccur.py (single co-partitioned shuffle on doc,
+    map-side-combined pair agg, hub-doc cap)."""
+    from bern2_spark.operators.cooccur import cooccurrence_edges
+    triples = spark.read.parquet(_golden_triples_path())
+    return cooccurrence_edges(triples, min_count=2)
 
 
 @q("kg_pipeline_triples", _golden_triples_sql())

@@ -200,3 +200,70 @@ def test_ann_variants_recall_floor(spark):
                   for r in QUERIES[name](spark, sf).collect()}
         recall = len(bf & approx) / len(bf)
         assert recall >= 0.8, f"{name} recall {recall}"
+
+
+def test_kmeans_trained_ivf(spark):
+    """k-means-trained centroids must (a) train deterministically —
+    same input, same centroids — (b) partition the corpus into MORE
+    BALANCED cells than the fixed seed centroids (balance is what
+    Lloyd's actually buys: predictable per-probe cost; on these
+    unclustered gaussian embeddings recall at a fixed tiny n_probe is
+    data-noise either way), and (c) keep a nontrivial recall at
+    n_probe=2."""
+    import statistics
+    from bern2_spark.dataprep.similarity import (
+        ivf_assign, ivf_centroids, kmeans_train,
+    )
+    from bern2_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("embedding")))
+    c1 = kmeans_train(emb, k=8, iters=2, dim=64)
+    c2 = kmeans_train(emb, k=8, iters=2, dim=64)
+    assert c1 == c2, "k-means training must be deterministic"
+    assert len(c1) == 8 and all(len(c) == 64 for c in c1)
+
+    def cell_sizes(cents):
+        return [r["n"] for r in ivf_assign(emb, cents)
+                .groupBy("cell").agg(F.count("*").alias("n")).collect()]
+
+    sd_trained = statistics.pstdev(cell_sizes(c1))
+    sd_seed = statistics.pstdev(cell_sizes(ivf_centroids(8, 64)))
+    assert sd_trained <= sd_seed, (sd_trained, sd_seed)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in QUERIES["ann_topk_bruteforce"](spark, sf).collect()}
+    trained = {(r.query_id, r.neighbor_id)
+               for r in QUERIES["ann_ivf_trained"](spark, sf).collect()}
+    assert len(bf & trained) / len(bf) >= 0.4
+
+
+def test_cooccurrence_edges(spark):
+    """KG co-occurrence: hand-built triples -> exact expected edges;
+    the hub-doc cap bounds per-doc pair fan-out deterministically."""
+    from bern2_spark.operators.cooccur import cooccurrence_edges
+    rows = [("d1", "has_disease", "A"), ("d1", "has_drug", "B"),
+            ("d1", "has_gene", "C"),
+            ("d2", "has_disease", "A"), ("d2", "has_drug", "B"),
+            ("d3", "has_disease", "A"), ("d3", "has_drug", "B"),
+            # duplicate assertion must not double-count (set semantics)
+            ("d3", "has_other", "A")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r.cui_a, r.cui_b, r.n_docs)
+           for r in cooccurrence_edges(t).collect()}
+    assert got == {("A", "B", 3), ("A", "C", 1), ("B", "C", 1)}
+    filt = {(r.cui_a, r.cui_b, r.n_docs)
+            for r in cooccurrence_edges(t, min_count=2).collect()}
+    assert filt == {("A", "B", 3)}
+    # cap=2 keeps the smallest CUIs per doc: d1 -> {A,B} only
+    capped = {(r.cui_a, r.cui_b, r.n_docs)
+              for r in cooccurrence_edges(
+                  t, max_entities_per_doc=2).collect()}
+    assert capped == {("A", "B", 3)}
+    # npmi: perfect co-occurrence (always together) -> npmi == 1
+    nm = {(r.cui_a, r.cui_b): r.npmi
+          for r in cooccurrence_edges(t, npmi=True).collect()}
+    assert nm[("A", "B")] == 1.0
+    # B in 3/3 docs, C in 1/3, together 1/3 -> ratio 1 -> npmi exactly 0
+    assert nm[("B", "C")] == 0.0

@@ -54,9 +54,18 @@ CASES = [
     ("disease", "alpha, syndromes!", "MESH:D1"),
     ("disease", "beta-osises", "MESH:D2"),          # sibilant es-strip
     ("disease", "alpha syndromesque", "CUI-less"),  # no over-stemming
+    # J3 subject/object conversion (Sieve level 4): 'syndrome of
+    # [the] alpha' swaps to 'alpha syndrome'; composes with stemming
+    # ('syndromes of the alphas' -> stem -> swap); swap is the LAST
+    # level and never overrides a stricter match
+    ("disease", "Syndrome of the alpha", "MESH:D1"),
+    ("disease", "syndromes of alphas", "MESH:D1"),
+    ("disease", "syndrome of the gamma", "CUI-less"),
     # stem level is disease-ONLY (the Sieve jar is the disease
     # normalizer): a plural species surface must NOT resolve via stem
     ("species", "Homo sapienss", "CUI-less"),
+    # ...and so is the swap level
+    ("species", "sapiens of the Homo", "CUI-less"),
     ("gene", "p53", "EntrezGene:7157"),
     ("gene", "p53 gene", "EntrezGene:7157"),        # ' gene' suffix strip
     ("gene", "EGFR", "EntrezGene:1956"),            # '-' truncation
