@@ -56,3 +56,49 @@ def stream_documents(spark: SparkSession, input_dir: str,
         query.awaitTermination()
         return query
     return writer.start()
+
+
+def stream_cooccurrence(spark: SparkSession, triples_dir: str,
+                        out_dir: str, checkpoint_dir: str,
+                        available_now: bool = True):
+    """Incremental KG-edge maintenance: a stream of NEW triples (each
+    doc appears in exactly one batch — the pipeline's append-only
+    output) keeps the co-occurrence edge table current by appending
+    per-batch edge DELTAS; ``read_cooccurrence_edges`` merges on read.
+
+    Additivity is what makes this correct: co-occurrence counts over
+    disjoint document sets sum, so per-batch deltas + a groupBy-sum on
+    read equal the batch recompute over the union (asserted in
+    tests/test_streaming.py). At scale this is the standard
+    delta+compaction pattern — readers pay a small merge until a
+    periodic compaction job rewrites the summed table; nothing
+    re-reads old documents."""
+    from bern2_spark.operators.cooccur import cooccurrence_edges
+
+    stream = (spark.readStream
+              .schema("subj string, pred string, obj string")
+              .parquet(triples_dir))
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (cooccurrence_edges(batch_df)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out_dir}/cooccur_delta"))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
+
+
+def read_cooccurrence_edges(spark: SparkSession, out_dir: str):
+    """Merge-on-read over the streamed edge deltas (the compaction
+    job runs this same plan and rewrites the summed table)."""
+    return (spark.read.parquet(f"{out_dir}/cooccur_delta")
+            .groupBy("cui_a", "cui_b")
+            .agg(F.sum("n_docs").alias("n_docs")))

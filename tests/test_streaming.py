@@ -38,6 +38,35 @@ def test_streaming_incremental(spark, tmp_path):
     assert dup == 0
 
 
+def test_streaming_cooccurrence_matches_batch_recompute(spark, tmp_path):
+    """Edge deltas over per-batch NEW docs + merge-on-read must equal
+    the batch co-occurrence recompute over the full triple set
+    (additivity of counts over disjoint doc sets)."""
+    from bern2_spark.operators.cooccur import cooccurrence_edges
+    from bern2_spark.streaming.incremental import (
+        read_cooccurrence_edges, stream_cooccurrence,
+    )
+    tin = str(tmp_path / "triples_in")
+    out = str(tmp_path / "co_out")
+    ckpt = str(tmp_path / "co_ckpt")
+    b1 = [("d1", "has_disease", "A"), ("d1", "has_drug", "B"),
+          ("d2", "has_disease", "A"), ("d2", "has_drug", "B")]
+    b2 = [("d3", "has_disease", "A"), ("d3", "has_drug", "B"),
+          ("d3", "has_gene", "C")]
+    sch = "subj string, pred string, obj string"
+    spark.createDataFrame(b1, sch).write.mode("append").parquet(tin)
+    stream_cooccurrence(spark, tin, out, ckpt)
+    spark.createDataFrame(b2, sch).write.mode("append").parquet(tin)
+    stream_cooccurrence(spark, tin, out, ckpt)
+
+    merged = {(r.cui_a, r.cui_b, r.n_docs)
+              for r in read_cooccurrence_edges(spark, out).collect()}
+    full = {(r.cui_a, r.cui_b, r.n_docs)
+            for r in cooccurrence_edges(
+                spark.createDataFrame(b1 + b2, sch)).collect()}
+    assert merged == full and ("A", "B", 3) in merged
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState: per-type totals ACCUMULATE across
     micro-batches (state survives; each batch emits refreshed rows)."""
