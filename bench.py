@@ -90,6 +90,22 @@ def _sf_of(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # The -Xms fix (see _session) keeps the JVM from returning heap
+    # pages to this free-page-reporting hypervisor; python UDF workers
+    # have the same failure mode through their allocators (glibc trim /
+    # mmap'd large blocks / Arrow pool decay all MADV/munmap freed
+    # pages, which the host then unmaps — ~20us to fault back in).
+    # Worker counts scale with cores, so high-core sessions pay
+    # disproportionally (measured: the identical tag stage burned
+    # 110-160 busy core-s at pinned local[4] vs up to 578 at
+    # local[16]). Pin the allocators: never trim, keep large
+    # allocations in the arena, use the (glibc) system pool for Arrow.
+    # Workers inherit this env through the gateway JVM. Set for EVERY
+    # bench mode — the headline local[32] run spawns the most workers.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
     if "--scale-leg" in sys.argv:
         # one fresh-process measurement leg: warm-up + one timed run of
@@ -97,21 +113,6 @@ def main() -> None:
         # map-parallel section — stage-level scaling evidence)
         cpus = int(sys.argv[sys.argv.index("--scale-leg") + 1])
         replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "32"))
-        # The -Xms fix (see _session) keeps the JVM from returning heap
-        # pages to this free-page-reporting hypervisor; python UDF
-        # workers have the same failure mode through their allocators
-        # (glibc trim / mmap'd large blocks / Arrow pool decay all
-        # MADV/munmap freed pages, which the host then unmaps — ~20us
-        # to fault back). Worker counts scale with cores, so the hi leg
-        # pays disproportionally (measured: the identical tag stage
-        # burned 110-160 busy core-s at local[4] vs up to 578 at
-        # local[16]). Pin the allocators: never trim, keep large
-        # allocations in the arena, use the (glibc) system pool for
-        # Arrow. Workers inherit this env through the gateway JVM.
-        os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-        os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
-        os.environ.setdefault("MALLOC_ARENA_MAX", "4")
-        os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
         spark = _session(cpus, pretouch=True)
         # warm-up on a 1/8-size corpus: the cold first execution pays
         # JIT/codegen/python-worker spawn, whose cost is per compiled
