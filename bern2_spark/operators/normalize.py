@@ -78,16 +78,41 @@ def stem_key(col: Column) -> Column:
     return k
 
 
+# Sieve numbers-replacement vocabulary: roman numerals and spelled
+# numbers normalize to digits ('type II'/'type two' -> 'type 2').
+# Word-boundary anchored, so replacement order cannot cascade
+# ('\bii\b' never matches inside 'iii').
+NUM_SUBS = [("ii", "2"), ("iii", "3"), ("iv", "4"), ("vi", "6"),
+            ("vii", "7"), ("viii", "8"), ("ix", "9"),
+            ("one", "1"), ("two", "2"), ("three", "3"), ("four", "4"),
+            ("five", "5"), ("six", "6"), ("seven", "7"), ("eight", "8"),
+            ("nine", "9"), ("ten", "10")]
+
+
+def num_key(col: Column) -> Column:
+    """J3 numbers-replacement level (Sieve, D'Souza & Ng 2015):
+    'type II diabetes', 'type two diabetes', and 'type 2 diabetes'
+    key identically. Composes on the stem key so inflection and
+    number style normalize together. Bare 'i', 'v', 'x' are
+    deliberately NOT replaced (too ambiguous as tokens: 'hepatitis
+    X', factor V)."""
+    k = stem_key(col)
+    for word, digit in NUM_SUBS:
+        k = F.regexp_replace(k, r"\b" + word + r"\b", digit)
+    return k
+
+
 def swap_key(col: Column) -> Column:
-    """J3 subject/object-conversion level — Sieve level 4 (D'Souza &
+    """J3 subject/object-conversion level — Sieve level (D'Souza &
     Ng 2015): 'disorder of the lung' and 'lung disorder' key
-    identically. Built ON the stem key (so 'disorders of the lungs'
-    also matches) by swapping around the FIRST ' of [the] ' — the
-    non-greedy (.+?) pins that choice identically in Java regex and
-    RE2, so the DuckDB oracle runs the same pattern. Names without a
-    preposition pass through unchanged, which is what makes one
-    lookup table serve both directions."""
-    return F.regexp_replace(stem_key(col),
+    identically. Built ON the number-normalized stem key (so
+    'disorders of the type two lungs' also matches) by swapping
+    around the FIRST ' of [the] ' — the non-greedy (.+?) pins that
+    choice identically in Java regex and RE2, so the DuckDB oracle
+    runs the same pattern. Names without a preposition pass through
+    unchanged, which is what makes one lookup table serve both
+    directions."""
+    return F.regexp_replace(num_key(col),
                             r"^(.+?) of (?:the )?(.+)$", "$2 $1")
 
 
@@ -126,12 +151,16 @@ def build_lookup_tables(lexicon: DataFrame) -> dict:
                   .filter(F.col("ent_type") == "disease")
                   .select("ent_type", stem_key(F.col("name")).alias("key"),
                           "cui"))
+    num = _dedup(lexicon
+                 .filter(F.col("ent_type") == "disease")
+                 .select("ent_type", num_key(F.col("name")).alias("key"),
+                         "cui"))
     swap = _dedup(lexicon
                   .filter(F.col("ent_type") == "disease")
                   .select("ent_type", swap_key(F.col("name")).alias("key"),
                           "cui"))
     return {"exact": exact, "tmchem": tmchem, "biosyn": biosyn,
-            "stem": stem, "swap": swap}
+            "stem": stem, "num": num, "swap": swap}
 
 
 # ----------------------------------------------- gene taxon context (J4)
@@ -238,6 +267,8 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
     # ('lung cancers') resolves when every stricter level missed
     # (Sieve level ordering)
     m = lkp(m, "stem", "stem", stem_key(F.col("k_surface")))
+    # J3 numbers replacement: 'type II/type two' <-> 'type 2'
+    m = lkp(m, "num", "num", num_key(F.col("k_surface")))
     # J3 subject/object conversion, the lowest-priority level:
     # 'disorder of the lung' <-> 'lung disorder'
     m = lkp(m, "swap", "swap", swap_key(F.col("k_surface")))
