@@ -38,14 +38,24 @@ def _materialize(df) -> int:
     return df.count()
 
 
-def _run_once(spark, sf_dir: str, names) -> tuple[dict, dict]:
+def _run_once(spark, sf_dir: str, names) -> tuple[dict, dict, dict]:
+    """Fault-isolated: one broken query records {"err": ...} and the
+    rest still get timed — a single regression must never erase the
+    whole round's perf evidence (the round-3 BENCH failure mode)."""
     from bern2_spark.queries import QUERIES
-    times, counts = {}, {}
+    times, counts, errs = {}, {}, {}
     for name in names:
         t0 = time.perf_counter()
-        counts[name] = _materialize(QUERIES[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
-    return times, counts
+        try:
+            counts[name] = _materialize(QUERIES[name](spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            times[name] = None
+            counts[name] = None
+            errs[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: query {name} FAILED: {errs[name]}",
+                  file=sys.stderr)
+    return times, counts, errs
 
 
 def _session(cpus: int, pretouch: bool = False):
@@ -161,10 +171,17 @@ def main() -> None:
               HEADLINE)
     # best-of-2 at the target sf: first execution of a new plan pays
     # JIT/codegen/persist setup; steady-state is the honest throughput
-    times_a, counts = _run_once(spark, sf_dir, HEADLINE)
-    times_b, _ = _run_once(spark, sf_dir, HEADLINE)
-    times = {k: min(times_a[k], times_b[k]) for k in times_a}
-    total = round(sum(times.values()), 3)
+    times_a, counts, errs_a = _run_once(spark, sf_dir, HEADLINE)
+    times_b, counts_b, errs_b = _run_once(spark, sf_dir, HEADLINE)
+    counts = {k: counts[k] if counts[k] is not None else counts_b[k]
+              for k in counts}
+    times = {k: min([t for t in (times_a[k], times_b[k])
+                     if t is not None], default=None)
+             for k in times_a}
+    errs = {k: errs_a.get(k) or errs_b.get(k)
+            for k in set(errs_a) | set(errs_b)
+            if times[k] is None}
+    total = round(sum(t for t in times.values() if t is not None), 3)
     kg_sec = times["kg_pipeline_triples"]
     triples = counts["kg_pipeline_triples"]
     out = {
@@ -175,8 +192,11 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "triples": triples,
-        "triples_per_sec": round(triples / kg_sec, 1) if kg_sec else None,
+        "triples_per_sec": (round(triples / kg_sec, 1)
+                            if kg_sec and triples else None),
     }
+    if errs:
+        out["errors"] = errs
     print(json.dumps(out))
     spark.stop()
 

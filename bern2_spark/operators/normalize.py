@@ -285,7 +285,7 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
 
     raw_cui = F.coalesce(*gene_cols, "cui_exact", "cui_lower",
                          "cui_tmchem", "cui_biosyn", "cui_stem",
-                         "cui_swap")
+                         "cui_num", "cui_swap")
 
     cui = (
         F.when(F.col("ent_type") == "mutation",
@@ -303,4 +303,5 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
     return (m.withColumn("cui", cui)
              .withColumn("is_neural_normalized", F.lit(False))
              .drop("k_surface", "cui_exact", "cui_lower", "cui_tmchem",
-                   "cui_biosyn", "cui_stem", "cui_swap", *gene_cols))
+                   "cui_biosyn", "cui_stem", "cui_num", "cui_swap",
+                   *gene_cols))

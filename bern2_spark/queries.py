@@ -217,16 +217,22 @@ DISEASE_SIEVE_LEX = [
     # 'disorder of the stream(s)' -> swap level (subject/object
     # conversion): both sides key to 'stream disorder'
     ("MESH:D600", "stream disorder"),
+    # 'type ii stream' / 'type two streams' -> numbers-replacement
+    # level: roman/spelled numbers normalize to digits before lookup
+    ("MESH:D700", "type 2 stream"),
 ]
 
 
 def _j3_oracle() -> str:
-    """DuckDB twin of the 4-level disease sieve (exact -> lower ->
-    biosyn -> stem). Lexicon-side keys are precomputed in Python (the
-    names are plan literals); the mention-side keys run the SAME regex
-    patterns under RE2 ('\\1' backrefs) that Spark runs under Java
-    ('$1')."""
+    """DuckDB twin of the 6-level disease sieve (exact -> lower ->
+    biosyn -> stem -> num -> swap). Lexicon-side keys are precomputed
+    in Python (the names are plan literals); the mention-side keys run
+    the SAME regex patterns under RE2 ('\\1' backrefs) that Spark runs
+    under Java ('$1'). The swap key composes on the NUM key, exactly
+    as operators/normalize.py swap_key does."""
     import re
+
+    from bern2_spark.operators.normalize import NUM_SUBS
 
     def pyb(s):
         return re.sub(r"[\s!-/:-@\[-`{-~]+", " ", s.lower()).strip()
@@ -238,28 +244,48 @@ def _j3_oracle() -> str:
         k = re.sub(r"([a-z]{2}[a-rt-z])s\b", r"\1", k)
         return k
 
-    def pyw(s):
-        return re.sub(r"^(.+?) of (?:the )?(.+)$", r"\2 \1", pys(s))
+    def pyn(s):
+        k = pys(s)
+        for word, digit in NUM_SUBS:
+            k = re.sub(r"\b" + word + r"\b", digit, k)
+        return k
 
-    rows = ", ".join(f"('{c}', '{n}', '{pyb(n)}', '{pys(n)}', '{pyw(n)}')"
-                     for c, n in DISEASE_SIEVE_LEX)
+    def pyw(s):
+        return re.sub(r"^(.+?) of (?:the )?(.+)$", r"\2 \1", pyn(s))
+
+    rows = ", ".join(
+        f"('{c}', '{n}', '{pyb(n)}', '{pys(n)}', '{pyn(n)}', '{pyw(n)}')"
+        for c, n in DISEASE_SIEVE_LEX)
+    # the mention-side num key: chained word-boundary replacements on
+    # the stem key — identical rule list, identical order
+    nk_expr = "stk"
+    for word, digit in NUM_SUBS:
+        nk_expr = (f"regexp_replace({nk_expr}, "
+                   f"'\\b{word}\\b', '{digit}', 'g')")
     return f"""
 WITH base AS (
   SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, t AS w
   FROM (SELECT doc_id, unnest({_WS_WORDS_SQL}) AS t FROM documents)
 ),
+pl AS (
+  SELECT doc_id, w,
+         CASE WHEN regexp_matches(w, 'y$')
+                THEN substr(w, 1, length(w) - 1) || 'ies'
+              WHEN regexp_matches(w, '(s|x|z|ch|sh)$') THEN w || 'es'
+              ELSE w || 's' END AS wp
+  FROM base
+),
 words AS (
   SELECT DISTINCT doc_id, word FROM (
-    SELECT doc_id, w AS word FROM base
+    SELECT doc_id, w AS word FROM pl
     UNION ALL
-    SELECT doc_id,
-           CASE WHEN regexp_matches(w, 'y$')
-                  THEN substr(w, 1, length(w) - 1) || 'ies'
-                WHEN regexp_matches(w, '(s|x|z|ch|sh)$') THEN w || 'es'
-                ELSE w || 's' END
-    FROM base
+    SELECT doc_id, wp FROM pl
     UNION ALL
-    SELECT doc_id, 'disorder of the ' || w FROM base)
+    SELECT doc_id, 'disorder of the ' || w FROM pl
+    UNION ALL
+    SELECT doc_id, 'type ii ' || w FROM pl
+    UNION ALL
+    SELECT doc_id, 'type two ' || wp FROM pl)
 ),
 keys AS (
   SELECT doc_id, word,
@@ -275,19 +301,26 @@ sk AS (
            '([a-z]{{2}}[a-rt-z])s\\b', '\\1', 'g') AS stk
   FROM keys
 ),
-wk AS (
-  SELECT doc_id, word, bk, stk,
-         regexp_replace(stk, '^(.+?) of (?:the )?(.+)$', '\\2 \\1') AS swk
+nk AS (
+  SELECT doc_id, word, bk, stk, {nk_expr} AS nmk
   FROM sk
 ),
-lex AS (SELECT * FROM (VALUES {rows}) t(cui, name, bname, sname, wname))
+wk AS (
+  SELECT doc_id, word, bk, stk, nmk,
+         regexp_replace(nmk, '^(.+?) of (?:the )?(.+)$', '\\2 \\1') AS swk
+  FROM nk
+),
+lex AS (SELECT * FROM (VALUES {rows})
+        t(cui, name, bname, sname, nname, wname))
 SELECT s.doc_id, s.word,
-       coalesce(e.cui, l.cui, b.cui, st.cui, sw.cui, 'CUI-less') AS cui
+       coalesce(e.cui, l.cui, b.cui, st.cui, n.cui, sw.cui,
+                'CUI-less') AS cui
 FROM wk s
 LEFT JOIN lex e  ON s.word = e.name
 LEFT JOIN lex l  ON lower(s.word) = l.name
 LEFT JOIN lex b  ON s.bk = b.bname
 LEFT JOIN lex st ON s.stk = st.sname
+LEFT JOIN lex n  ON s.nmk = n.nname
 LEFT JOIN lex sw ON s.swk = sw.wname
 """
 
@@ -303,7 +336,9 @@ def j3_disease_sieve(spark, sf_dir):
     identically in both engines), so every rule resolves real rows:
     'streams'/'joins' (s-strip), 'batches'/'hashes' (sibilant),
     'queries' (ies->y), 'disorder of the stream' (swap -> 'stream
-    disorder') — all CUI-less until their level fires."""
+    disorder'), 'type ii stream'/'type two streams' (numbers
+    replacement, composing with stemming) — all CUI-less until their
+    level fires."""
     from bern2_spark import schemas
     from bern2_spark.operators.normalize import normalize_mentions
     docs = _docs(spark, sf_dir)
@@ -318,8 +353,11 @@ def j3_disease_sieve(spark, sf_dir):
                     F.concat(F.col("w"), F.lit("es")))
               .otherwise(F.concat(F.col("w"), F.lit("s"))))
     phrase = F.concat(F.lit("disorder of the "), F.col("w"))
+    roman = F.concat(F.lit("type ii "), F.col("w"))
+    spelled = F.concat(F.lit("type two "), plural)
     words = (base.select("doc_id",
-                         F.explode(F.array(F.col("w"), plural, phrase))
+                         F.explode(F.array(F.col("w"), plural, phrase,
+                                           roman, spelled))
                          .alias("word"))
              .distinct())
     m = words.select(

@@ -17,6 +17,7 @@ LEX = [
     ("cell_type", "CL_7", "T cell"),
     ("disease", "MESH:D1", "Alpha Syndrome"),
     ("disease", "MESH:D2", "beta-osis"),
+    ("disease", "MESH:D3", "Type 2 Gammaopathy"),
     ("gene", "7157", "p53"),
     ("gene", "1956-2", "egfr"),
 ]
@@ -61,6 +62,14 @@ CASES = [
     ("disease", "Syndrome of the alpha", "MESH:D1"),
     ("disease", "syndromes of alphas", "MESH:D1"),
     ("disease", "syndrome of the gamma", "CUI-less"),
+    # J3 numbers-replacement (Sieve level): roman/spelled numbers
+    # normalize to digits; composes with stemming (plural forms)
+    ("disease", "type II Gammaopathy", "MESH:D3"),
+    ("disease", "Type two gammaopathies", "MESH:D3"),
+    # bare roman 'v' deliberately not substituted (ambiguous token)
+    ("disease", "type v gammaopathy", "CUI-less"),
+    # num is disease-only, like every non-exact Sieve level
+    ("drug", "type two gammaopathy", "CUI-less"),
     # stem level is disease-ONLY (the Sieve jar is the disease
     # normalizer): a plural species surface must NOT resolve via stem
     ("species", "Homo sapienss", "CUI-less"),
@@ -81,6 +90,31 @@ def test_sieve_cases(spark):
     for t, s, want in CASES:
         assert got[(t, s)] == want, (t, s, got[(t, s)])
     assert all(r.is_neural_normalized is False for r in out)
+
+
+def test_normalized_schema_no_leak(spark):
+    """Guard: normalize_mentions must emit EXACTLY schemas.NORMALIZED —
+    a sieve level that joins a cui_<level> column and forgets to drop
+    it breaks unionByName downstream (the round-3 cui_num regression)."""
+    m = mk_mentions(spark, [("d", "disease", "alpha syndrome")])
+    lex = spark.createDataFrame(LEX, schemas.LEXICON)
+    out = normalize_mentions(m, lex)
+    want = [f.name for f in schemas.NORMALIZED.fields]
+    assert sorted(out.columns) == sorted(want), out.columns
+    assert len(out.columns) == len(want)
+
+
+def test_j3_num_level_resolves_rows(spark):
+    """The numbers-replacement level must have real green rows in the
+    driver query (a level with no exercising data is unverified):
+    'type ii stream' / 'type two streams' -> 'type 2 stream' -> D700."""
+    from bern2_spark.queries import QUERIES
+    out = QUERIES["j3_disease_sieve"](spark, "/root/testdata/sf0.001")
+    hits = (out.filter(F.col("cui") == "MESH:D700")
+               .select("word").distinct().collect())
+    words = {r.word for r in hits}
+    assert any(w.startswith("type ii ") for w in words), words
+    assert any(w.startswith("type two ") for w in words), words
 
 
 def test_mutation_passthrough(spark):
