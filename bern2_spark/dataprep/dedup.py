@@ -181,7 +181,8 @@ def ngram_jaccard_pairs(docs: DataFrame = None, candidates: DataFrame = None,
 def lsh_verified_pairs(docs: DataFrame, text_col: str = "text",
                        num_hashes: int = 16, rows_per_band: int = 4,
                        shingle_n: int = 3,
-                       threshold: float = 0.8) -> DataFrame:
+                       threshold: float = 0.8,
+                       track_persisted: list | None = None) -> DataFrame:
     """The production dedup composition: MinHash-LSH candidates ->
     exact Jaccard verify constrained by the candidate list — with the
     shingle subtree computed ONCE and persisted, feeding both stages.
@@ -191,10 +192,18 @@ def lsh_verified_pairs(docs: DataFrame, text_col: str = "text",
     that is two full corpus scans where one suffices (this was the
     slowest headline query at sf0.1 before sharing).  The persisted
     artifact is the distinct (doc_id, shingle) table — small relative
-    to the corpus (strings of ~3 tokens), spillable to disk."""
+    to the corpus (strings of ~3 tokens), spillable to disk.
+
+    ``track_persisted``: pass a list to receive the persisted shingle
+    DataFrame so the caller can ``unpersist()`` it once the result is
+    materialized (same contract as apply_abbreviation_level) —
+    otherwise each invocation leaks one cached copy for the session
+    lifetime (e.g. repeated bench runs)."""
     from pyspark import StorageLevel
     sh = (shingle_table(docs, text_col, shingle_n)
           .persist(StorageLevel.MEMORY_AND_DISK))
+    if track_persisted is not None:
+        track_persisted.append(sh)
     cands = minhash_lsh_pairs(num_hashes=num_hashes,
                               rows_per_band=rows_per_band,
                               shingle_df=sh)

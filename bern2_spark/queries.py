@@ -1260,16 +1260,97 @@ def ann_ivf_probed(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
-@q("ann_ivf_trained")
+def _trained_ivf_oracle(k_cent: int = 8, iters: int = 2,
+                        n_probe: int = 2, dim: int = 64,
+                        k: int = 5) -> Optional[str]:
+    """DuckDB oracle for the TRAINED-IVF query: an independent numpy
+    re-implementation of the deterministic Lloyd's training (smallest-id
+    init, s = ||c||^2 - 2 v.c assignment with index tiebreak, per-cell
+    component means, empty cells keep their centroid) runs over the
+    same embeddings parquet at oracle-construction time; the trained
+    centroids then become plan literals in the SAME assignment + probe
+    + re-rank SQL as _ivf_oracle. Only Lloyd's-iteration determinism
+    stays pytest-only (test_kmeans_trained_ivf); the query itself is
+    hash-checkable. Returns None (rows-only fallback) if the sf dir is
+    not present at import time."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF",
+                            "/root/testdata/sf0.01").rstrip("/")
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{path}') "
+        f"ORDER BY vec_id").fetchall()
+    con.close()
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = vecs[:k_cent].copy()
+    for _ in range(iters):
+        # s = ||c||^2 - 2 v.c ; np.argmin takes the first (smallest
+        # index) minimum, matching ivf_assign's (s, i) tiebreak
+        s = (cents * cents).sum(axis=1)[None, :] - 2.0 * (vecs @ cents.T)
+        cell = np.argmin(s, axis=1)
+        for i in range(k_cent):
+            members = vecs[cell == i]
+            if len(members):
+                cents[i] = members.mean(axis=0)
+    vals = ", ".join(
+        f"({i}, {[float(x) for x in c]!r}::DOUBLE[], "
+        f"{float((c * c).sum())!r})"
+        for i, c in enumerate(cents))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES {vals}) c(i, arr, c2)),
+sc AS (
+  SELECT e.vec_id, e.v, c.i,
+         c.c2 - 2 * list_dot_product(e.v, c.arr) AS s
+  FROM e, cent c
+),
+cells AS (
+  SELECT vec_id, v, i AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s, i) AS rn FROM sc)
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, v, i AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s, i) AS rn
+        FROM sc WHERE vec_id % 97 = 0)
+  WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v))
+          * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM qprobe q JOIN cells c
+    ON q.cell = c.cell AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@q("ann_ivf_trained", _trained_ivf_oracle())
 def ann_ivf_trained(spark, sf_dir):
     """IVF with k-means-TRAINED centroids (2 Lloyd's iterations,
     deterministic smallest-id init) — the production configuration the
     reference uses (faiss IVF, nlist=2048 trained offline,
-    normalizers/neural_normalizer.py:145-158). Iterative training is
-    not SQL-expressible in one statement, so this query has no DuckDB
-    oracle (driver rows-only check); training determinism + better
-    cell balance than the seed centroids + a recall floor are
-    asserted in tests/test_dataprep.py."""
+    normalizers/neural_normalizer.py:145-158). The DuckDB oracle
+    (_trained_ivf_oracle) trains the same centroids independently in
+    numpy and verifies assignment + probe + re-rank by hash; Lloyd's
+    iteration determinism is additionally asserted in
+    tests/test_dataprep.py."""
     from bern2_spark.dataprep.similarity import ivf_topk, kmeans_train
     emb = _emb(spark, sf_dir).select(
         "vec_id",

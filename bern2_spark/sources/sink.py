@@ -85,7 +85,12 @@ class CheckpointedSink:
         return bool(self._manifest(stage)["runs"])
 
     def committed_paths(self, stage: str) -> List[str]:
-        return [r["path"] for r in self._manifest(stage)["runs"]]
+        """Filesystem run dirs only: catalog-mode runs record a
+        "table" identifier and no "path" (lineage then belongs to the
+        catalog's snapshot log), so they are skipped rather than
+        raising on a mixed or catalog-mode base_dir."""
+        return [r["path"] for r in self._manifest(stage)["runs"]
+                if "path" in r]
 
     def write_stage(self, df: DataFrame, stage: str,
                     partition_by: Optional[List[str]] = None,

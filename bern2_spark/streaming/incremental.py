@@ -61,30 +61,68 @@ def stream_documents(spark: SparkSession, input_dir: str,
 def stream_cooccurrence(spark: SparkSession, triples_dir: str,
                         out_dir: str, checkpoint_dir: str,
                         available_now: bool = True):
-    """Incremental KG-edge maintenance: a stream of NEW triples (each
-    doc appears in exactly one batch — the pipeline's append-only
-    output) keeps the co-occurrence edge table current by appending
-    per-batch edge DELTAS; ``read_cooccurrence_edges`` merges on read.
+    """Incremental KG-edge maintenance: a stream of new triples keeps
+    the co-occurrence edge table current by appending per-batch edge
+    DELTAS; ``read_cooccurrence_edges`` merges on read.
 
-    Additivity is what makes this correct: co-occurrence counts over
-    disjoint document sets sum, so per-batch deltas + a groupBy-sum on
-    read equal the batch recompute over the union (asserted in
-    tests/test_streaming.py). At scale this is the standard
-    delta+compaction pattern — readers pay a small merge until a
-    periodic compaction job rewrites the summed table; nothing
-    re-reads old documents."""
-    from bern2_spark.operators.cooccur import cooccurrence_edges
+    DOC-IDEMPOTENT deltas: nothing assumes a document's triples land in
+    one micro-batch (the file source is free to split a doc's files
+    across triggers, and upstream sinks partition triples by pred, so
+    one doc routinely spans files). The job keeps a (doc, cui) state
+    table; a batch's delta is computed only over the docs it touches:
+        delta(doc) = pairs(state ∪ batch) − pairs(state)
+    Every contribution is +1 (a doc gaining entities only ADDS pairs),
+    so deltas stay additive and groupBy-sum on read still equals the
+    batch recompute over the full input (asserted for split docs in
+    tests/test_streaming.py).
+
+    Scale shape: the state read is semi-join-pruned to the batch's
+    affected docs before the pair self-join, so per-trigger cost is
+    O(batch docs × entities-per-doc²), never corpus-proportional; the
+    delta+compaction pattern on the read side is unchanged."""
+
+    state_dir = f"{out_dir}/doc_cuis"
 
     stream = (spark.readStream
               .schema("subj string, pred string, obj string")
               .parquet(triples_dir))
 
+    def _pairs(e):
+        a = e.select("doc", F.col("cui").alias("cui_a"))
+        b = e.select("doc", F.col("cui").alias("cui_b"))
+        return a.join(b, "doc").filter(F.col("cui_a") < F.col("cui_b"))
+
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (cooccurrence_edges(batch_df)
-         .withColumn("batch_id", F.lit(batch_id))
+        ss = batch_df.sparkSession
+        new_e = (batch_df.select(F.col("subj").alias("doc"),
+                                 F.col("obj").alias("cui"))
+                 .distinct())
+        try:
+            prev = (ss.read.parquet(state_dir)
+                    .select("doc", "cui")
+                    .join(new_e.select("doc").distinct(), "doc",
+                          "semi"))
+        except Exception:  # first batch: no state yet
+            prev = ss.createDataFrame([], "doc string, cui string")
+        # the delta plan reads the CURRENT state lazily — it must be
+        # materialized (written) before the state append below, or the
+        # scan would see this batch's own state files
+        delta = (_pairs(prev.union(new_e).distinct())
+                 .subtract(_pairs(prev))
+                 .groupBy("cui_a", "cui_b")
+                 .agg(F.count("*").alias("n_docs")))
+        (delta.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{out_dir}/cooccur_delta"))
+        # materialize before appending: the plan reads state_dir, the
+        # write targets state_dir — pin the scan's file list first
+        new_state = (new_e.subtract(prev)
+                     .withColumn("batch_id", F.lit(batch_id))
+                     .persist())
+        new_state.count()
+        new_state.write.mode("append").parquet(state_dir)
+        new_state.unpersist()
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

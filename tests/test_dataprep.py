@@ -39,6 +39,21 @@ def test_ngram_jaccard(spark, docs):
     assert 0.1 <= out[(1, 3)] < 1.0
 
 
+def test_lsh_verified_track_persisted(spark, docs):
+    """lsh_verified_pairs exposes its internal shingle persist through
+    track_persisted (same contract as apply_abbreviation_level) so the
+    caller can unpersist after materialization instead of leaking the
+    cache entry for the session lifetime."""
+    from bern2_spark.dataprep.dedup import lsh_verified_pairs
+    handles = []
+    out = lsh_verified_pairs(docs, threshold=0.5, track_persisted=handles)
+    assert {(r.doc_a, r.doc_b) for r in out.collect()} >= {(1, 2)}
+    assert len(handles) == 1
+    assert handles[0].storageLevel.useMemory
+    handles[0].unpersist()
+    assert not handles[0].storageLevel.useMemory
+
+
 def test_simhash64_identical_and_near(spark, docs):
     from bern2_spark.dataprep.dedup import simhash_sketches
     sk = {r.doc_id: r.simhash for r in simhash_sketches(docs).collect()}

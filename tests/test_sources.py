@@ -130,6 +130,11 @@ def test_iceberg_probe_and_v2_table_sink(spark, tmp_path):
                 spark.createDataFrame([("d3", "has_gene", "g3")],
                                       tri.schema),
                 "triples")
+        # catalog-mode runs carry a "table" key and no "path":
+        # committed_paths must skip them (not KeyError), and
+        # read_lineage over a catalog-mode sink is a clean empty frame
+        assert sink.committed_paths("triples") == []
+        assert sink.read_lineage(spark).count() == 0
     finally:
         spark.sql(
             "DROP TABLE IF EXISTS spark_catalog.default.triples")

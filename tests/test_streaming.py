@@ -39,9 +39,11 @@ def test_streaming_incremental(spark, tmp_path):
 
 
 def test_streaming_cooccurrence_matches_batch_recompute(spark, tmp_path):
-    """Edge deltas over per-batch NEW docs + merge-on-read must equal
-    the batch co-occurrence recompute over the full triple set
-    (additivity of counts over disjoint doc sets)."""
+    """Edge deltas + merge-on-read must equal the batch co-occurrence
+    recompute over the full triple set — INCLUDING when one document's
+    triples are split across micro-batches (the file source is free to
+    do that; doc-idempotent deltas make it correct): d3 arrives in two
+    batches, and the cross-batch pairs (A,C)/(B,C) still count."""
     from bern2_spark.operators.cooccur import cooccurrence_edges
     from bern2_spark.streaming.incremental import (
         read_cooccurrence_edges, stream_cooccurrence,
@@ -51,20 +53,23 @@ def test_streaming_cooccurrence_matches_batch_recompute(spark, tmp_path):
     ckpt = str(tmp_path / "co_ckpt")
     b1 = [("d1", "has_disease", "A"), ("d1", "has_drug", "B"),
           ("d2", "has_disease", "A"), ("d2", "has_drug", "B")]
-    b2 = [("d3", "has_disease", "A"), ("d3", "has_drug", "B"),
-          ("d3", "has_gene", "C")]
+    b2 = [("d3", "has_disease", "A"), ("d3", "has_drug", "B")]
+    # d3 continues in a LATER batch: its (A,C) and (B,C) pairs exist
+    # only across the batch boundary
+    b3 = [("d3", "has_gene", "C"), ("d3", "has_drug", "B"),  # B repeats
+          ("d4", "has_gene", "C")]
     sch = "subj string, pred string, obj string"
-    spark.createDataFrame(b1, sch).write.mode("append").parquet(tin)
-    stream_cooccurrence(spark, tin, out, ckpt)
-    spark.createDataFrame(b2, sch).write.mode("append").parquet(tin)
-    stream_cooccurrence(spark, tin, out, ckpt)
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, sch).write.mode("append").parquet(tin)
+        stream_cooccurrence(spark, tin, out, ckpt)
 
     merged = {(r.cui_a, r.cui_b, r.n_docs)
               for r in read_cooccurrence_edges(spark, out).collect()}
     full = {(r.cui_a, r.cui_b, r.n_docs)
             for r in cooccurrence_edges(
-                spark.createDataFrame(b1 + b2, sch)).collect()}
+                spark.createDataFrame(b1 + b2 + b3, sch)).collect()}
     assert merged == full and ("A", "B", 3) in merged
+    assert ("A", "C", 1) in merged and ("B", "C", 1) in merged
 
 
 def test_stateful_running_totals(spark, tmp_path):
