@@ -147,7 +147,8 @@ def expand_cuiless_mentions(normalized: DataFrame,
 def apply_abbreviation_level(normalized: DataFrame, lexicon_df: DataFrame,
                              abbrevs: DataFrame,
                              track_persisted: list | None = None,
-                             early_exit_probe: bool = False) -> DataFrame:
+                             early_exit_probe: bool = False,
+                             lut: dict | None = None) -> DataFrame:
     """Full abbreviation sieve level: re-run the lexicon sieve on the
     LONG form of CUI-less short-form mentions, keep the original
     surface/span, and adopt the long form's CUI on a hit.
@@ -179,7 +180,7 @@ def apply_abbreviation_level(normalized: DataFrame, lexicon_df: DataFrame,
                 .select("doc_id", "mention_id", "ent_type", "start", "end",
                         F.col("long_form").alias("mention"), "prob",
                         "mutation_type", "normalized_name"))
-    retried = (normalize_mentions(retry_in, lexicon_df)
+    retried = (normalize_mentions(retry_in, lexicon_df, lut=lut)
                .select(F.col("mention_id").alias("_r_id"),
                        F.col("cui").alias("_r_cui")))
     out = exp.drop("long_form").join(retried,

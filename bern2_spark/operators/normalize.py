@@ -228,17 +228,24 @@ def gene_taxon_lookup(mentions: DataFrame, gene_taxa: DataFrame,
 
 def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
                        gene_taxa: Optional[DataFrame] = None,
-                       gene_context: Optional[DataFrame] = None) -> DataFrame:
+                       gene_context: Optional[DataFrame] = None,
+                       lut: Optional[dict] = None) -> DataFrame:
     """MENTIONS -> NORMALIZED (adds cui, is_neural_normalized=false).
 
-    Six broadcast left joins (exact, lower, tmchem, biosyn, stemmed,
-    subject/object-swap — the Sieve cascade in priority order) + one
-    priority coalesce; type-specific id post-processing; mutations pass
-    through with their tmVar-normalized name as cui. When ``gene_taxa``
-    (taxid, name, cui) is given, gene surfaces first probe the
-    taxon-aware dictionary under the doc's ``gene_context`` (default
-    human 9606, like the reference's jar argument)."""
-    lut = build_lookup_tables(lexicon)
+    Seven broadcast left joins (exact, lower, tmchem, biosyn, stemmed,
+    numbers, subject/object-swap — the Sieve cascade in priority order)
+    + one priority coalesce; type-specific id post-processing; mutations
+    pass through with their tmVar-normalized name as cui. When
+    ``gene_taxa`` (taxid, name, cui) is given, gene surfaces first probe
+    the taxon-aware dictionary under the doc's ``gene_context`` (default
+    human 9606, like the reference's jar argument).
+
+    ``lut``: pre-built ``build_lookup_tables`` result — pass it when
+    normalizing more than once against the same lexicon (the
+    abbreviation retry does) so the seven groupBy+broadcast LUT builds
+    run once per pipeline, not once per call."""
+    if lut is None:
+        lut = build_lookup_tables(lexicon)
 
     # P13 applied to the gene join key only (surface column unchanged)
     m = mentions.withColumn(
@@ -259,19 +266,57 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
                     "left")
                 .drop(f"_et_{suffix}", f"_key_{suffix}"))
 
+    # Hot-path key computation (measured: the naive form tripled the
+    # flagship's wall time at sf0.1). Two rules:
+    # * keys feeding a TYPE-RESTRICTED LUT are computed only for rows
+    #   of that type (NULL keys can never join — the LUT's ent_type
+    #   would have to match anyway), so non-disease mentions skip the
+    #   whole stem/num/swap chain and non-drugs skip tmchem;
+    # * each key BUILDS ON the previous one instead of recomputing it
+    #   (biosyn -> stem -> num -> swap), and the num level replaces 17
+    #   chained regexp_replace passes with one split + per-token map
+    #   lookup — equivalent on these keys because biosyn_key collapsed
+    #   every separator to a single space, so \b word-boundary matches
+    #   coincide with whole space-tokens, and no NUM_SUBS replacement
+    #   can create a later match (digits never form letter words).
+    is_dis = F.col("ent_type") == "disease"
+    num_map = F.create_map(*[F.lit(x) for w, d in NUM_SUBS
+                             for x in (w, d)])
+    m = m.withColumn("k_bio", F.when(is_dis,
+                                     biosyn_key(F.col("k_surface"))))
+    m = (m.withColumn(
+            "k_stem",
+            F.regexp_replace(F.regexp_replace(F.regexp_replace(
+                F.col("k_bio"),
+                r"([a-z]{2})ies\b", "$1y"),
+                r"([a-z](?:[sxz]|ch|sh))es\b", "$1"),
+                r"([a-z]{2}[a-rt-z])s\b", "$1"))
+         .withColumn(
+            "k_num",
+            F.array_join(
+                F.transform(F.split(F.col("k_stem"), " "),
+                            lambda t: F.coalesce(
+                                F.element_at(num_map, t), t)),
+                " "))
+         .withColumn(
+            "k_swap",
+            F.regexp_replace(F.col("k_num"),
+                             r"^(.+?) of (?:the )?(.+)$", "$2 $1")))
     m = lkp(m, "exact", "exact", F.col("k_surface"))
     m = lkp(m, "exact", "lower", F.lower(F.col("k_surface")))
-    m = lkp(m, "tmchem", "tmchem", tmchem_key(F.col("k_surface")))
-    m = lkp(m, "biosyn", "biosyn", biosyn_key(F.col("k_surface")))
+    m = lkp(m, "tmchem", "tmchem",
+            F.when(F.col("ent_type") == "drug",
+                   tmchem_key(F.col("k_surface"))))
+    m = lkp(m, "biosyn", "biosyn", F.col("k_bio"))
     # J3 stemmed level: disease-only LUT — an inflected surface
     # ('lung cancers') resolves when every stricter level missed
     # (Sieve level ordering)
-    m = lkp(m, "stem", "stem", stem_key(F.col("k_surface")))
+    m = lkp(m, "stem", "stem", F.col("k_stem"))
     # J3 numbers replacement: 'type II/type two' <-> 'type 2'
-    m = lkp(m, "num", "num", num_key(F.col("k_surface")))
+    m = lkp(m, "num", "num", F.col("k_num"))
     # J3 subject/object conversion, the lowest-priority level:
     # 'disorder of the lung' <-> 'lung disorder'
-    m = lkp(m, "swap", "swap", swap_key(F.col("k_surface")))
+    m = lkp(m, "swap", "swap", F.col("k_swap"))
 
     gene_cols = []
     if gene_taxa is not None:
@@ -302,6 +347,7 @@ def normalize_mentions(mentions: DataFrame, lexicon: DataFrame,
 
     return (m.withColumn("cui", cui)
              .withColumn("is_neural_normalized", F.lit(False))
-             .drop("k_surface", "cui_exact", "cui_lower", "cui_tmchem",
+             .drop("k_surface", "k_bio", "k_stem", "k_num", "k_swap",
+                   "cui_exact", "cui_lower", "cui_tmchem",
                    "cui_biosyn", "cui_stem", "cui_num", "cui_swap",
                    *gene_cols))

@@ -100,7 +100,15 @@ def run_pipeline(documents: DataFrame,
     muts = detect_mutations(pre)
 
     # Stage 4+5 on NER mentions; mutations carry tmVar normalization.
-    ner_norm = normalize_mentions(ner, lexicon_df)
+    # The seven sieve LUT plans are built ONCE and shared between the
+    # main sieve and the abbreviation retry: identical broadcast
+    # subtrees then dedupe via ReusedExchange instead of re-running
+    # their groupBys. (Deliberately NOT persisted: caching tiny LUTs
+    # replaces free exchange reuse with per-run cache-materialization
+    # jobs — measured 2x worse on the flagship.)
+    from bern2_spark.operators.normalize import build_lookup_tables
+    lut = build_lookup_tables(lexicon_df)
+    ner_norm = normalize_mentions(ner, lexicon_df, lut=lut)
     # Downstream stages consume this subtree several times (the
     # abbreviation level joins it against a retried copy of itself; the
     # neural stage reads it for distinct surfaces AND as the join-back
@@ -116,7 +124,7 @@ def run_pipeline(documents: DataFrame,
         )
         ner_norm = apply_abbreviation_level(
             ner_norm, lexicon_df, abbreviation_table(pre),
-            track_persisted=persisted)
+            track_persisted=persisted, lut=lut)
         # the expanded tree again feeds two consumers below
         ner_norm = ner_norm.persist()
         persisted.append(ner_norm)

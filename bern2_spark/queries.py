@@ -2130,3 +2130,45 @@ def kg_pipeline_triples(spark, sf_dir):
     # lexicon over the driver-corpus vocabulary so the run produces real
     # mention/triple volume (incl. CUI-less -> neural fallback traffic)
     return run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark).triples
+
+
+@q("kg_pubannotation",
+   _golden_sql("pubannotation_rows",
+               'sourceid, ann_idx, begin, "end", obj, ids, mention, '
+               'prob, is_neural_normalized'))
+def kg_pubannotation(spark, sf_dir):
+    """J8/output contract — the PubAnnotation emission, driver-visible:
+    the flagship pipeline's annotations shaped into nested PubAnnotation
+    documents (reference bern2/convert.py:263-335 — per-doc annotations
+    array double-sorted by (span.begin, obj), multi-CUI ids as arrays),
+    then flattened with posexplode so the per-doc ORDER (ann_idx) and
+    the id arrays (joined with '|') are hash-checkable flat columns.
+    The nested shape itself deep-equals the reference's own committed
+    server output in tests/test_pubannotation.py; oracle = pinned
+    golden regenerated under tools/make_golden.py's parity gate."""
+    from bern2_spark import corpus
+    from bern2_spark.operators.postprocess import to_pubannotation
+    from bern2_spark.pipeline import run_pipeline
+    docs = _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+    res = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark)
+    pa_docs = to_pubannotation(res.annotations,
+                               res.docs.select("doc_id", "text"))
+    return (pa_docs
+            .select("sourceid",
+                    F.posexplode("annotations").alias("ann_idx", "a"))
+            .select("sourceid",
+                    F.col("ann_idx").cast("int").alias("ann_idx"),
+                    F.col("a.span.begin").alias("begin"),
+                    F.col("a.span.end").alias("end"),
+                    F.col("a.obj").alias("obj"),
+                    F.array_join("a.id", "|").alias("ids"),
+                    F.col("a.mention").alias("mention"),
+                    F.col("a.prob").alias("prob"),
+                    F.col("a.is_neural_normalized")
+                    .alias("is_neural_normalized")))

@@ -5,6 +5,13 @@ import sys
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+# sf-dependent oracles (pinned goldens, the trained-IVF centroid
+# literals) resolve their data dir from this env var at queries.py
+# IMPORT time — pin it here, before any test module import can pull
+# bern2_spark.queries in (collection order is alphabetical, so a module
+# importing queries before test_entry.py would otherwise freeze the
+# oracles at the wrong SF)
+os.environ.setdefault("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

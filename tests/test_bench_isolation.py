@@ -2,11 +2,13 @@
 timings of the others (the round-3 BENCH_r03 failure mode, where a
 single plan-time AnalysisException zeroed the whole artifact)."""
 
-import bench
-from bern2_spark import queries as q
-
-
 def test_run_once_isolates_failures(spark, monkeypatch):
+    # imports INSIDE the test: a module-level queries import would run
+    # at collection time, before conftest's SPARK_GRAFT_TEST_SF pin is
+    # visible to later modules' import-time oracle construction
+    import bench
+    from bern2_spark import queries as q
+
     def boom(spark_, sf_dir_):
         raise RuntimeError("deliberately broken")
 

@@ -113,6 +113,28 @@ def main() -> None:
         out = os.path.join(GOLDEN_DIR, f"m1_real_mentions_{sf}.parquet")
         pq.write_table(mtable, out)
         print(f"{out}: {mtable.num_rows} rows")
+
+        # PubAnnotation golden: flattened output-contract rows (per-doc
+        # (begin, obj) ordering as ann_idx, id arrays joined); the
+        # nested shape deep-equals the reference's committed server
+        # output in tests/test_pubannotation.py
+        pub = QUERIES["kg_pubannotation"](spark, f"/root/testdata/{sf}")
+        prows = sorted(map(tuple, pub.collect()))
+        ptable = pa.table({
+            "sourceid": pa.array([r[0] for r in prows], pa.string()),
+            "ann_idx": pa.array([r[1] for r in prows], pa.int32()),
+            "begin": pa.array([r[2] for r in prows], pa.int32()),
+            "end": pa.array([r[3] for r in prows], pa.int32()),
+            "obj": pa.array([r[4] for r in prows], pa.string()),
+            "ids": pa.array([r[5] for r in prows], pa.string()),
+            "mention": pa.array([r[6] for r in prows], pa.string()),
+            "prob": pa.array([r[7] for r in prows], pa.float64()),
+            "is_neural_normalized": pa.array(
+                [r[8] for r in prows], pa.bool_()),
+        })
+        out = os.path.join(GOLDEN_DIR, f"pubannotation_rows_{sf}.parquet")
+        pq.write_table(ptable, out)
+        print(f"{out}: {ptable.num_rows} rows")
     spark.stop()
 
 
