@@ -2172,3 +2172,129 @@ def kg_pubannotation(spark, sf_dir):
                     F.col("a.prob").alias("prob"),
                     F.col("a.is_neural_normalized")
                     .alias("is_neural_normalized")))
+
+
+# ------------------------------------------------- cluster resolution
+
+# synthetic pair graph over the documents table: chains of 10
+# consecutive ids every 50 (edge i->i+1 while i%50 < 9), a bridge edge
+# every 100 ids merging a chain with an otherwise-isolated node
+# (i -> i+25), and reversed duplicate edges (i+1 -> i at i%50 == 3) so
+# the operator's undirected-dedup step is exercised
+_CC_PAIRS_SQL = """
+  SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+  WHERE doc_id % 50 < 9
+  UNION ALL
+  SELECT doc_id, doc_id + 25 FROM documents WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT doc_id + 1, doc_id FROM documents WHERE doc_id % 50 = 3
+"""
+
+
+@q("dedup_components", f"""
+WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, min(comp) AS component
+FROM reach GROUP BY node
+""")
+def dedup_components(spark, sf_dir):
+    """Connected components over a dedup pair table: every node gets
+    the min doc_id reachable (dataprep/cluster.py — min-label hooking
+    + pointer jumping + edge contraction, O(log n) rounds, edge table
+    shrinks monotonically so late rounds shuffle only the un-converged
+    core). The DuckDB twin is a recursive CTE computing min-reachable
+    per node — a genuinely different formulation, so a hash match
+    validates the fixed point, not the iteration."""
+    from bern2_spark.dataprep.cluster import connected_components
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    pairs = (d.filter(did % 50 < 9)
+             .select(did.alias("doc_a"), (did + 1).alias("doc_b"))
+             .unionByName(
+                 d.filter(did % 100 == 0)
+                 .select(did.alias("doc_a"), (did + 25).alias("doc_b")))
+             .unionByName(
+                 d.filter(did % 50 == 3)
+                 .select((did + 1).alias("doc_a"), did.alias("doc_b"))))
+    return connected_components(pairs)
+
+
+@q("dedup_canonical_keep", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+keep AS (SELECT min(doc_id) AS doc_id FROM docs2 GROUP BY text)
+SELECT d.doc_id, md5(d.text) AS text_hash
+FROM docs2 d JOIN keep k ON d.doc_id = k.doc_id
+""")
+def dedup_canonical_keep(spark, sf_dir):
+    """PAIRS -> deduplicated corpus, end to end: exact-dup pairs from
+    a self-join on md5(text) (never on raw text — at 100 TB the join
+    key must be a fixed-width digest, not document bodies), clustered
+    by connected_components, then one representative (min doc_id) per
+    cluster kept; unpaired docs pass through. The oracle states the
+    fixed point directly: survivors are exactly argmin(doc_id) per
+    text group."""
+    from bern2_spark.dataprep.cluster import dedup_keep_canonical
+    docs = _dup_docs(spark, sf_dir)
+    keyed = docs.select("doc_id", F.md5("text").alias("h"))
+    pairs = (keyed.alias("a")
+             .join(keyed.alias("b"), "h")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    return (dedup_keep_canonical(docs, pairs)
+            .select("doc_id", F.md5("text").alias("text_hash")))
+
+
+# cross-engine [0,1) bucket for the split oracle: plain-arithmetic
+# multiplicative hash (Knuth 2654435761) salted by the stratum's two
+# ascii codes — bit-identical in Spark and DuckDB because it is pure
+# BIGINT arithmetic + one exact power-of-two division (xxhash64, the
+# operator's default bucket, exists only in Spark)
+_SPLIT_U_SQL = ("((doc_id * 2654435761 + ascii(substr(lang, 1, 1)) * 65599"
+                " + ascii(substr(lang, 2, 1))) % 4294967296)"
+                " / 4294967296.0")
+_SPLIT_WEIGHTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def _split_case_sql(u_sql, weights):
+    # accumulate thresholds with the SAME float additions the Spark
+    # operator performs, so both engines compare against identical
+    # doubles (0.8 + 0.1 is 0.9000000000000001, not 0.9)
+    edges, acc = [], 0.0
+    for name, w in weights:
+        acc += w
+        edges.append((name, acc))
+    clauses = " ".join(f"WHEN {u_sql} < {hi!r} THEN '{name}'"
+                       for name, hi in edges[:-1])
+    return f"CASE {clauses} ELSE '{edges[-1][0]}' END"
+
+
+@q("split_stratified", f"""
+SELECT doc_id, lang, {_split_case_sql(_SPLIT_U_SQL, _SPLIT_WEIGHTS)} AS split
+FROM documents
+""")
+def split_stratified(spark, sf_dir):
+    """Deterministic stratified train/val/test assignment
+    (dataprep/cluster.py): hash bucketing salted per stratum (lang),
+    no RNG and no sampling shuffle, so the split is a pure function of
+    the row — stable across runs, partitionings, and cluster sizes.
+    The driver query passes the arithmetic bucket override; pytest
+    covers the xxhash64 default and per-stratum proportions."""
+    from bern2_spark.dataprep.cluster import stratified_split
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    u = ((F.col("doc_id") * F.lit(2654435761)
+          + F.ascii(F.substring("lang", 1, 1)) * F.lit(65599)
+          + F.ascii(F.substring("lang", 2, 1)))
+         % F.lit(4294967296)).cast("double") / F.lit(4294967296.0)
+    return (stratified_split(d, _SPLIT_WEIGHTS, strata_col="lang",
+                             bucket=u)
+            .select("doc_id", "lang", "split"))

@@ -282,3 +282,60 @@ def test_cooccurrence_edges(spark):
     assert nm[("A", "B")] == 1.0
     # B in 3/3 docs, C in 1/3, together 1/3 -> ratio 1 -> npmi exactly 0
     assert nm[("B", "C")] == 0.0
+
+
+# ---------------------------------------------------------- cluster.py
+
+def test_connected_components_chain_clique_merge(spark):
+    from bern2_spark.dataprep.cluster import connected_components
+    # chain 1-2-3-4-5, clique 10-11-12, pair 20-21 (plus a reversed
+    # duplicate edge), bridge 5-10 merging chain and clique
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21), (21, 20),
+         (5, 10)],
+        ["doc_a", "doc_b"])
+    comp = {r.doc_id: r.component
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 1, 11: 1, 12: 1,
+                    20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    from bern2_spark.dataprep.cluster import connected_components
+    # a 64-node path has diameter 63: one-hop min propagation would
+    # need >60 rounds; pointer jumping must finish well inside the cap
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  ["doc_a", "doc_b"])
+    out = connected_components(pairs, max_rounds=12).collect()
+    assert len(out) == 64
+    assert {r.component for r in out} == {0}
+
+
+def test_dedup_keep_canonical(spark, docs):
+    from bern2_spark.dataprep.cluster import dedup_keep_canonical
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    kept = {r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert kept == {1, 3, 4, 5}   # 2 dropped, unpaired docs untouched
+
+
+def test_stratified_split_proportions_and_determinism(spark):
+    from bern2_spark.dataprep.cluster import stratified_split
+    rows = [(i, "en" if i % 4 else "de") for i in range(2000)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_split(d, strata_col="lang")
+    agg = {(r.lang, r.split): r.n for r in
+           out.groupBy("lang", "split").count()
+           .withColumnRenamed("count", "n").collect()}
+    # proportions hold WITHIN each stratum despite 3:1 skew
+    for lang, total in (("en", 1500), ("de", 500)):
+        assert abs(agg.get((lang, "train"), 0) / total - 0.8) < 0.05
+        assert abs(agg.get((lang, "val"), 0) / total - 0.1) < 0.04
+        assert abs(agg.get((lang, "test"), 0) / total - 0.1) < 0.04
+    # pure function of the row: re-running yields the identical split
+    again = stratified_split(d, strata_col="lang")
+    assert (out.join(again.withColumnRenamed("split", "s2"),
+                     ["doc_id", "lang"])
+            .filter(F.col("split") != F.col("s2")).count()) == 0
