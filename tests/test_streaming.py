@@ -151,3 +151,97 @@ def test_windowed_counts_with_watermark_and_late_data(spark, tmp_path):
             for r in spark.read.parquet(out_dir).collect()}
     assert got2[4] == 11  # the late row folded into its window
     assert got2[5] == 10
+
+
+def test_stream_dedup_exact_global_and_idempotent(spark, tmp_path):
+    """History-global streaming dedup: duplicates across micro-batches
+    are dropped, survivors match batch-global dedup, and replaying a
+    micro-batch (crash/retry) does not double-append."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from bern2_spark.streaming.dedup import (read_deduped,
+                                             stream_dedup_exact)
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    # three files -> three micro-batches (maxFilesPerTrigger=1); texts
+    # t0/t1 recur across batches, t5 recurs inside one batch
+    batches = [
+        [(0, "t0"), (1, "t1"), (2, "t2")],
+        [(3, "t0"), (4, "t3"), (5, "t5"), (6, "t5")],
+        [(7, "t1"), (8, "t3"), (9, "t4")],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(inp, f"b{i}.json")
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text})
+                        + "\n")
+        # FileStreamSource orders by modification time (ties
+        # unordered) — distinct mtimes pin batch order
+        os.utime(p, (1000000 + i, 1000000 + i))
+    stream_dedup_exact(spark, inp, out, schema)
+    surv = read_deduped(spark, out)
+    texts = sorted(r.text for r in surv.collect())
+    assert texts == ["t0", "t1", "t2", "t3", "t4", "t5"]
+    # with pinned mtimes batch 0 == b0.json, so it holds the
+    # first-seen copies
+    assert {r.doc_id for r in surv.filter("batch = 0").collect()} \
+        == {0, 1, 2}
+
+    # replay batch 1 by hand (simulated retry after a crash): overwrite
+    # semantics + seen-table exclusion must yield the identical state
+    before = sorted((r.doc_id, r.text) for r in surv.collect())
+    from bern2_spark.streaming.dedup import _seen_before
+    b1 = spark.createDataFrame(batches[1], schema)
+    # re-run the foreachBatch body with the same batch_id
+    docs_dir = os.path.join(out, "docs")
+    seen_dir = os.path.join(out, "seen")
+    batch = (b1.withColumn("text_hash", F.md5(F.col("text")))
+             .dropDuplicates(["text_hash"]))
+    prev = _seen_before(spark, seen_dir, 1)
+    batch = batch.join(prev.select("text_hash"), "text_hash",
+                       "left_anti").localCheckpoint(eager=True)
+    batch.write.mode("overwrite").save(os.path.join(docs_dir, "batch=1"))
+    batch.select("text_hash").write.mode("overwrite").save(
+        os.path.join(seen_dir, "batch=1"))
+    after = sorted((r.doc_id, r.text)
+                   for r in read_deduped(spark, out).collect())
+    assert after == before
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """The watermark variant drops in-horizon duplicates and its plan
+    carries the state-eviction watermark (bounded state — streaming
+    dropDuplicates without one grows forever)."""
+    import json as _json
+
+    from bern2_spark.streaming.dedup import dedup_within_watermark
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+
+    inp = str(tmp_path / "win")
+    out_dir = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    os.makedirs(inp)
+    rows = [("2026-01-01T10:00:00", "a"), ("2026-01-01T10:01:00", "a"),
+            ("2026-01-01T10:02:00", "b")]
+    with open(os.path.join(inp, "b0.json"), "w") as f:
+        for ts, text in rows:
+            f.write(_json.dumps({"ts": ts, "text": text}) + "\n")
+    schema = StructType([StructField("ts", TimestampType()),
+                         StructField("text", StringType())])
+    stream = spark.readStream.schema(schema).json(inp)
+    deduped = dedup_within_watermark(stream, delay="10 minutes")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r.text for r in spark.read.parquet(out_dir).collect())
+    assert got == ["a", "b"]
