@@ -159,6 +159,39 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
             .drop("component"))
 
 
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       weights: Sequence[Tuple[str, float]] = (
+                           ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                       id_col: str = "doc_id",
+                       bucket_fn=None) -> DataFrame:
+    """Train/val/test assignment that can never split a duplicate
+    cluster across sets: the hash bucket is computed on the CONNECTED
+    COMPONENT label (min doc id reachable through ``pairs``), not the
+    doc id, so every member of a near-dup family lands in the same
+    set. Splitting near-dups across train and test is the classic
+    contamination bug in training-data pipelines — the eval set
+    silently contains paraphrases of training docs; hashing the
+    cluster label is the standard guard. Docs in no pair hash on
+    their own id.
+
+    ``bucket_fn``: optional ``Column -> Column`` mapping the group
+    column to a [0,1) bucket — the query layer passes the
+    plain-arithmetic hash so the DuckDB oracle reproduces the
+    assignment bit-identically; default is xxhash64."""
+    comp = connected_components(pairs)
+    grp = F.coalesce(F.col("component"), F.col(id_col))
+    if bucket_fn is None:
+        bucket = (F.pmod(F.xxhash64(grp.cast("string")), F.lit(1000000))
+                  .cast("double") / F.lit(1000000.0))
+    else:
+        bucket = bucket_fn(grp)
+    return (stratified_split(
+                docs.join(comp.withColumnRenamed("doc_id", id_col),
+                          id_col, "left"),
+                weights, id_col=id_col, bucket=bucket)
+            .drop("component"))
+
+
 def stratified_split(docs: DataFrame,
                      weights: Sequence[Tuple[str, float]] = (
                          ("train", 0.8), ("val", 0.1), ("test", 0.1)),

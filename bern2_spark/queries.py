@@ -2215,17 +2215,21 @@ def dedup_components(spark, sf_dir):
     per node — a genuinely different formulation, so a hash match
     validates the fixed point, not the iteration."""
     from bern2_spark.dataprep.cluster import connected_components
+    return connected_components(_cc_pairs(spark, sf_dir))
+
+
+def _cc_pairs(spark, sf_dir):
+    """The Spark twin of _CC_PAIRS_SQL."""
     d = _docs(spark, sf_dir).select("doc_id")
     did = F.col("doc_id")
-    pairs = (d.filter(did % 50 < 9)
-             .select(did.alias("doc_a"), (did + 1).alias("doc_b"))
-             .unionByName(
-                 d.filter(did % 100 == 0)
-                 .select(did.alias("doc_a"), (did + 25).alias("doc_b")))
-             .unionByName(
-                 d.filter(did % 50 == 3)
-                 .select((did + 1).alias("doc_a"), did.alias("doc_b"))))
-    return connected_components(pairs)
+    return (d.filter(did % 50 < 9)
+            .select(did.alias("doc_a"), (did + 1).alias("doc_b"))
+            .unionByName(
+                d.filter(did % 100 == 0)
+                .select(did.alias("doc_a"), (did + 25).alias("doc_b")))
+            .unionByName(
+                d.filter(did % 50 == 3)
+                .select((did + 1).alias("doc_a"), did.alias("doc_b"))))
 
 
 @q("dedup_canonical_keep", f"""
@@ -2298,3 +2302,48 @@ def split_stratified(spark, sf_dir):
     return (stratified_split(d, _SPLIT_WEIGHTS, strata_col="lang",
                              bucket=u)
             .select("doc_id", "lang", "split"))
+
+
+# group-keyed bucket for the leakage-safe split: same multiplicative
+# hash as _SPLIT_U_SQL but over the duplicate-cluster label, so every
+# member of a near-dup family draws the same bucket
+_GRP_U_SQL = ("((coalesce(c.component, d.doc_id) * 2654435761)"
+              " % 4294967296) / 4294967296.0")
+
+
+@q("split_leakage_safe", f"""
+WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (
+  SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       {_split_case_sql(_GRP_U_SQL, _SPLIT_WEIGHTS)} AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""")
+def split_leakage_safe(spark, sf_dir):
+    """Contamination-safe split (dataprep/cluster.py): the bucket
+    hashes the CONNECTED-COMPONENT label, so a near-dup family can
+    never straddle train and test — the classic eval-leakage bug in
+    training-data pipelines. The oracle recomputes components by
+    recursive transitive closure and the bucket by the same BIGINT
+    arithmetic, making the full assignment hash-checkable."""
+    from bern2_spark.dataprep.cluster import leakage_safe_split
+
+    def bucket_fn(grp):
+        return (((grp * F.lit(2654435761)) % F.lit(4294967296))
+                .cast("double") / F.lit(4294967296.0))
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return (leakage_safe_split(d, _cc_pairs(spark, sf_dir),
+                               _SPLIT_WEIGHTS, bucket_fn=bucket_fn)
+            .select("doc_id", "split"))

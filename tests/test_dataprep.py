@@ -339,3 +339,22 @@ def test_stratified_split_proportions_and_determinism(spark):
     assert (out.join(again.withColumnRenamed("split", "s2"),
                      ["doc_id", "lang"])
             .filter(F.col("split") != F.col("s2")).count()) == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from bern2_spark.dataprep.cluster import leakage_safe_split
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    # 50 duplicate families of 3 (i, i+1, i+2 for i % 4 == 0 over the
+    # first 150 ids) + 50 singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 148, 4)]
+        + [(i + 1, i + 2) for i in range(0, 148, 4)],
+        ["doc_a", "doc_b"])
+    out = leakage_safe_split(docs, pairs)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 200
+    # every duplicate family is entirely inside ONE split
+    for i in range(0, 148, 4):
+        assert rows[i] == rows[i + 1] == rows[i + 2], i
+    # and the assignment still produces more than one split overall
+    assert len(set(rows.values())) >= 2
