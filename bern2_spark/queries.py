@@ -2347,3 +2347,131 @@ def split_leakage_safe(spark, sf_dir):
     return (leakage_safe_split(d, _cc_pairs(spark, sf_dir),
                                _SPLIT_WEIGHTS, bucket_fn=bucket_fn)
             .select("doc_id", "split"))
+
+
+# ----------------------------------------------------- decontamination
+
+# 5-gram variant of the shingle list (same tokenizer as _SHINGLES_SQL)
+_SHINGLES5_SQL = f"""
+list_transform(
+  range(1, greatest(len({_TOKS_SQL}) - 4, 1) + 1),
+  i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 4), ' '))
+"""
+
+# eval-benchmark stand-in: the near-copy donor docs (doc_id % 13 == 0),
+# so the +20M near-copies in the dup corpus are guaranteed contaminated
+_EVAL_SET_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0"
+
+
+@q("qc_contamination", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+ev AS ({_EVAL_SET_SQL}),
+csh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES5_SQL}) AS shingle FROM docs2
+),
+esh AS (
+  SELECT DISTINCT unnest({_SHINGLES5_SQL}) AS shingle FROM ev
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_hit_shingles
+  FROM csh JOIN esh USING (shingle) GROUP BY doc_id
+)
+SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
+       h.n_hit_shingles / CAST(t.n_shingles AS DOUBLE) AS hit_frac
+FROM hit h JOIN tot t USING (doc_id)
+""")
+def qc_contamination(spark, sf_dir):
+    """Benchmark decontamination report (dataprep/contamination.py):
+    corpus docs sharing token 5-grams with an eval set — the GPT-3
+    appendix-C overlap recipe.  Eval side is broadcast; the corpus text
+    never shuffles (only one count row per doc does)."""
+    from bern2_spark.dataprep.contamination import contamination_report
+    corpus = _dup_docs(spark, sf_dir)
+    ev = _docs(spark, sf_dir).filter(F.col("doc_id") % 13 == 0)
+    return contamination_report(corpus, ev, shingle_n=5)
+
+
+@q("qc_decontaminated", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+ev AS ({_EVAL_SET_SQL}),
+csh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES5_SQL}) AS shingle FROM docs2
+),
+esh AS (
+  SELECT DISTINCT unnest({_SHINGLES5_SQL}) AS shingle FROM ev
+),
+bad AS (
+  SELECT DISTINCT doc_id FROM csh JOIN esh USING (shingle)
+)
+SELECT d.doc_id, md5(d.text) AS text_md5
+FROM docs2 d ANTI JOIN bad b ON d.doc_id = b.doc_id
+""")
+def qc_decontaminated(spark, sf_dir):
+    """The surviving corpus after dropping flagged docs — a broadcast
+    anti-join on doc_id, so the corpus keeps its partitioning."""
+    from bern2_spark.dataprep.contamination import decontaminate
+    corpus = _dup_docs(spark, sf_dir)
+    ev = _docs(spark, sf_dir).filter(F.col("doc_id") % 13 == 0)
+    return (decontaminate(corpus, ev, shingle_n=5)
+            .select("doc_id", F.md5("text").alias("text_md5")))
+
+
+# ------------------------------------------------------- token mixing
+
+_MIX_BUDGETS = {"en": 2000, "de": 1200, "es": 900, "fr": 700}
+_MIX_B_SQL = ("(VALUES " + ", ".join(
+    f"('{k}', {v})" for k, v in sorted(_MIX_BUDGETS.items())) + ")")
+_BPE_N_SQL = (r"len(regexp_extract_all(text,"
+              r" '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))")
+_MIX_U_SQL = "((doc_id * 2654435761) % 4294967296) / 4294967296.0"
+
+
+@q("mix_token_budget_exact", f"""
+WITH b (lang, budget) AS {_MIX_B_SQL},
+t AS (
+  SELECT doc_id, lang, {_BPE_N_SQL} AS n_tokens, {_MIX_U_SQL} AS u
+  FROM documents
+),
+c AS (
+  SELECT t.doc_id, t.lang, t.n_tokens, b.budget,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY t.lang ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t JOIN b USING (lang)
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum_before < budget
+""")
+def mix_token_budget_exact(spark, sf_dir):
+    """Exact greedy per-domain token-budget sampler (dataprep/
+    mixing.py): window prefix sum over hash-ranked docs; the first doc
+    crossing the budget is kept (standard greedy cutoff)."""
+    from bern2_spark.dataprep.mixing import sample_to_token_budget
+    return (sample_to_token_budget(_docs(spark, sf_dir), _MIX_BUDGETS)
+            .select("doc_id", "lang", "n_tokens"))
+
+
+@q("mix_token_budget_hash", f"""
+WITH b (lang, budget) AS {_MIX_B_SQL},
+t AS (
+  SELECT doc_id, lang, {_BPE_N_SQL} AS n_tokens, {_MIX_U_SQL} AS u
+  FROM documents
+),
+f AS (
+  SELECT t.lang,
+         least(1.0, b.budget / sum(t.n_tokens)) AS keep_frac
+  FROM t JOIN b USING (lang) GROUP BY t.lang, b.budget
+)
+SELECT t.doc_id, t.lang, t.n_tokens, f.keep_frac
+FROM t JOIN f USING (lang)
+WHERE t.u < f.keep_frac
+""")
+def mix_token_budget_hash(spark, sf_dir):
+    """Scale-path sampler: measured keep-fraction per domain, docs pass
+    iff their unit hash is under it — no sort, no corpus shuffle (the
+    100-TB variant; expected token error O(1/sqrt(n)))."""
+    from bern2_spark.dataprep.mixing import sample_to_token_budget_approx
+    return (sample_to_token_budget_approx(_docs(spark, sf_dir),
+                                          _MIX_BUDGETS)
+            .select("doc_id", "lang", "n_tokens", "keep_frac"))

@@ -358,3 +358,92 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         assert rows[i] == rows[i + 1] == rows[i + 2], i
     # and the assignment still produces more than one split overall
     assert len(set(rows.values())) >= 2
+
+
+# ------------------------------------------------------ contamination
+
+def test_contamination_report_flags_overlap(spark):
+    from bern2_spark.dataprep.contamination import contamination_report
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # contains eval
+        (2, "one two three four five six seven eight nine"),   # clean
+        (3, "alpha beta gamma delta epsilon unrelated tail"),  # 1 hit 5-gram
+    ], ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           contamination_report(corpus, ev, shingle_n=5).collect()}
+    assert set(out) == {1, 3}
+    # doc 1 (8 tokens -> 4 shingles) shares the first two eval 5-grams
+    assert out[1].n_hit_shingles == 2 and out[1].n_shingles == 4
+    assert out[3].n_hit_shingles == 1
+    assert abs(out[1].hit_frac - 0.5) < 1e-12
+
+
+def test_decontaminate_drops_flagged_only(spark):
+    from bern2_spark.dataprep.contamination import decontaminate
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+    ], ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    kept = decontaminate(corpus, ev, shingle_n=5)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    assert kept.columns == corpus.columns
+
+
+# ------------------------------------------------------- token mixing
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # 30 docs across two domains; text length varies with id
+    rows = [(i, "en" if i % 2 == 0 else "de",
+             " ".join(f"w{j}" for j in range(5 + (i * 7) % 23)))
+            for i in range(30)]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_token_budget_exact_greedy(spark, mix_docs):
+    from bern2_spark.dataprep.mixing import (
+        _unit_hash, sample_to_token_budget)
+    budgets = {"en": 60, "de": 45}
+    out = sample_to_token_budget(mix_docs, budgets)
+    rows = out.collect()
+    assert rows, "sampler selected nothing"
+    ranked = {r.doc_id: (r.u, r.doc_id) for r in mix_docs.select(
+        "doc_id", _unit_hash(F.col("doc_id")).alias("u")).collect()}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, sel in by_lang.items():
+        toks = sum(r.n_tokens for r in sel)
+        # greedy: under budget without the last (hash-latest) doc,
+        # and the selection is a prefix of the hash order
+        last = max(sel, key=lambda r: ranked[r.doc_id])
+        assert toks - last.n_tokens < budgets[lang] <= toks or \
+            toks < budgets[lang]  # (domain exhausted under budget)
+        cutoff = ranked[last.doc_id]
+        all_ids = {r.doc_id for r in mix_docs.filter(
+            F.col("lang") == lang).collect()}
+        expected = {i for i in all_ids if ranked[i] <= cutoff}
+        assert {r.doc_id for r in sel} == expected
+    # deterministic
+    again = sample_to_token_budget(mix_docs, budgets).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in rows}
+
+
+def test_token_budget_approx_fraction(spark, mix_docs):
+    from bern2_spark.dataprep.mixing import (
+        _unit_hash, sample_to_token_budget_approx)
+    budgets = {"en": 60, "de": 100000}   # de budget exceeds supply
+    out = sample_to_token_budget_approx(mix_docs, budgets)
+    rows = out.collect()
+    fr = {r.lang: r.keep_frac for r in rows}
+    assert fr.get("de") == 1.0           # capped at 1 -> whole domain kept
+    assert len([r for r in rows if r.lang == "de"]) == 15
+    assert 0.0 < fr["en"] < 1.0
+    u = {r.doc_id: r[1] for r in mix_docs.select(
+        "doc_id", _unit_hash(F.col("doc_id"))).collect()}
+    for r in rows:
+        assert u[r.doc_id] < r.keep_frac
