@@ -90,3 +90,78 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn(
         "fingerprint",
         F.md5(F.array_join(norm_tokens(F.col(text_col)), " ")))
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    sentences that are duplicates of another sentence in the same doc,
+    and the share of the doc's word bigrams taken by its single most
+    frequent bigram.  High values mark boilerplate/generated text.
+
+    Two explode->groupBy aggregations keyed on (doc_id, unit); at
+    100 TB both shuffles carry short strings with map-side combine, and
+    the final per-doc reduce emits one row per doc.  Empty docs yield
+    zero fractions."""
+    c = F.col(text_col)
+    sents = F.filter(F.split(c, r"\.\s+|\.$"),
+                     lambda s: F.trim(s) != "")
+    toks = norm_tokens(c)
+    n_tok = F.size(toks)
+    k = F.greatest(n_tok - F.lit(1), F.lit(0))
+    # docs with <2 tokens have no bigrams
+    bigrams = F.when(k > 0, F.slice(
+        F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: F.array_join(F.slice(toks, i, 2), " ")),
+        1, k)).otherwise(F.array().cast("array<string>"))
+
+    sent_stats = (docs
+                  .select(id_col, F.explode_outer(sents).alias("sent"))
+                  .groupBy(id_col, "sent").agg(F.count("*").alias("n"))
+                  .groupBy(id_col)
+                  .agg((F.coalesce(
+                           F.sum(F.when((F.col("n") > 1)
+                                        & F.col("sent").isNotNull(),
+                                        F.col("n"))), F.lit(0))
+                        / F.greatest(F.sum(F.when(F.col("sent").isNotNull(),
+                                                  F.col("n"))), F.lit(1)))
+                       .alias("dup_sent_frac")))
+    bi_stats = (docs
+                .select(id_col, F.explode_outer(bigrams).alias("bg"))
+                .groupBy(id_col, "bg").agg(F.count("*").alias("n"))
+                .groupBy(id_col)
+                .agg((F.coalesce(F.max(F.when(F.col("bg").isNotNull(),
+                                              F.col("n"))), F.lit(0))
+                      / F.greatest(F.sum(F.when(F.col("bg").isNotNull(),
+                                                F.col("n"))), F.lit(1)))
+                     .alias("top_bigram_frac")))
+    return (docs.select(id_col)
+            .join(sent_stats, id_col, "left")
+            .join(bi_stats, id_col, "left")
+            .fillna({"dup_sent_frac": 0.0, "top_bigram_frac": 0.0}))
+
+
+# PII patterns: RE2-compatible (no lookaround) so the same regexes run
+# in Spark (Java) and the DuckDB oracle verbatim.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers in place and count
+    redactions per doc.  Pure chained regexp_replace — scan-fused,
+    zero shuffle; order matters (emails first so user@host never
+    half-matches as a phone)."""
+    c = F.col(text_col)
+    n = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        n = n + F.regexp_count(c, F.lit(pat))
+    scrubbed = c
+    for pat, tag in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return (docs
+            .withColumn("n_redactions", n.cast("long"))
+            .withColumn(text_col, scrubbed))

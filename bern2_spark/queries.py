@@ -2475,3 +2475,121 @@ def mix_token_budget_hash(spark, sf_dir):
     return (sample_to_token_budget_approx(_docs(spark, sf_dir),
                                           _MIX_BUDGETS)
             .select("doc_id", "lang", "n_tokens", "keep_frac"))
+
+
+# ------------------------------------------------- repetition / PII
+
+# tokens after removing the injected '.' sentence separators, so the
+# oracle tokenizes doubled docs exactly like Spark's norm_tokens
+# (which splits on any non-alnum run)
+_TOKS_DOT_SQL = ("list_filter(string_split(lower(replace(text, '.', ''))"
+                 ", ' '), x -> x != '')")
+
+# corpus with injected within-doc repetition: every third doc becomes
+# two identical sentences
+_REP_UNION_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id, text || '. ' || text FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+@q("qc_repetition", f"""
+WITH docs2 AS ({_REP_UNION_SQL}),
+s AS (
+  SELECT doc_id, s.sent
+  FROM docs2, unnest(regexp_split_to_array(text, '\\.\\s+|\\.$'))
+       AS s(sent)
+  WHERE trim(s.sent) != ''
+),
+sg AS (SELECT doc_id, sent, count(*) AS n FROM s GROUP BY 1, 2),
+sd AS (
+  SELECT doc_id,
+         sum(CASE WHEN n > 1 THEN n ELSE 0 END)
+           / CAST(greatest(sum(n), 1) AS DOUBLE) AS dup_sent_frac
+  FROM sg GROUP BY 1
+),
+bl AS (
+  SELECT doc_id, CASE WHEN len({_TOKS_DOT_SQL}) >= 2
+           THEN list_transform(range(1, len({_TOKS_DOT_SQL})),
+                i -> array_to_string(
+                       list_slice({_TOKS_DOT_SQL}, i, i + 1), ' '))
+           ELSE [] END AS bgs
+  FROM docs2
+),
+b AS (SELECT doc_id, b.bg FROM bl, unnest(bgs) AS b(bg)),
+bg AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+bd AS (
+  SELECT doc_id,
+         max(n) / CAST(greatest(sum(n), 1) AS DOUBLE) AS top_bigram_frac
+  FROM bg GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sd.dup_sent_frac, 0.0) AS dup_sent_frac,
+       coalesce(bd.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM docs2 d
+LEFT JOIN sd ON d.doc_id = sd.doc_id
+LEFT JOIN bd ON d.doc_id = bd.doc_id
+""")
+def qc_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition features (dataprep/textqc.py
+    repetition_features): duplicate-sentence fraction + top-bigram
+    share, over a corpus where every third doc is doubled into two
+    identical sentences (so the dup path has real rows)."""
+    from bern2_spark.dataprep.textqc import repetition_features
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = (d.filter(F.col("doc_id") % 3 == 0)
+               .withColumn("text", F.concat("text", F.lit(". "), "text")))
+    corpus = d.filter(F.col("doc_id") % 3 != 0).unionByName(doubled)
+    return repetition_features(corpus).select(
+        "doc_id", "dup_sent_frac", "top_bigram_frac")
+
+
+# PII-injected corpus: every fifth doc gains an email, an IPv4 and a
+# phone-shaped number (deterministic from doc_id)
+_PII_UNION_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.1 call 555-123-4567'
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+_PII_RE = [
+    ('[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+    ('\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>'),
+    ('\\b\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>'),
+]
+_PII_N_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{p}'))" for p, _ in _PII_RE)
+_PII_SCRUB_SQL = "text"
+for _p, _t in _PII_RE:
+    _PII_SCRUB_SQL = (f"regexp_replace({_PII_SCRUB_SQL}, '{_p}', "
+                      f"'{_t}', 'g')")
+
+
+@q("qc_pii_scrub", f"""
+WITH docs2 AS ({_PII_UNION_SQL})
+SELECT doc_id, {_PII_N_SQL} AS n_redactions,
+       md5({_PII_SCRUB_SQL}) AS text_md5
+FROM docs2
+""")
+def qc_pii_scrub(spark, sf_dir):
+    """PII redaction (dataprep/textqc.py scrub_pii): emails/IPv4s/
+    phone-shaped numbers replaced in place, redaction count per doc —
+    chained regexp_replace, scan-fused, zero shuffle.  RE2-compatible
+    patterns run verbatim in both engines."""
+    from bern2_spark.dataprep.textqc import scrub_pii
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    pii = (d.filter(did % 5 == 0)
+           .withColumn("text", F.concat(
+               "text", F.lit(" contact user"), did.cast("string"),
+               F.lit("@example.com from 10.0."),
+               (did % 256).cast("string"),
+               F.lit(".1 call 555-123-4567"))))
+    corpus = d.filter(did % 5 != 0).unionByName(pii)
+    return (scrub_pii(corpus)
+            .select("doc_id", "n_redactions",
+                    F.md5("text").alias("text_md5")))

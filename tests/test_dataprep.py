@@ -447,3 +447,37 @@ def test_token_budget_approx_fraction(spark, mix_docs):
         "doc_id", _unit_hash(F.col("doc_id"))).collect()}
     for r in rows:
         assert u[r.doc_id] < r.keep_frac
+
+
+# --------------------------------------------------- repetition / PII
+
+def test_repetition_features(spark):
+    from bern2_spark.dataprep.textqc import repetition_features
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma. alpha beta gamma"),   # doubled sentence
+        (2, "one two three four five"),              # no repetition
+        (3, "go go go go"),                          # one dominant bigram
+        (4, ""),                                     # empty
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert out[1].dup_sent_frac == 1.0
+    assert out[2].dup_sent_frac == 0.0
+    # 'go go' x3 of 3 bigrams
+    assert abs(out[3].top_bigram_frac - 1.0) < 1e-12
+    assert out[4].dup_sent_frac == 0.0 and out[4].top_bigram_frac == 0.0
+    # doc 1: 6 tokens -> 5 bigrams (incl the cross-sentence
+    # 'gamma alpha'); 'alpha beta' occurs twice -> 2/5
+    assert abs(out[1].top_bigram_frac - 2 / 5) < 1e-12
+
+
+def test_scrub_pii(spark):
+    from bern2_spark.dataprep.textqc import scrub_pii
+    docs = spark.createDataFrame([
+        (1, "mail bob@corp.io or 192.168.0.1 or 555-123-4567 now"),
+        (2, "clean text with no pii at all"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert out[1].n_redactions == 3
+    assert out[1].text == "mail <EMAIL> or <IP> or <PHONE> now"
+    assert out[2].n_redactions == 0
+    assert out[2].text == "clean text with no pii at all"
