@@ -315,3 +315,53 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.95,
                                          * norm(F.col("vec_b"))))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------- paragraph dedup
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide exact paragraph deduplication (the sub-document
+    granularity of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every paragraph whose exact text already
+    occurred earlier in the corpus — corpus order = (doc_id, position)
+    — is dropped; the first occurrence survives. Returns one row per
+    input doc: (id, text rebuilt from surviving paragraphs, n_kept,
+    n_dropped). A doc made entirely of seen paragraphs rebuilds to ''.
+
+    Scale shape: the winner election groupBy shuffles only
+    (16B md5, id, pos) rows with map-side combine — paragraph TEXT is
+    never a shuffle key. Text moves twice: once keyed on its md5 for
+    the keep-join (sort-merge, co-partitioned with the winner table)
+    and once keyed on doc id for the rebuild — both unavoidable for a
+    corpus-wide dedup that must re-emit documents."""
+    import re
+    paras = (docs
+             .select(id_col,
+                     F.posexplode(F.split(F.col(text_col),
+                                          re.escape(sep)))
+                     .alias("pos", "para"))
+             .filter(F.trim("para") != "")
+             .withColumn("_h", F.md5("para")))
+    winners = (paras.groupBy("_h")
+               .agg(F.min(F.struct(id_col, "pos")).alias("_w")))
+    kept = (paras.join(winners, "_h")
+            .filter(F.struct(id_col, "pos") == F.col("_w")))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "para"))),
+                            lambda s: s["para"]),
+                        sep).alias("_text"),
+                    F.count("*").alias("n_kept")))
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("_n_tot"))
+    return (docs.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .join(totals, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_text", F.lit("")).alias(text_col),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.coalesce("_n_tot", F.lit(0))
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))

@@ -2593,3 +2593,168 @@ def qc_pii_scrub(spark, sf_dir):
     return (scrub_pii(corpus)
             .select("doc_id", "n_redactions",
                     F.md5("text").alias("text_md5")))
+
+
+# ------------------------------------------------- KG graph materialize
+
+# Shared oracle CTE: co-occurrence edges (min_count=2) recomputed from
+# the golden triple store, symmetrized. Genuine dual formulation like
+# kg_cooccurrence — both engines derive the graph from the same table.
+def _kg_sym_cte() -> str:
+    return f"""
+e0 AS (SELECT DISTINCT subj AS doc, obj AS cui
+       FROM read_parquet('{_golden_triples_path()}')),
+ed AS (SELECT a.cui AS cui_a, b.cui AS cui_b, count(*) AS n_docs
+       FROM e0 a JOIN e0 b ON a.doc = b.doc AND a.cui < b.cui
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT cui_a AS src, cui_b AS dst, n_docs AS w FROM ed
+        UNION ALL
+        SELECT cui_b AS src, cui_a AS dst, n_docs AS w FROM ed)"""
+
+
+def _kg_edges(spark):
+    from bern2_spark.operators.cooccur import cooccurrence_edges
+    triples = spark.read.parquet(_golden_triples_path())
+    return cooccurrence_edges(triples, min_count=2)
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Fixed-iteration PageRank as chained CTEs — the SQL unrolling of
+    operators/graph.pagerank's power iteration. Float literals are
+    inlined via repr() and CAST to DOUBLE so both engines run the
+    identical double arithmetic (DuckDB would otherwise parse them as
+    DECIMAL); round(9) absorbs sum-order ulps."""
+    parts = [_kg_sym_cte(),
+             "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+             "nn AS (SELECT count(*) AS n FROM nodes)",
+             "deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1)",
+             "r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn)"
+             " AS rank FROM nodes)"]
+    tele = repr(1.0 - d)
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT nodes.node,
+         CAST({tele} AS DOUBLE)/(SELECT n FROM nn)
+         + CAST({d!r} AS DOUBLE) * coalesce(s.m, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT sym.dst AS node, sum(r{i - 1}.rank / deg.d) AS m
+    FROM sym JOIN r{i - 1} ON sym.src = r{i - 1}.node
+             JOIN deg ON sym.src = deg.src
+    GROUP BY 1) s USING (node))""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}")
+
+
+@q("kg_degree_stats", f"""
+WITH {_kg_sym_cte()}
+SELECT src AS node, count(*) AS degree,
+       CAST(sum(w) AS BIGINT) AS strength
+FROM sym GROUP BY 1
+""")
+def kg_degree_stats(spark, sf_dir):
+    """Per-entity degree + strength (doc-count-weighted) over the
+    co-occurrence graph — the first derived artifact of the graph
+    materialize stage (operators/graph.py)."""
+    from bern2_spark.operators.graph import degree_stats
+    return degree_stats(_kg_edges(spark), weight_col="n_docs").select(
+        "node", "degree", "strength")
+
+
+@q("kg_pagerank", _pagerank_sql())
+def kg_pagerank(spark, sf_dir):
+    """Fixed-iteration (5, d=0.85) PageRank centrality over the entity
+    co-occurrence graph. Spark side is the checkpointed DataFrame power
+    iteration (operators/graph.pagerank); the oracle unrolls the same
+    five iterations as chained CTEs — an ITERATIVE operator made
+    hash-checkable because the iteration count is a plan constant."""
+    from bern2_spark.operators.graph import pagerank
+    return pagerank(_kg_edges(spark), iterations=5, damping=0.85)
+
+
+@q("kg_khop", f"""
+WITH {_kg_sym_cte()},
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+roots AS (SELECT node AS root FROM nodes ORDER BY node LIMIT 3),
+h0 AS (SELECT root, root AS node FROM roots),
+h1 AS (SELECT DISTINCT h0.root, sym.dst AS node
+       FROM h0 JOIN sym ON h0.node = sym.src),
+h2 AS (SELECT DISTINCT h1.root, sym.dst AS node
+       FROM h1 JOIN sym ON h1.node = sym.src),
+a AS (SELECT root, node, 0 AS hops FROM h0
+      UNION ALL SELECT root, node, 1 FROM h1
+      UNION ALL SELECT root, node, 2 FROM h2)
+SELECT root, node, CAST(min(hops) AS INT) AS hops
+FROM a GROUP BY 1, 2
+""")
+def kg_khop(spark, sf_dir):
+    """2-hop neighborhoods (min-distance semantics) of the 3
+    lexicographically-first entities — entity-centric KG retrieval
+    (operators/graph.khop_neighborhood: one frontier table serves all
+    roots per hop; visited anti-join = the BFS min). Oracle computes
+    min over unioned hop spheres — same fixed-k unrolling idea as
+    kg_pagerank."""
+    from bern2_spark.operators.graph import khop_neighborhood, symmetrize
+    e = _kg_edges(spark)
+    roots = (symmetrize(e).select(F.col("src").alias("root")).distinct()
+             .orderBy("root").limit(3))
+    return khop_neighborhood(e, roots, k=2)
+
+
+# ------------------------------------------------- paragraph dedup
+
+# Injected-duplication corpus: every doc gains a shared boilerplate
+# footer paragraph; every 7th doc's body is replaced by two shared
+# paragraphs (so some docs dedup to footer-only or to nothing).
+_PARA_BODY = "shared body paragraph one\n\nshared body paragraph two"
+_PARA_FOOT = "subscribe to our newsletter for updates"
+_PARA_UNION_SQL = f"""
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0
+               THEN e'{_PARA_BODY.replace(chr(10), chr(92) + 'n')}'
+               ELSE text END)
+         || e'\\n\\n' || '{_PARA_FOOT}' AS text
+  FROM documents
+"""
+
+
+@q("dedup_paragraph", f"""
+WITH docs2 AS ({_PARA_UNION_SQL}),
+sp AS (SELECT doc_id, string_split(text, e'\\n\\n') AS paras FROM docs2),
+p AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, paras[i] AS para
+      FROM sp, unnest(range(1, len(paras) + 1)) AS r(i)
+      WHERE trim(paras[i]) != ''),
+k AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para
+                                ORDER BY doc_id, pos) AS rk
+      FROM p),
+kept AS (SELECT doc_id, pos, para FROM k WHERE rk = 1),
+rb AS (SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text,
+              count(*) AS n_kept
+       FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_tot FROM p GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(rb.text, '') AS text,
+       CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(tot.n_tot, 0) - coalesce(rb.n_kept, 0) AS BIGINT)
+         AS n_dropped
+FROM docs2 d
+LEFT JOIN rb USING (doc_id)
+LEFT JOIN tot USING (doc_id)
+""")
+def dedup_paragraph(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (dataprep/dedup.py
+    paragraph_dedup — Lee et al. 2022 granularity): first occurrence
+    by (doc_id, position) survives, every later exact-duplicate
+    paragraph is dropped and the docs are rebuilt. The injected corpus
+    guarantees real dedup traffic: a footer paragraph shared by ALL
+    docs and a body shared by every 7th."""
+    from bern2_spark.dataprep.dedup import paragraph_dedup
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = d.select(
+        "doc_id",
+        F.concat(F.when(did % 7 == 0, F.lit(_PARA_BODY))
+                  .otherwise(F.col("text")),
+                 F.lit("\n\n" + _PARA_FOOT)).alias("text"))
+    return paragraph_dedup(corpus).select(
+        "doc_id", "text", "n_kept", "n_dropped")

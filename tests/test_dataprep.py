@@ -481,3 +481,35 @@ def test_scrub_pii(spark):
     assert out[1].text == "mail <EMAIL> or <IP> or <PHONE> now"
     assert out[2].n_redactions == 0
     assert out[2].text == "clean text with no pii at all"
+
+
+# --------------------------------------------------- paragraph dedup
+
+def test_paragraph_dedup(spark):
+    from bern2_spark.dataprep.dedup import paragraph_dedup
+    docs = spark.createDataFrame([
+        (1, "intro one\n\nshared footer"),
+        (2, "body two\n\nshared footer"),        # footer seen in doc 1
+        (3, "shared footer\n\nintro one"),       # both paras seen
+        (4, "\n\n"),                             # only empties
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].text == "intro one\n\nshared footer"
+    assert (out[1].n_kept, out[1].n_dropped) == (2, 0)
+    assert out[2].text == "body two"
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
+    assert out[3].text == ""
+    assert (out[3].n_kept, out[3].n_dropped) == (0, 2)
+    assert out[4].text == ""
+    assert (out[4].n_kept, out[4].n_dropped) == (0, 0)
+
+
+def test_paragraph_dedup_position_order(spark):
+    # first occurrence = min (doc_id, pos): within one doc the earlier
+    # copy of a repeated paragraph survives
+    from bern2_spark.dataprep.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(5, "dup\n\nmiddle\n\ndup")], ["doc_id", "text"])
+    row = paragraph_dedup(docs).collect()[0]
+    assert row.text == "dup\n\nmiddle"
+    assert (row.n_kept, row.n_dropped) == (2, 1)

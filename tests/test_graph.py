@@ -1,0 +1,92 @@
+"""operators/graph.py — degree stats, PageRank, k-hop neighborhoods.
+
+PageRank is checked against an independent numpy power iteration on
+the same graph (same fixed iteration count and damping), not against
+hand-computed constants, so any change to either formulation that
+breaks equivalence fails loudly.
+"""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bern2_spark.operators.graph import (degree_stats, khop_neighborhood,
+                                         pagerank, symmetrize)
+
+# path graph a-b-c-d plus a triangle x-y-z, weighted
+EDGES = [("a", "b", 2), ("b", "c", 1), ("c", "d", 3),
+         ("x", "y", 1), ("y", "z", 1), ("x", "z", 1)]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, ["cui_a", "cui_b", "n_docs"])
+
+
+def test_symmetrize_drops_self_loops(spark):
+    e = spark.createDataFrame([("a", "a"), ("a", "b")],
+                              ["cui_a", "cui_b"])
+    rows = {(r.src, r.dst) for r in symmetrize(e).collect()}
+    assert rows == {("a", "b"), ("b", "a")}
+
+
+def test_degree_stats(edges):
+    out = {r.node: (r.degree, r.strength)
+           for r in degree_stats(edges, weight_col="n_docs").collect()}
+    assert out["a"] == (1, 2)
+    assert out["b"] == (2, 3)
+    assert out["c"] == (2, 4)
+    assert out["d"] == (1, 3)
+    assert out["x"] == out["y"] == out["z"] == (2, 2)
+
+
+def _numpy_pagerank(pairs, iters, d):
+    nodes = sorted({n for p in pairs for n in p[:2]})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b, _ in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1.0 - d) / n + d * (adj.T @ (r / deg))
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_power_iteration(edges):
+    got = {r.node: r.rank
+           for r in pagerank(edges, iterations=5, damping=0.85,
+                             round_to=None).collect()}
+    want = _numpy_pagerank(EDGES, 5, 0.85)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+    # mass conservation: symmetrized graph has no dangling nodes
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # triangle symmetry: x, y, z are automorphic
+    assert got["x"] == pytest.approx(got["y"], abs=1e-12)
+    assert got["y"] == pytest.approx(got["z"], abs=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    e = spark.createDataFrame([], "cui_a string, cui_b string")
+    assert pagerank(e).count() == 0
+
+
+def test_khop_min_distance(spark, edges):
+    roots = spark.createDataFrame([("a",), ("x",)], ["root"])
+    out = {(r.root, r.node): r.hops
+           for r in khop_neighborhood(edges, roots, k=2).collect()}
+    # a's component is the path a-b-c-d: d is 3 hops away -> absent
+    assert {k: v for k, v in out.items() if k[0] == "a"} == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2}
+    # the triangle closes at hop 1 for every other member
+    assert {k: v for k, v in out.items() if k[0] == "x"} == {
+        ("x", "x"): 0, ("x", "y"): 1, ("x", "z"): 1}
+
+
+def test_khop_k1(spark, edges):
+    roots = spark.createDataFrame([("b",)], ["root"])
+    out = {(r.root, r.node): r.hops
+           for r in khop_neighborhood(edges, roots, k=1).collect()}
+    assert out == {("b", "b"): 0, ("b", "a"): 1, ("b", "c"): 1}
