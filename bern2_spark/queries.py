@@ -2758,3 +2758,54 @@ def dedup_paragraph(spark, sf_dir):
                  F.lit("\n\n" + _PARA_FOOT)).alias("text"))
     return paragraph_dedup(corpus).select(
         "doc_id", "text", "n_kept", "n_dropped")
+
+
+@q("kg_triangles", f"""
+WITH {_kg_sym_cte()},
+c AS (SELECT DISTINCT cui_a AS a, cui_b AS b FROM ed),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM c e1
+      JOIN c e2 ON e1.b = e2.a
+      JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS node FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t)
+SELECT node, count(*) AS triangles FROM corners GROUP BY 1
+""")
+def kg_triangles(spark, sf_dir):
+    """Per-entity triangle participation over the co-occurrence graph
+    (operators/graph.triangle_counts — degree-oriented wedge
+    enumeration, O(m^1.5) under skew). The oracle enumerates each
+    triangle once via the a<b<c three-way join — a different
+    formulation, same set."""
+    from bern2_spark.operators.graph import triangle_counts
+    return triangle_counts(_kg_edges(spark))
+
+
+@q("kg_clustering", f"""
+WITH {_kg_sym_cte()},
+c AS (SELECT DISTINCT cui_a AS a, cui_b AS b FROM ed),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM c e1
+      JOIN c e2 ON e1.b = e2.a
+      JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT x AS node FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t),
+tri AS (SELECT node, count(*) AS triangles FROM corners GROUP BY 1),
+deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1)
+SELECT deg.node, deg.degree,
+       CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN deg.degree >= 2
+                  THEN CAST(2.0 AS DOUBLE) * coalesce(tri.triangles, 0)
+                       / (deg.degree * (deg.degree - 1))
+                  ELSE CAST(0.0 AS DOUBLE) END, 9) AS clustering
+FROM deg LEFT JOIN tri USING (node)
+""")
+def kg_clustering(spark, sf_dir):
+    """Local clustering coefficient per entity — how clique-like each
+    node's co-occurrence neighborhood is (operators/graph.
+    clustering_coefficient: one triangle pass + one degree pass +
+    a node-keyed join)."""
+    from bern2_spark.operators.graph import clustering_coefficient
+    return clustering_coefficient(_kg_edges(spark))

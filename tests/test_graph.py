@@ -90,3 +90,29 @@ def test_khop_k1(spark, edges):
     out = {(r.root, r.node): r.hops
            for r in khop_neighborhood(edges, roots, k=1).collect()}
     assert out == {("b", "b"): 0, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_triangle_counts(spark, edges):
+    from bern2_spark.operators.graph import triangle_counts
+    out = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    # only the x-y-z triangle exists; the path contributes none
+    assert out == {"x": 1, "y": 1, "z": 1}
+
+
+def test_triangle_counts_shared_edge(spark):
+    # two triangles sharing edge p-q: p,q in 2 each, r,s in 1 each
+    from bern2_spark.operators.graph import triangle_counts
+    e = spark.createDataFrame(
+        [("p", "q"), ("p", "r"), ("q", "r"), ("p", "s"), ("q", "s")],
+        ["cui_a", "cui_b"])
+    out = {r.node: r.triangles for r in triangle_counts(e).collect()}
+    assert out == {"p": 2, "q": 2, "r": 1, "s": 1}
+
+
+def test_clustering_coefficient(spark, edges):
+    from bern2_spark.operators.graph import clustering_coefficient
+    out = {r.node: (r.degree, r.triangles, r.clustering)
+           for r in clustering_coefficient(edges).collect()}
+    assert out["x"] == (2, 1, 1.0)
+    assert out["b"] == (2, 0, 0.0)
+    assert out["a"] == (1, 0, 0.0)
