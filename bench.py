@@ -25,6 +25,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_paragraph",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",

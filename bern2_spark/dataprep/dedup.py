@@ -32,6 +32,18 @@ def norm_tokens(col):
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
 
 
+def word_bigrams(col):
+    """adjacent-token bigram strings of ``norm_tokens``; <2-token
+    inputs yield an empty array (shared by textqc repetition features
+    and DSIR importance weighting)."""
+    toks = norm_tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    return F.when(k > 0, F.slice(
+        F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: F.array_join(F.slice(toks, i, 2), " ")),
+        1, k)).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col, n: int = 3):
     """token n-gram shingles as strings; docs shorter than n tokens get
     their full token string as the single shingle."""

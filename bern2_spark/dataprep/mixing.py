@@ -103,3 +103,64 @@ def sample_to_token_budget_approx(docs: DataFrame,
     return (with_tok
             .join(broadcast(fracs), domain_col)
             .filter(_unit_hash(F.col(id_col)) < F.col("keep_frac")))
+
+
+def importance_weights(docs: DataFrame, target: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bucket_hex: int = 3, smoothing: float = 1.0,
+                       round_to: int | None = 9) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each raw doc
+    by how much its hashed word-bigram distribution looks like the
+    ``target`` sample rather than the raw corpus —
+
+        score(doc) = mean over the doc's bigram buckets of
+                     ln p_target(bucket) - ln p_raw(bucket)
+
+    with add-``smoothing`` estimates over 16**``bucket_hex`` buckets
+    (bucket = md5-hex prefix of the bigram, a string key both Spark and
+    any ANSI oracle compute identically). Docs with <2 tokens score 0.
+
+    Scale shape: the two distribution estimates are corpus scans ->
+    explode -> groupBy(bucket) with map-side combine collapsing to at
+    most 4096 rows each; the per-bucket weight table is broadcast, so
+    scoring is a narrow explode + broadcast-join + per-doc avg — the
+    corpus text itself is never shuffled. The raw corpus is scanned
+    twice (once to estimate p_raw, once to score); a production run at
+    100 TB persists the exploded (doc, bucket) table between the two
+    or estimates p_raw on a sample — the estimate, not the scoring,
+    tolerates sampling. The two totals are driver scalars (two
+    count()s), same posture as k-means' centroid round-trip."""
+    from bern2_spark.dataprep.dedup import word_bigrams
+    n_buckets = 16 ** bucket_hex
+
+    def feats(df, with_id):
+        sel = [F.col(id_col)] if with_id else []
+        return (df.select(*sel,
+                          F.explode(word_bigrams(F.col(text_col)))
+                          .alias("gram"))
+                .withColumn("bucket",
+                            F.substring(F.md5("gram"), 1, bucket_hex))
+                .drop("gram"))
+
+    doc_feats = feats(docs, True)
+    raw_cnt = doc_feats.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
+    tgt_cnt = (feats(target, False)
+               .groupBy("bucket").agg(F.count("*").alias("t_cnt")))
+    n_raw = doc_feats.count()
+    n_tgt = tgt_cnt.agg(F.sum("t_cnt")).collect()[0][0] or 0
+    s = float(smoothing)
+    w = (raw_cnt.join(tgt_cnt, "bucket", "left")
+         .select("bucket",
+                 (F.log((F.coalesce("t_cnt", F.lit(0)) + F.lit(s))
+                        / F.lit(n_tgt + s * n_buckets))
+                  - F.log((F.col("r_cnt") + F.lit(s))
+                          / F.lit(n_raw + s * n_buckets))).alias("w")))
+    scores = (doc_feats.join(broadcast(w), "bucket")
+              .groupBy(id_col).agg(F.avg("w").alias("score")))
+    out = (docs.select(id_col)
+           .join(scores, id_col, "left")
+           .select(id_col, F.coalesce("score", F.lit(0.0)).alias("score")))
+    if round_to is not None:
+        out = out.select(id_col, F.round("score", round_to).alias("score"))
+    return out

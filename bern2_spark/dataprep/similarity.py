@@ -407,3 +407,44 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 8, dim: int = 64,
+                   centroids: List[List[float]] | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    into IVF cells, compute pairwise cosines WITHIN each cell only, and
+    drop every row that has a lower-id row in its cell with cosine >=
+    threshold (deterministic keep-lowest-id, no iteration). Returns
+    (id, cell, keep).
+
+    Scale shape: the clustering bounds the quadratic — the self-join is
+    equi on ``cell``, so each cell's pairs stay inside one shuffle
+    partition family and total work is sum over cells of n_c^2, the
+    exact knob SemDeDup turns (more centroids => smaller n_c). Cells
+    with heavy skew get more centroids or a per-cell LSH pre-filter
+    (``lsh_bucket_pairs``); centroids are plan literals exactly like
+    ``ivf_topk``'s."""
+    if centroids is None:
+        centroids = ivf_centroids(n_centroids, dim)
+    assigned = ivf_assign(
+        embeddings.select(id_col, vec_col), centroids, vec_col)
+    a = assigned.select(F.col(id_col).alias("_ida"), "cell",
+                        F.col(vec_col).alias("_va"))
+    b = assigned.select(F.col(id_col).alias("_idb"), "cell",
+                        F.col(vec_col).alias("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / \
+        (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    dropped = (a.join(b, "cell")
+               .filter(F.col("_ida") > F.col("_idb"))
+               .withColumn("_cos", cos)
+               .filter(F.col("_cos") >= threshold)
+               .select(F.col("_ida").alias(id_col))
+               .distinct())
+    return (assigned.select(id_col, "cell")
+            .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
+            .select(id_col, "cell",
+                    F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))

@@ -103,17 +103,11 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     100 TB both shuffles carry short strings with map-side combine, and
     the final per-doc reduce emits one row per doc.  Empty docs yield
     zero fractions."""
+    from bern2_spark.dataprep.dedup import word_bigrams
     c = F.col(text_col)
     sents = F.filter(F.split(c, r"\.\s+|\.$"),
                      lambda s: F.trim(s) != "")
-    toks = norm_tokens(c)
-    n_tok = F.size(toks)
-    k = F.greatest(n_tok - F.lit(1), F.lit(0))
-    # docs with <2 tokens have no bigrams
-    bigrams = F.when(k > 0, F.slice(
-        F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                    lambda i: F.array_join(F.slice(toks, i, 2), " ")),
-        1, k)).otherwise(F.array().cast("array<string>"))
+    bigrams = word_bigrams(c)
 
     sent_stats = (docs
                   .select(id_col, F.explode_outer(sents).alias("sent"))
@@ -165,3 +159,43 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (docs
             .withColumn("n_redactions", n.cast("long"))
             .withColumn(text_col, scrubbed))
+
+
+def tfidf_keywords(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 5,
+                   round_to: int = 9) -> DataFrame:
+    """Top-k TF-IDF keywords per document: (id, token, score, rank).
+    tf = token count / doc length, idf = ln((N+1)/(df+1)) + 1
+    (smoothed); docs with no tokens emit no rows.
+
+    Ranking happens on the ROUNDED score (then token asc) — a double
+    computed in two engines can differ in the last ulp, and ranking on
+    the raw value would let near-ties order differently; rounding
+    first makes the top-k set itself deterministic, not just the
+    printed digits.
+
+    Scale shape: explode -> groupBy(doc, token) combines map-side; the
+    df table is vocabulary-sized and joins on token (co-partitioned
+    with its own aggregation); the top-k window partitions per doc —
+    bounded by document length, never corpus size."""
+    from bern2_spark.dataprep.dedup import norm_tokens
+    from pyspark.sql import Window
+    n_docs = docs.count()
+    tok = (docs.select(id_col,
+                       F.explode(norm_tokens(F.col(text_col)))
+                       .alias("token")))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("_n"))
+    doc_len = tok.groupBy(id_col).agg(F.count("*").alias("_len"))
+    df_t = (tf.groupBy("token")
+            .agg(F.count("*").alias("_df")))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + F.lit(1.0))) \
+        + F.lit(1.0)
+    scored = (tf.join(doc_len, id_col).join(df_t, "token")
+              .withColumn("score",
+                          F.round((F.col("_n") / F.col("_len")) * idf,
+                                  round_to)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "token", "score", "rank"))

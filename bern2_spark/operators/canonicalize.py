@@ -58,3 +58,36 @@ def order_output(annotations: DataFrame) -> DataFrame:
     return (annotations
             .repartition("doc_id")
             .sortWithinPartitions("doc_id", "begin", "obj"))
+
+
+def entity_catalog(mentions: DataFrame,
+                   type_col: str = "ent_type", cui_col: str = "cui",
+                   mention_col: str = "mention",
+                   doc_col: str = "doc_id") -> DataFrame:
+    """Entity-linking canonicalization artifact: one row per linked
+    entity (ent_type, cui) with its corpus stats and a canonical
+    surface form — the table a KG service publishes as its entity
+    index. canonical_surface = the entity's most frequent mention
+    text, ties broken lexicographically (deterministic re-runs).
+
+    Two aggregations over the same (type, cui)-keyed shuffle family:
+    per-surface counts (then a tiny per-entity top-1 window over
+    |distinct surfaces| rows, NOT corpus rows) and per-entity
+    mention/doc totals. At 100 TB both combine map-side; the window's
+    partitions are per-entity surface lists — bounded by vocabulary,
+    not corpus size."""
+    keys = [type_col, cui_col]
+    per_surface = (mentions
+                   .groupBy(*keys, mention_col)
+                   .agg(F.count("*").alias("_n")))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_n").desc(), F.col(mention_col).asc())
+    canon = (per_surface
+             .withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") == 1)
+             .select(*keys,
+                     F.col(mention_col).alias("canonical_surface")))
+    stats = (mentions.groupBy(*keys)
+             .agg(F.count("*").alias("n_mentions"),
+                  F.countDistinct(doc_col).alias("n_docs")))
+    return stats.join(canon, keys)

@@ -2809,3 +2809,177 @@ def kg_clustering(spark, sf_dir):
     a node-keyed join)."""
     from bern2_spark.operators.graph import clustering_coefficient
     return clustering_coefficient(_kg_edges(spark))
+
+
+# ------------------------------------------------- DSIR importance
+
+# word-bigram buckets of every doc (md5-hex prefix, 4096 buckets);
+# tokens = norm_tokens (lowercase split on non-alnum runs)
+_DSIR_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
+              "'[^a-z0-9]+'), x -> x != '')")
+
+
+@q("mix_dsir_weights", f"""
+WITH bl AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+           ELSE [] END AS bgs
+  FROM (SELECT doc_id, {_DSIR_TOKS} AS toks FROM documents)),
+rb AS (SELECT doc_id, substr(md5(b.g), 1, 3) AS bucket
+       FROM bl, unnest(bgs) AS b(g)),
+rc AS (SELECT bucket, count(*) AS r_cnt FROM rb GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS t_cnt FROM rb
+       WHERE doc_id % 11 = 0 GROUP BY 1),
+nr AS (SELECT count(*) AS n FROM rb),
+nt AS (SELECT count(*) AS n FROM rb WHERE doc_id % 11 = 0),
+w AS (SELECT rc.bucket,
+             ln((coalesce(tc.t_cnt, 0) + CAST(1.0 AS DOUBLE))
+                / ((SELECT n FROM nt) + CAST(4096.0 AS DOUBLE)))
+           - ln((rc.r_cnt + CAST(1.0 AS DOUBLE))
+                / ((SELECT n FROM nr) + CAST(4096.0 AS DOUBLE))) AS w
+      FROM rc LEFT JOIN tc USING (bucket)),
+sc AS (SELECT rb.doc_id, avg(w.w) AS score
+       FROM rb JOIN w USING (bucket) GROUP BY 1)
+SELECT d.doc_id, round(coalesce(sc.score, 0.0), 9) AS score
+FROM documents d LEFT JOIN sc USING (doc_id)
+""")
+def mix_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (dataprep/mixing.importance_weights,
+    Xie et al. 2023): every doc scored by hashed-bigram log-likelihood
+    ratio against a target sample (docs with doc_id % 11 == 0 standing
+    in for the high-quality domain). The oracle recomputes both
+    distribution estimates and the broadcast weight table from the
+    same corpus."""
+    from bern2_spark.dataprep.mixing import importance_weights
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 11 == 0)
+    return importance_weights(d, target)
+
+
+def _golden_pubann_path() -> str:
+    import os
+    sf = os.path.basename(
+        os.environ.get("SPARK_GRAFT_TEST_SF", "/x/sf0.01").rstrip("/"))
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden",
+        f"pubannotation_rows_{sf}.parquet")
+
+
+@q("kg_entity_catalog", f"""
+WITH m AS (
+  SELECT sourceid AS doc_id, obj AS ent_type, c.cui, mention
+  FROM read_parquet('{_golden_pubann_path()}'),
+       unnest(string_split(ids, '|')) AS c(cui)
+  WHERE c.cui != ''),
+per_surface AS (
+  SELECT ent_type, cui, mention, count(*) AS n
+  FROM m GROUP BY 1, 2, 3),
+canon AS (
+  SELECT ent_type, cui, mention AS canonical_surface
+  FROM (SELECT *, row_number() OVER (PARTITION BY ent_type, cui
+                                     ORDER BY n DESC, mention ASC) AS rk
+        FROM per_surface)
+  WHERE rk = 1),
+stats AS (
+  SELECT ent_type, cui, count(*) AS n_mentions,
+         count(DISTINCT doc_id) AS n_docs
+  FROM m GROUP BY 1, 2)
+SELECT s.ent_type, s.cui, s.n_mentions, s.n_docs, c.canonical_surface
+FROM stats s JOIN canon c USING (ent_type, cui)
+""")
+def kg_entity_catalog(spark, sf_dir):
+    """Entity-linking canonicalization artifact (operators/
+    canonicalize.entity_catalog): one row per linked (ent_type, cui)
+    with corpus stats and the canonical surface form (most frequent
+    mention, lexicographic tie-break) — the KG's published entity
+    index. Input = the pinned PubAnnotation golden (multi-CUI ids
+    split on '|'); the oracle RECOMPUTES the catalog from the same
+    rows, dual-formulation like kg_cooccurrence."""
+    from bern2_spark.operators.canonicalize import entity_catalog
+    rows = spark.read.parquet(_golden_pubann_path())
+    m = (rows.select(F.col("sourceid").alias("doc_id"),
+                     F.col("obj").alias("ent_type"),
+                     F.explode(F.split("ids", r"\|")).alias("cui"),
+                     "mention")
+         .filter(F.col("cui") != ""))
+    return entity_catalog(m)
+
+
+@q("qc_tfidf_keywords", f"""
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM (SELECT doc_id, {_DSIR_TOKS} AS toks FROM documents),
+       unnest(toks) AS t(token)),
+tf AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.token,
+              round((tf.n / CAST(dl.len AS DOUBLE))
+                    * (ln(((SELECT n FROM nd) + CAST(1.0 AS DOUBLE))
+                          / (dfq.df + CAST(1.0 AS DOUBLE)))
+                       + CAST(1.0 AS DOUBLE)), 9) AS score
+       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, token ASC) AS rank FROM sc)
+SELECT doc_id, token, score, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+""")
+def qc_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per doc (dataprep/textqc.tfidf_keywords)
+    — per-doc salience for KG entity ranking / corpus exploration.
+    Both engines rank on the ROUNDED score so near-tie ordering is
+    deterministic cross-engine."""
+    from bern2_spark.dataprep.textqc import tfidf_keywords
+    return tfidf_keywords(_docs(spark, sf_dir).select("doc_id", "text"),
+                          k=5)
+
+
+def _semdedup_oracle(n_centroids: int = 8, dim: int = 64,
+                     threshold: float = 0.30) -> str:
+    from bern2_spark.dataprep.similarity import ivf_centroids
+    cents = ivf_centroids(n_centroids, dim)
+    vals = ", ".join(
+        f"({i}, {c!r}::DOUBLE[], {sum(x * x for x in c)!r})"
+        for i, c in enumerate(cents))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES {vals}) c(i, arr, c2)),
+sc AS (
+  SELECT e.vec_id, e.v, c.i,
+         c.c2 - 2 * list_dot_product(e.v, c.arr) AS s
+  FROM e, cent c
+),
+cells AS (
+  SELECT vec_id, v, i AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s, i) AS rn FROM sc)
+  WHERE rn = 1
+),
+drp AS (
+  SELECT DISTINCT a.vec_id AS vid
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id > b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= {threshold!r}
+)
+SELECT c.vec_id, c.cell, (d.vid IS NULL) AS keep
+FROM cells c LEFT JOIN drp d ON c.vec_id = d.vid
+"""
+
+
+@q("dedup_semantic", _semdedup_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (dataprep/similarity.semantic_dedup, Abbas et al.
+    2023): IVF-cell clustering bounds the within-cell quadratic cosine
+    pass; rows with a lower-id >=threshold neighbor in their cell are
+    dropped (keep-lowest-id, deterministic). Oracle re-derives cells
+    from the same centroid literals and replays the keep rule."""
+    from bern2_spark.dataprep.similarity import semantic_dedup
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return semantic_dedup(emb, threshold=0.30, n_centroids=8, dim=64)

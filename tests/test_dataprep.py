@@ -513,3 +513,82 @@ def test_paragraph_dedup_position_order(spark):
     row = paragraph_dedup(docs).collect()[0]
     assert row.text == "dup\n\nmiddle"
     assert (row.n_kept, row.n_dropped) == (2, 1)
+
+
+# --------------------------------------------------- DSIR importance
+
+def test_importance_weights_ranks_target_like_docs(spark):
+    from bern2_spark.dataprep.mixing import importance_weights
+    docs = spark.createDataFrame([
+        (1, "the gene regulates the pathway in the cell"),
+        (2, "the gene regulates expression of the pathway"),
+        (3, "stock market prices fell sharply on tuesday trading"),
+        (4, "market prices and stock trading volumes on tuesday"),
+        (5, "x"),                                   # <2 tokens -> 0.0
+    ], ["doc_id", "text"])
+    target = docs.filter("doc_id <= 2")             # biomed-flavored
+    out = {r.doc_id: r.score
+           for r in importance_weights(docs, target).collect()}
+    # docs sharing the target's bigrams outscore the off-domain ones
+    assert min(out[1], out[2]) > max(out[3], out[4])
+    assert out[5] == 0.0
+
+
+def test_importance_weights_empty_target(spark):
+    from bern2_spark.dataprep.mixing import importance_weights
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        ["doc_id", "text"])
+    target = docs.filter("doc_id < 0")
+    out = importance_weights(docs, target).collect()
+    # uniform smoothed target: every doc gets a finite (equal-prior)
+    # score, no crash on the empty aggregate
+    assert len(out) == 2 and all(r.score is not None for r in out)
+
+
+# --------------------------------------------------- tf-idf keywords
+
+def test_tfidf_keywords(spark):
+    import math
+    from bern2_spark.dataprep.textqc import tfidf_keywords
+    docs = spark.createDataFrame([
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry apple"),
+        (4, ""),
+    ], ["doc_id", "text"])
+    out = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty doc emits nothing
+    assert 4 not in by_doc
+    # doc 1: apple tf=2/3 df=2; banana tf=1/3 df=2 -> apple ranks first
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.token for r in d1] == ["apple", "banana"]
+    idf = math.log(5 / 3) + 1          # (N+1)/(df+1) with N=4, df=2
+    assert abs(d1[0].score - round((2 / 3) * idf, 9)) < 1e-12
+    # doc 2 tie (both tf=1/2, df=2): lexicographic banana < cherry
+    d2 = sorted(by_doc[2], key=lambda r: r.rank)
+    assert [r.token for r in d2] == ["banana", "cherry"]
+
+
+# --------------------------------------------------- SemDeDup
+
+def test_semantic_dedup(spark):
+    from bern2_spark.dataprep.similarity import semantic_dedup
+    # centroid 0 direction: duplicate pair (1, 2) + an orthogonal-ish
+    # singleton 3; custom 2-cell centroids in 4 dims
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    emb = spark.createDataFrame([
+        (1, [1.0, 0.0, 0.1, 0.0]),
+        (2, [0.9, 0.0, 0.1, 0.0]),   # near-dup of 1, same cell
+        (3, [0.0, 1.0, 0.0, 0.2]),   # alone in cell 1
+    ], ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, threshold=0.95, centroids=cents,
+                          dim=4).collect()}
+    assert out[1].keep is True          # lowest id survives
+    assert out[2].keep is False         # its near-dup is dropped
+    assert out[3].keep is True
+    assert out[1].cell == out[2].cell != out[3].cell

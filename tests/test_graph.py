@@ -116,3 +116,23 @@ def test_clustering_coefficient(spark, edges):
     assert out["x"] == (2, 1, 1.0)
     assert out["b"] == (2, 0, 0.0)
     assert out["a"] == (1, 0, 0.0)
+
+
+# ------------------------------------------------ entity catalog
+
+def test_entity_catalog(spark):
+    from bern2_spark.operators.canonicalize import entity_catalog
+    m = spark.createDataFrame([
+        ("d1", "disease", "MESH:D1", "lung cancer"),
+        ("d1", "disease", "MESH:D1", "lung cancer"),
+        ("d2", "disease", "MESH:D1", "cancer of the lung"),
+        ("d2", "gene",    "1017",    "CDK2"),
+        ("d3", "gene",    "1017",    "cdk2"),   # tie -> lexicographic
+    ], ["doc_id", "ent_type", "cui", "mention"])
+    out = {(r.ent_type, r.cui): r for r in entity_catalog(m).collect()}
+    dis = out[("disease", "MESH:D1")]
+    assert (dis.n_mentions, dis.n_docs) == (3, 2)
+    assert dis.canonical_surface == "lung cancer"
+    gene = out[("gene", "1017")]
+    assert (gene.n_mentions, gene.n_docs) == (2, 2)
+    assert gene.canonical_surface == "CDK2"
