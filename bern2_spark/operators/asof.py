@@ -1,0 +1,95 @@
+"""As-of (latest-prior-event) join — the temporal join Spark lacks.
+
+For every left row, attach the most recent right row of the same key
+whose timestamp is <= the left timestamp (event attribution, price
+as-of trade, sensor last-reading). Spark has no ASOF JOIN operator;
+the naive theta-join (t_r <= t_l) explodes quadratically per key and
+a per-key ``applyInPandas`` forfeits the JVM. This implementation is
+the union+ordered-window formulation — the exact work a native
+merge-based ASOF join does, expressed in DataFrame algebra:
+
+1. tag both sides, union their skinny payloads (key, ts, side,
+   struct-payload) — a column-pruned scan each, NO join;
+2. one shuffle+sort per key on (ts, side, seq) — identical cost to the
+   sort-merge join Spark would run anyway;
+3. ``last(right_payload, ignoreNulls=True)`` over rows-unbounded-
+   preceding carries the latest right payload forward; left rows then
+   read their as-of match from the running value.
+
+Each input row is touched once; the only wide op is the one sort.
+Right rows sort BEFORE left rows at equal timestamps (side 0 < 1), so
+ties use <= semantics; ``seq_col`` breaks equal-timestamp ties among
+right rows deterministically.
+
+Skew: the window partitions per key — a hot key serializes its own
+timeline (inherent to as-of semantics: the running value is a chain).
+At 100 TB the mitigation is range-bucketing time per hot key and
+seeding each bucket with the previous bucket's last right row — the
+standard parallel prefix trick; not needed at driver-query scale.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_cols: List[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: Optional[List[str]] = None,
+              prefix: str = "asof_",
+              tolerance_seconds: Optional[float] = None,
+              right_seq: Optional[str] = None) -> DataFrame:
+    """Left rows + ``prefix``-named columns of the matched right row
+    (NULL when no right row precedes). ``right_cols`` defaults to every
+    non-key, non-ts right column. ``right_seq`` names a right column
+    that breaks ties among right rows sharing a timestamp (the highest
+    wins) — without it, equal-ts right rows tie-break arbitrarily."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in key_cols and c != right_ts]
+    lpay = [c for c in left.columns
+            if c not in key_cols and c != left_ts]
+    seq_r = (F.col(right_seq).cast("long") if right_seq is not None
+             else F.lit(0).cast("long"))
+    l = left.select(
+        *key_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_seq"),
+        F.struct(*lpay).alias("_lp"),
+        F.lit(None).cast(
+            right.select(F.struct(F.col(right_ts).alias("_rts"),
+                                  *right_cols).alias("s"))
+            .schema["s"].dataType).alias("_rp"))
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        seq_r.alias("_seq"),
+        F.lit(None).cast(
+            left.select(F.struct(*lpay).alias("s"))
+            .schema["s"].dataType).alias("_lp"),
+        F.struct(F.col(right_ts).alias("_rts"), *right_cols).alias("_rp"))
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                  F.col("_seq").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (l.unionByName(r)
+               .withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+               .filter(F.col("_side") == 1))
+    if tolerance_seconds is not None:
+        in_tol = ((F.unix_micros(F.col("_ts"))
+                   - F.unix_micros(F.col("_m._rts")))
+                  <= F.lit(int(tolerance_seconds * 1_000_000)))
+        matched = matched.withColumn(
+            "_m", F.when(in_tol, F.col("_m")))
+    out_cols = ([F.col(c) for c in key_cols]
+                + [F.col("_ts").alias(left_ts)]
+                + [F.col(f"_lp.{c}").alias(c) for c in lpay]
+                + [F.col(f"_m.{c}").alias(f"{prefix}{c}")
+                   for c in right_cols]
+                + [F.col("_m._rts").alias(f"{prefix}{right_ts}")])
+    return matched.select(*out_cols)

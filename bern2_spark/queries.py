@@ -2983,3 +2983,60 @@ def dedup_semantic(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     return semantic_dedup(emb, threshold=0.30, n_centroids=8, dim=64)
+
+
+# ------------------------------------------------- as-of join
+
+@q("events_asof_attribution", """
+WITH v AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'click'),
+u AS (SELECT user_id, ts, 0 AS side, event_id AS seq,
+             CAST(NULL AS BIGINT) AS click_id,
+             event_id AS vid, value, ts AS rts
+      FROM v
+      UNION ALL
+      SELECT user_id, ts, 1, 0, event_id,
+             NULL, NULL, NULL
+      FROM c),
+w AS (SELECT *,
+        last_value(vid IGNORE NULLS) OVER win AS m_vid,
+        last_value(value IGNORE NULLS) OVER win AS m_val,
+        last_value(rts IGNORE NULLS) OVER win AS m_rts
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, seq
+                     ROWS UNBOUNDED PRECEDING))
+SELECT user_id, epoch_us(ts) AS click_us, click_id,
+       m_vid AS view_id, round(m_val, 6) AS view_value,
+       epoch_us(m_rts) AS view_us
+FROM w WHERE side = 1
+""")
+def events_asof_attribution(spark, sf_dir):
+    """As-of join (operators/asof.py): every click attributed to the
+    user's latest prior view — the temporal join Spark lacks, done as
+    union + one ordered window (the merge-ASOF work shape, one sort,
+    no quadratic theta-join). The oracle is the same formulation in
+    SQL; timestamps compared as epoch micros."""
+    from bern2_spark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    out = asof_join(clicks, views, ["user_id"],
+                    right_cols=["event_id", "value"],
+                    right_seq="event_id")
+    # tz-independent micros for NTZ timestamps (session-tz-proof:
+    # unix_micros would reinterpret the wall time through the session
+    # zone; timestampdiff on two NTZ values never consults it)
+    def us(c):
+        return F.expr(f"timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")
+    return out.select(
+        "user_id",
+        us("ts").alias("click_us"),
+        F.col("event_id").alias("click_id"),
+        F.col("asof_event_id").alias("view_id"),
+        F.round("asof_value", 6).alias("view_value"),
+        us("asof_ts").alias("view_us"))
