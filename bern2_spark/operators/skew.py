@@ -48,3 +48,30 @@ def salted_agg_count(df: DataFrame, keys: List[str],
                .agg(F.count("*").alias("_partial")))
     return (partial.groupBy(*keys)
             .agg(F.sum("_partial").alias("count")))
+
+
+def hot_key_profile(df: DataFrame, keys: List[str],
+                    hot_share: float = 0.01,
+                    n_buckets: int = 32) -> DataFrame:
+    """The measurement that DRIVES the salting decision: per-key row
+    counts and corpus share, keeping only keys above ``hot_share``.
+
+    Output: ``(key..., n_rows, share, recommended_salts)`` where
+    ``recommended_salts = ceil(share * n_buckets)`` — the number of
+    reducers a key needs so no single task processes more than ~1/
+    n_buckets of the table (set n_buckets to the stage's task count).
+
+    Scale shape: one map-side-combined groupBy on the key (the same
+    shuffle the skewed agg itself would do, but carrying only counts),
+    then the single global-total row joins back via crossJoin of a
+    1-row broadcast — no global window funneling all counts through
+    one partition."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    share = F.col("n_rows") / F.col("_total")
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(share >= hot_share)
+            .select(*keys, "n_rows",
+                    F.round(share, 6).alias("share"),
+                    F.ceil(share * n_buckets).cast("int")
+                     .alias("recommended_salts")))

@@ -3040,3 +3040,99 @@ def events_asof_attribution(spark, sf_dir):
         F.col("asof_event_id").alias("view_id"),
         F.round("asof_value", 6).alias("view_value"),
         us("asof_ts").alias("view_us"))
+
+
+# --------------------------------------- substring (k-gram) dedup spans
+
+_SUBSTR_K = 5
+# shared CTE chain: duplicated token 5-grams merged into maximal spans
+# (gaps-and-islands); start indices are 1-based inclusive token positions
+_SUBSTR_SPANS_CTE = f"""
+docs2 AS ({_DUP_UNION_SQL}),
+tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs2),
+g0 AS (SELECT doc_id, toks,
+              unnest(range(1, len(toks) - {_SUBSTR_K} + 2)) AS start0
+       FROM tk WHERE len(toks) >= {_SUBSTR_K}),
+grams AS (SELECT doc_id, CAST(start0 AS INTEGER) AS start,
+                 md5(array_to_string(
+                     list_slice(toks, start0, start0 + {_SUBSTR_K} - 1),
+                     ' ')) AS gh
+          FROM g0),
+dup AS (SELECT gh FROM grams GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+flag AS (SELECT g.doc_id, g.start FROM grams g JOIN dup USING (gh)),
+lagd AS (SELECT doc_id, start,
+                lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+                  AS prev
+         FROM flag),
+isl AS (SELECT doc_id, start,
+               sum(CASE WHEN prev IS NULL
+                          OR start - prev > {_SUBSTR_K} THEN 1
+                        ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY start) AS island
+        FROM lagd),
+spans AS (SELECT doc_id,
+                 min(start) AS span_start,
+                 max(start) + {_SUBSTR_K} - 1 AS span_end
+          FROM isl GROUP BY doc_id, island)
+"""
+
+
+@q("dedup_substring_spans", f"""
+WITH {_SUBSTR_SPANS_CTE}
+SELECT doc_id, span_start, span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
+FROM spans
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2022, relational form): token
+    5-grams shared across documents, merged into maximal duplicated
+    spans per doc — the operator that removes repeated boilerplate
+    RUNS rather than whole near-dup documents."""
+    from bern2_spark.dataprep.substring import duplicate_kgram_spans
+    return duplicate_kgram_spans(_dup_docs(spark, sf_dir), k=_SUBSTR_K)
+
+
+@q("qc_duplication_ratio", f"""
+WITH {_SUBSTR_SPANS_CTE},
+per_doc AS (SELECT doc_id,
+                   sum(span_end - span_start + 1) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS total_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+             / greatest(len({_TOKS_SQL}), 1), 6) AS dup_ratio
+FROM docs2 d LEFT JOIN per_doc p USING (doc_id)
+""")
+def qc_duplication_ratio(spark, sf_dir):
+    """Per-doc duplicated-token fraction from the substring spans — the
+    cleaning-policy knob (cut spans / drop docs above a threshold)."""
+    from bern2_spark.dataprep.substring import duplication_ratio
+    return duplication_ratio(_dup_docs(spark, sf_dir), k=_SUBSTR_K)
+
+
+@q("skew_hot_key_profile", """
+WITH k AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'hot'
+              ELSE CAST(user_id AS VARCHAR) END AS k
+  FROM events),
+c AS (SELECT k, count(*) AS n_rows FROM k GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT k, n_rows,
+       round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       CAST(ceil(CAST(n_rows AS DOUBLE) / total * 32) AS INTEGER)
+         AS recommended_salts
+FROM c, t
+WHERE CAST(n_rows AS DOUBLE) / total >= 0.01
+""")
+def skew_hot_key_profile(spark, sf_dir):
+    """The profiler that DRIVES the salting decision: keys holding
+    >=1% of the table, with the reducer fan-out each needs (same
+    synthetic hot key as skew_salted_agg, so the two queries pair as
+    measure -> mitigate)."""
+    from bern2_spark.operators.skew import hot_key_profile
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
+         .otherwise(F.col("user_id").cast("string")).alias("k"))
+    return hot_key_profile(ev, ["k"], hot_share=0.01, n_buckets=32)

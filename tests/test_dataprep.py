@@ -592,3 +592,52 @@ def test_semantic_dedup(spark):
     assert out[2].keep is False         # its near-dup is dropped
     assert out[3].keep is True
     assert out[1].cell == out[2].cell != out[3].cell
+
+
+# ------------------------------------------------- substring-level dedup
+
+def test_duplicate_kgram_spans_merges_maximal_run(spark):
+    from bern2_spark.dataprep.substring import duplicate_kgram_spans
+    # docs 1 and 2 share a 7-token run at different offsets; doc 3 is
+    # unrelated; doc 4 too short to host a 5-gram.
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, f"{shared} unique1 tail1 filler one two"),
+        (2, f"lead2a lead2b {shared} other2 ending"),
+        (3, "nothing here matches the shared run at all today"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {(r.doc_id): (r.span_start, r.span_end, r.n_tokens)
+             for r in duplicate_kgram_spans(docs, k=5).collect()}
+    # run of 7 tokens = three 5-grams, merged into ONE maximal span
+    assert spans[1] == (1, 7, 7)
+    assert spans[2] == (3, 9, 7)
+    assert 3 not in spans and 4 not in spans
+
+
+def test_duplication_ratio_counts_span_tokens(spark):
+    from bern2_spark.dataprep.substring import duplication_ratio
+    shared = "a1 a2 a3 a4 a5"  # exactly one 5-gram
+    rows = [
+        (1, f"{shared} x1 x2 x3 x4 x5"),   # 10 tokens, 5 duplicated
+        (2, f"y1 y2 y3 y4 y5 {shared}"),   # 10 tokens, 5 duplicated
+        (3, "z1 z2 z3 z4 z5 z6"),          # no dup
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplication_ratio(docs, k=5).collect()}
+    assert out[1].dup_tokens == 5 and out[1].total_tokens == 10
+    assert abs(out[1].dup_ratio - 0.5) < 1e-9
+    assert out[3].dup_tokens == 0 and out[3].dup_ratio == 0.0
+
+
+def test_hot_key_profile_flags_only_hot(spark):
+    from bern2_spark.operators.skew import hot_key_profile
+    rows = ([("hot",)] * 96) + [(f"u{i}",) for i in range(4)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = hot_key_profile(df, ["k"], hot_share=0.05, n_buckets=32)
+    got = out.collect()
+    assert len(got) == 1 and got[0].k == "hot"
+    assert got[0].n_rows == 96
+    assert abs(got[0].share - 0.96) < 1e-9
+    assert got[0].recommended_salts == 31  # ceil(0.96 * 32)
