@@ -26,6 +26,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_paragraph",
+    "dedup_substring_spans",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
@@ -171,9 +172,27 @@ def main() -> None:
     _run_once(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir,
               HEADLINE)
     # best-of-2 at the target sf: first execution of a new plan pays
-    # JIT/codegen/persist setup; steady-state is the honest throughput
-    times_a, counts, errs_a = _run_once(spark, sf_dir, HEADLINE)
-    times_b, counts_b, errs_b = _run_once(spark, sf_dir, HEADLINE)
+    # JIT/codegen/persist setup; steady-state is the honest throughput.
+    # Each timed pass is steal-gated and carries its own CPU telemetry:
+    # this microVM's host time-slices cores in storms (measured 2-3x
+    # wall-clock swings at ZERO steal on identical plans minutes apart),
+    # so the recorded steal/busy numbers are what makes any one JSON
+    # line interpretable against the PROFILE_r4.md steady-state band.
+    telemetry = []
+
+    def _timed_pass(tag):
+        _wait_quiet(max_wait=60)
+        t0 = _cpu_ticks()
+        w0 = time.perf_counter()
+        res = _run_once(spark, sf_dir, HEADLINE)
+        cpu = _region_cpu(t0, time.perf_counter() - w0)
+        telemetry.append({"pass": tag,
+                          "busy_core_s": cpu["busy_core_s"],
+                          "steal_pct": cpu["steal_pct"]})
+        return res
+
+    times_a, counts, errs_a = _timed_pass("a")
+    times_b, counts_b, errs_b = _timed_pass("b")
     counts = {k: counts[k] if counts[k] is not None else counts_b[k]
               for k in counts}
     times = {k: min([t for t in (times_a[k], times_b[k])
@@ -195,6 +214,7 @@ def main() -> None:
         "triples": triples,
         "triples_per_sec": (round(triples / kg_sec, 1)
                             if kg_sec and triples else None),
+        "telemetry": telemetry,
     }
     if errs:
         out["errors"] = errs

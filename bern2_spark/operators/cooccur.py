@@ -83,3 +83,62 @@ def cooccurrence_edges(triples: DataFrame,
                         F.when(pab >= 1.0, F.lit(1.0))
                          .otherwise(F.round(F.log(ratio) / -F.log(pab), 6)))
             .select("cui_a", "cui_b", "n_docs", "npmi"))
+
+
+def sentence_cooccurrence(docs: DataFrame, lexicon: DataFrame,
+                          text_col: str = "text",
+                          min_count: int = 1) -> DataFrame:
+    """Sentence-granular co-mention edges — the higher-precision
+    relation signal (two entities in the same SENTENCE assert a far
+    stronger association than the same document; the standard first
+    step of distant-supervision relation extraction).
+
+    Deliberately relational end to end so the DuckDB oracle runs the
+    identical formulation (the pipeline's full segmenter with the
+    reference's edge cases is a pandas UDF, operators/segment.py —
+    this operator trades those edge cases for engine-portable
+    semantics):
+
+    * sentences  = regexp split on ``[.!?] `` (1-based index);
+    * tokens     = alnum runs of the lowercased sentence;
+    * spotting   = exact match of lexicon names against token unigrams
+      AND bigrams — a broadcast EQUI-join (never a contains
+      theta-join, which at 100 TB would be a nested-loop over the
+      corpus);
+    * pairs      = self-join co-partitioned on (doc_id, sent_idx) —
+      one shuffle, quadratic blow-up bounded per sentence (sentences
+      are <=100 tokens by construction upstream, P18/X3 caps);
+    * agg        = (cui_a, cui_b) with map-side combine: n_sents =
+      co-occurring sentences, n_docs = distinct documents among them.
+
+    ``lexicon``: (cui, name) rows; multi-token names beyond bigrams
+    are not spotted (document corpus lexicons here are 1-2 tokens).
+    """
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"[.!?] "))
+         .alias("sent_idx0", "sent"))
+    toks = F.filter(F.split(F.col("sent"), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    n_bi = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    bigrams = F.when(n_bi > 0, F.slice(
+        F.transform(F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+                    lambda i: F.array_join(F.slice(toks, i, 2), " ")),
+        1, n_bi)).otherwise(F.array().cast("array<string>"))
+    grams = (sents
+             .select("doc_id",
+                     (F.col("sent_idx0") + 1).alias("sent_idx"),
+                     F.explode(F.concat(toks, bigrams)).alias("gram")))
+    lex = lexicon.select(F.lower(F.col("name")).alias("gram"),
+                         F.col("cui"))
+    ents = (grams.join(F.broadcast(lex), "gram")
+            .select("doc_id", "sent_idx", "cui")
+            .distinct())
+    a = ents.select("doc_id", "sent_idx", F.col("cui").alias("cui_a"))
+    b = ents.select("doc_id", "sent_idx", F.col("cui").alias("cui_b"))
+    return (a.join(b, ["doc_id", "sent_idx"])
+            .filter(F.col("cui_a") < F.col("cui_b"))
+            .groupBy("cui_a", "cui_b")
+            .agg(F.count("*").alias("n_sents"),
+                 F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_sents") >= min_count))

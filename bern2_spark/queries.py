@@ -3136,3 +3136,55 @@ def skew_hot_key_profile(spark, sf_dir):
         F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
          .otherwise(F.col("user_id").cast("string")).alias("k"))
     return hot_key_profile(ev, ["k"], hot_share=0.01, n_buckets=32)
+
+
+# ------------------------------------------- sentence-level co-occurrence
+
+def _sent_cooccur_oracle() -> str:
+    from bern2_spark import corpus
+    lex_rows = [(cui, name) for _, cui, name in corpus.DRIVER_VOCAB_LEXICON
+                if cui != "__TAG_ONLY__"]
+    return f"""
+WITH lex AS (SELECT * FROM {_values_sql(lex_rows, ["cui", "name"])}),
+s AS (SELECT doc_id,
+             unnest(list_transform(
+                 regexp_split_to_array(lower(text), '[.!?] '),
+                 (x, i) -> {{'i': i, 'sent': x}})) AS u
+      FROM documents),
+tk AS (SELECT doc_id, CAST(u.i AS INTEGER) AS sent_idx,
+              list_filter(regexp_split_to_array(u.sent, '[^a-z0-9]+'),
+                          x -> x != '') AS toks
+       FROM s),
+uni AS (SELECT doc_id, sent_idx, unnest(toks) AS gram FROM tk),
+bi AS (SELECT doc_id, sent_idx,
+              unnest(list_transform(
+                  range(1, greatest(len(toks), 1)),
+                  j -> array_to_string(list_slice(toks, j, j + 1), ' ')))
+                AS gram
+       FROM tk WHERE len(toks) >= 2),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+ents AS (SELECT DISTINCT g.doc_id, g.sent_idx, l.cui
+         FROM grams g JOIN lex l ON g.gram = l.name)
+SELECT a.cui AS cui_a, b.cui AS cui_b,
+       count(*) AS n_sents,
+       count(DISTINCT a.doc_id) AS n_docs
+FROM ents a
+JOIN ents b ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx
+           AND a.cui < b.cui
+GROUP BY 1, 2
+"""
+
+
+@q("kg_sentence_cooccur", _sent_cooccur_oracle())
+def kg_sentence_cooccur(spark, sf_dir):
+    """Sentence-granular co-mention edges (operators/cooccur.py:
+    sentence_cooccurrence) — entities spotted by broadcast equi-join of
+    lexicon names against sentence token uni/bigrams, paired by a
+    self-join co-partitioned on (doc, sentence)."""
+    from bern2_spark import corpus
+    from bern2_spark.operators.cooccur import sentence_cooccurrence
+    lex = spark.createDataFrame(
+        [(cui, name) for _, cui, name in corpus.DRIVER_VOCAB_LEXICON
+         if cui != "__TAG_ONLY__"],
+        ["cui", "name"])
+    return sentence_cooccurrence(_docs(spark, sf_dir), lex)

@@ -641,3 +641,36 @@ def test_hot_key_profile_flags_only_hot(spark):
     assert got[0].n_rows == 96
     assert abs(got[0].share - 0.96) < 1e-9
     assert got[0].recommended_salts == 31  # ceil(0.96 * 32)
+
+
+def test_sentence_cooccurrence_same_sentence_only(spark):
+    from bern2_spark.operators.cooccur import sentence_cooccurrence
+    docs = spark.createDataFrame(
+        [(1, "Spark and vector meet here. Hash alone in sentence two."),
+         (2, "spark vector again together! nothing else."),
+         (3, "spark in one sentence. vector in another sentence.")],
+        ["doc_id", "text"])
+    lex = spark.createDataFrame(
+        [("2001", "spark"), ("2002", "vector"), ("2003", "hash"),
+         ("2004-1", "hash join")], ["cui", "name"])
+    out = {(r.cui_a, r.cui_b): (r.n_sents, r.n_docs)
+           for r in sentence_cooccurrence(docs, lex).collect()}
+    # spark+vector co-occur in doc1 sent1 and doc2 sent1 — NOT doc3
+    # (different sentences there)
+    assert out == {("2001", "2002"): (2, 2)}
+
+
+def test_sentence_cooccurrence_bigram_names(spark):
+    from bern2_spark.operators.cooccur import sentence_cooccurrence
+    docs = spark.createDataFrame(
+        [(1, "the hash join beats the filter today.")],
+        ["doc_id", "text"])
+    lex = spark.createDataFrame(
+        [("2004-1", "hash join"), ("MESH:C4001", "filter"),
+         ("2003", "hash")], ["cui", "name"])
+    out = {(r.cui_a, r.cui_b) for r in
+           sentence_cooccurrence(docs, lex).collect()}
+    # bigram 'hash join' spotted; its unigram prefix 'hash' also (both
+    # real lexicon entries), and each pairs with 'filter'
+    assert ("2004-1", "MESH:C4001") in out
+    assert ("2003", "2004-1") in out
