@@ -69,3 +69,73 @@ def extract_features(media: DataFrame, dim: int = 8,
             })
 
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------- video frame sampling
+
+VIDEO_SCHEMA = ("doc_id bigint, media_type string, duration_ms int, "
+                "fps int, payload binary")
+FRAME_SCHEMA = ("doc_id bigint, frame_idx int, ts_ms int, "
+                "frame_hash string, feature array<float>")
+
+
+def decode_video(payload: bytes):
+    """Real decode would go through PyAV/ffmpeg here."""
+    raise NotImplementedError(
+        "video decode requires ffmpeg bindings not present in this "
+        "environment; use sample_frames(deterministic_fake=True) for "
+        "the plumbing path")
+
+
+def attach_fake_video(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test fixture: deterministic per-doc 'video' — 1-5 s duration
+    derived from n_chars, payload from the text prefix."""
+    return docs.select(
+        "doc_id",
+        F.lit("video/mp4").alias("media_type"),
+        ((1 + F.length(F.col(text_col)) % 5) * 1000).cast("int")
+        .alias("duration_ms"),
+        F.lit(30).alias("fps"),
+        F.encode(F.substring(F.col(text_col), 1, 256), "utf-8")
+        .alias("payload"))
+
+
+def sample_frames(media: DataFrame, sample_fps: int = 1, dim: int = 4,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """mapInPandas over video payloads -> one row per sampled frame
+    (``sample_fps`` frames per second of duration).  Row explosion
+    happens INSIDE the Arrow batch — a real decoder emits frames the
+    same way (pyav demux loop per payload, one output batch per input
+    batch), so schema, batch shape, and the per-frame feature slot are
+    production-real; only the pixel decode is faked (sha256 of
+    payload:frame_idx stands in for the frame bytes)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": [],
+                   "frame_hash": [], "feature": []}
+            for doc_id, dur, payload in zip(pdf["doc_id"],
+                                            pdf["duration_ms"],
+                                            pdf["payload"]):
+                raw = bytes(payload or b"")
+                if not deterministic_fake:
+                    decode_video(raw)  # raises: no decoder shipped
+                n = int(dur) * sample_fps // 1000
+                for i in range(n):
+                    h = hashlib.sha256(
+                        raw + b":" + str(i).encode()).hexdigest()
+                    vec = (np.frombuffer(
+                        bytes.fromhex(h)[:4 * dim], dtype=np.uint32)
+                        .astype(np.float32) / np.float32(2**32))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * 1000 // sample_fps)
+                    out["frame_hash"].append(h)
+                    out["feature"].append(vec.tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=FRAME_SCHEMA)

@@ -3188,3 +3188,36 @@ def kg_sentence_cooccur(spark, sf_dir):
          if cui != "__TAG_ONLY__"],
         ["cui", "name"])
     return sentence_cooccurrence(_docs(spark, sf_dir), lex)
+
+
+# ---------------------------------------------------- video frame sample
+
+@q("mm_frame_sample", """
+WITH m AS (
+  SELECT doc_id, substr(text, 1, 256) AS payload,
+         CAST((1 + length(text) % 5) * 1000 AS INTEGER) AS duration_ms
+  FROM documents
+),
+f AS (
+  SELECT doc_id, payload,
+         CAST(unnest(range(0, duration_ms // 1000)) AS INTEGER)
+           AS frame_idx
+  FROM m
+)
+SELECT doc_id, frame_idx,
+       CAST(frame_idx * 1000 AS INTEGER) AS ts_ms,
+       sha256(payload || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+FROM f
+""")
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing as a driver query: one row per
+    sampled frame (1 fps over a deterministic per-doc duration),
+    exploded INSIDE the Arrow batch by mapInPandas — frame_hash is the
+    deterministic fake decode (sha256 of payload:idx), exact on both
+    engines."""
+    from bern2_spark.dataprep.multimodal import (
+        attach_fake_video, sample_frames,
+    )
+    media = attach_fake_video(_docs(spark, sf_dir))
+    return sample_frames(media, sample_fps=1).select(
+        "doc_id", "frame_idx", "ts_ms", "frame_hash")

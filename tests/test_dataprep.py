@@ -674,3 +674,33 @@ def test_sentence_cooccurrence_bigram_names(spark):
     # real lexicon entries), and each pairs with 'filter'
     assert ("2004-1", "MESH:C4001") in out
     assert ("2003", "2004-1") in out
+
+
+def test_sample_frames_plumbing(spark):
+    from bern2_spark.dataprep.multimodal import (attach_fake_video,
+                                                 sample_frames)
+    docs = spark.createDataFrame(
+        [(1, "x" * 7), (2, "y" * 10)], ["doc_id", "text"])
+    # durations: (1 + 7%5)*1000 = 3000ms -> 3 frames; (1 + 10%5)*1000
+    # = 1000ms -> 1 frame
+    out = sample_frames(attach_fake_video(docs), sample_fps=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    r0 = sorted(by_doc[1], key=lambda r: r.frame_idx)[1]
+    assert r0.ts_ms == 1000 and len(r0.feature) == 4
+    assert len(r0.frame_hash) == 64
+    # deterministic across runs
+    again = sample_frames(attach_fake_video(docs), sample_fps=1).collect()
+    assert sorted(r.frame_hash for r in out) == \
+        sorted(r.frame_hash for r in again)
+
+
+def test_decode_stubs_raise(spark):
+    from bern2_spark.dataprep.multimodal import decode_image, decode_video
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        decode_image(b"")
+    with _pt.raises(NotImplementedError):
+        decode_video(b"")
