@@ -199,3 +199,52 @@ def tfidf_keywords(docs: DataFrame, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "token", "score", "rank"))
+
+
+# Gopher quality-rule constants (Rae et al. 2021, Table A1 — the
+# published corpus-filtering thresholds; bounds tightened/loosened per
+# deployment, these are the paper's)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 min_alpha_frac: float = 0.80,
+                 min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style document quality rules as pure column expressions
+    (whole-stage codegen; zero UDF, zero shuffle — the filter fuses
+    into the corpus scan, which is exactly what a 100-TB cleaning pass
+    needs):
+
+    * word count within [min_words, max_words];
+    * mean word length within [min_mean_len, max_mean_len];
+    * fraction of words containing an alphabetic char >= min_alpha_frac;
+    * at least min_stopwords stopword hits (the gibberish screen).
+
+    Emits the per-doc metrics AND the verdict so the thresholds stay
+    auditable downstream (keep the columns, filter on ``passes``)."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, " "), lambda t: t != "")
+    n_words = F.size(toks)
+    mean_len = (F.aggregate(toks, F.lit(0),
+                            lambda acc, t: acc + F.length(t))
+                .cast("double") / F.greatest(n_words, F.lit(1)))
+    alpha_frac = (F.size(F.filter(toks,
+                                  lambda t: t.rlike("[A-Za-z]")))
+                  .cast("double") / F.greatest(n_words, F.lit(1)))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(stops, F.lower(t))))
+    passes = ((n_words >= min_words) & (n_words <= max_words)
+              & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+              & (alpha_frac >= min_alpha_frac)
+              & (stop_hits >= min_stopwords))
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        passes.alias("passes"))

@@ -93,3 +93,33 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: List[str],
                    for c in right_cols]
                 + [F.col("_m._rts").alias(f"{prefix}{right_ts}")])
     return matched.select(*out_cols)
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_seconds: int = 1800,
+               order_cols: List[str] = ("event_id",)) -> DataFrame:
+    """Gap-based sessionization: a user's events more than
+    ``gap_seconds`` apart start a new session (the classic event-stream
+    derivation Spark has no built-in for in batch; Structured Streaming
+    has session_window — this is its batch twin and produces stable
+    1-based per-user session indices).
+
+    One shuffle on the user key, then two stacked windows over the SAME
+    sort — the physical plan sorts once. ``order_cols`` breaks ts ties
+    deterministically. Timestamps are NTZ; the gap compares via
+    timestampdiff, which never consults the session timezone."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    gap = F.expr(f"timestampdiff(SECOND, _prev_ts, {ts_col})")
+    out = (events
+           .withColumn("_prev_ts", prev)
+           .withColumn(
+               "_new_session",
+               F.when(F.col("_prev_ts").isNull()
+                      | (gap > gap_seconds), 1).otherwise(0))
+           .withColumn(
+               "session_idx",
+               F.sum("_new_session").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0)))
+           .drop("_prev_ts", "_new_session"))
+    return out

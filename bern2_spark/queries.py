@@ -3221,3 +3221,64 @@ def mm_frame_sample(spark, sf_dir):
     media = attach_fake_video(_docs(spark, sf_dir))
     return sample_frames(media, sample_fps=1).select(
         "doc_id", "frame_idx", "ts_ms", "frame_hash")
+
+
+# --------------------------------------------- gopher rules + sessions
+
+@q("qc_gopher_rules", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(
+                 list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+             / greatest(len(toks), 1) AS mean_raw,
+         CAST(len(list_filter(
+                 toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             / greatest(len(toks), 1) AS alpha_raw,
+         CAST(len(list_filter(
+             toks, x -> list_contains(
+                 ['the','be','to','of','and','that','have','with'],
+                 lower(x)))) AS BIGINT) AS stopword_hits
+  FROM t)
+SELECT doc_id, n_words,
+       round(mean_raw, 6) AS mean_word_len,
+       round(alpha_raw, 6) AS alpha_frac,
+       stopword_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_raw >= 3.0 AND mean_raw <= 10.0
+        AND alpha_raw >= 0.80 AND stopword_hits >= 2) AS passes
+FROM m
+""")
+def qc_gopher_rules(spark, sf_dir):
+    """Gopher corpus-filter rules (Rae et al. 2021) as fused column
+    expressions — metrics + verdict per doc, zero UDF/shuffle.
+    NB: the rounded mean/alpha columns are what both engines emit, but
+    `passes` is computed on the UNROUNDED values on both sides."""
+    from bern2_spark.dataprep.textqc import gopher_rules
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+@q("events_sessionize", """
+SELECT event_id, user_id, session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+         sum(CASE WHEN prev IS NULL
+                    OR date_diff('second', prev, ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_idx
+  FROM (SELECT event_id, user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events))
+""")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/asof.py:sessionize): 30-min
+    inactivity starts a new per-user session; one shuffle, one sort."""
+    from bern2_spark.operators.asof import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev).select("event_id", "user_id", "session_idx")

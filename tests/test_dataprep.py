@@ -704,3 +704,32 @@ def test_decode_stubs_raise(spark):
         decode_image(b"")
     with _pt.raises(NotImplementedError):
         decode_video(b"")
+
+
+def test_gopher_rules_thresholds(spark):
+    from bern2_spark.dataprep.textqc import gopher_rules
+    long_ok = " ".join(["the"] * 2 + ["word"] * 60)
+    rows = [
+        (1, long_ok),                        # passes everything
+        (2, "too short to pass the rules"),  # < 50 words
+        (3, " ".join(["zq"] * 80)),          # mean len 2 < 3, no stops
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].passes and out[1].n_words == 62
+    assert not out[2].passes
+    assert not out[3].passes and out[3].stopword_hits == 0
+
+
+def test_sessionize_gap_splits(spark):
+    from datetime import datetime
+    from bern2_spark.operators.asof import sessionize
+    rows = [
+        (1, 7, datetime(2025, 1, 1, 10, 0, 0)),
+        (2, 7, datetime(2025, 1, 1, 10, 20, 0)),   # 20 min -> same
+        (3, 7, datetime(2025, 1, 1, 11, 0, 1)),    # 40m1s  -> new
+        (4, 8, datetime(2025, 1, 1, 10, 0, 0)),    # other user
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {r.event_id: r.session_idx for r in sessionize(ev).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
