@@ -82,6 +82,30 @@ _ORD_SQL = "unnest(list_transform({lst}, (x, i) -> {{'pos': i, 'tok': x}}))"
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
+# Persisted DataFrames created while BUILDING a query's plan (pipeline
+# stage caches, the shared LSH shingle table).  A query function must
+# return an unmaterialized DataFrame, so it cannot unpersist its own
+# caches — instead each persisting query releases the PREVIOUS
+# invocation's generation on entry.  Bounds live cache to one
+# generation per query family; without this, repeated invocations
+# (bench warm + best-of-2, the driver's correctness sweep) stack full
+# cached corpora until executor memory churns (measured: the flagship
+# leaks pre + ner_norm + abbrev per run).
+_PERSIST_GENERATIONS: Dict[str, list] = {}
+
+
+def _persist_generation(family: str) -> list:
+    """Release the family's previous generation, return a fresh list to
+    register this invocation's persists in."""
+    gen = _PERSIST_GENERATIONS.setdefault(family, [])
+    for df in gen:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    gen.clear()
+    return gen
+
 
 def q(name: str, oracle: Optional[str] = None):
     def reg(fn):
@@ -868,8 +892,9 @@ def dedup_lsh_verified(spark, sf_dir):
     is computed once and persisted, shared by both stages."""
     from bern2_spark.dataprep.dedup import lsh_verified_pairs
     docs2 = _dup_docs(spark, sf_dir)
-    verified = lsh_verified_pairs(docs2, num_hashes=16, rows_per_band=4,
-                                  threshold=0.5)
+    verified = lsh_verified_pairs(
+        docs2, num_hashes=16, rows_per_band=4, threshold=0.5,
+        track_persisted=_persist_generation("dedup_lsh_verified"))
     return verified.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -2129,7 +2154,9 @@ def kg_pipeline_triples(spark, sf_dir):
         F.col("text").alias("content"))
     # lexicon over the driver-corpus vocabulary so the run produces real
     # mention/triple volume (incl. CUI-less -> neural fallback traffic)
-    return run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark).triples
+    res = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark)
+    _persist_generation("kg_pipeline").extend(res._persisted)
+    return res.triples
 
 
 @q("kg_pubannotation",
@@ -2157,6 +2184,7 @@ def kg_pubannotation(spark, sf_dir):
         F.col("lang"),
         F.col("text").alias("content"))
     res = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark)
+    _persist_generation("kg_pubannotation").extend(res._persisted)
     pa_docs = to_pubannotation(res.annotations,
                                res.docs.select("doc_id", "text"))
     return (pa_docs
