@@ -125,6 +125,15 @@ def main() -> None:
         # map-parallel section — stage-level scaling evidence)
         cpus = int(sys.argv[sys.argv.index("--scale-leg") + 1])
         replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "32"))
+        # Memory-per-core is CONSTANT across legs (2 GiB/core, floor
+        # 8 GiB): a 4N-executor cluster has 4N x the memory of an
+        # N-executor one, but a fixed local heap hands the hi leg 1/4
+        # the per-task execution memory instead — event-log analysis
+        # (BENCH/PROFILE_r4.md session-5) showed the canonicalize sort
+        # spilling 3.75 GB ONLY on the 16-core leg, an artifact of the
+        # proxy, not of the engine's scaling.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM",
+                              f"{max(8, 2 * cpus)}g")
         spark = _session(cpus, pretouch=True)
         # warm-up on a 1/8-size corpus: the cold first execution pays
         # JIT/codegen/python-worker spawn, whose cost is per compiled
