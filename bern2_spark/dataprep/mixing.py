@@ -164,3 +164,33 @@ def importance_weights(docs: DataFrame, target: DataFrame,
     if round_to is not None:
         out = out.select(id_col, F.round("score", round_to).alias("score"))
     return out
+
+
+def temperature_weights(docs: DataFrame, domain_col: str = "lang",
+                        tau: float = 0.7,
+                        token_col_expr: Column | None = None) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the multilingual
+    mixing rule (mBERT/XLM-R style): sampling probability
+    q_d = p_d^tau / sum_e p_e^tau where p_d is the domain's token
+    share.  tau < 1 flattens the distribution (upsamples tails),
+    tau = 1 is proportional, tau -> 0 is uniform.
+
+    Emits per domain: token count, natural share p, temperature share
+    q, and the per-document upsampling factor q/p a sampler applies.
+    One map-side-combined aggregate over the corpus; the normalization
+    constant is a 1-row broadcast — nothing corpus-sized shuffles."""
+    tokens = (token_col_expr if token_col_expr is not None
+              else F.size(F.filter(F.split(F.col("text"), " "),
+                                   lambda t: t != "")))
+    per = (docs.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.sum(tokens).cast("bigint").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("_tot"),
+                  F.sum(F.pow(F.col("n_tokens").cast("double"),
+                              F.lit(tau))).alias("_ztau"))
+    p = F.col("n_tokens") / F.col("_tot")
+    q = F.pow(F.col("n_tokens").cast("double"), F.lit(tau)) / F.col("_ztau")
+    return (per.crossJoin(F.broadcast(tot))
+            .select("domain", "n_tokens",
+                    F.round(p, 6).alias("p_natural"),
+                    F.round(q, 6).alias("q_temperature"),
+                    F.round(q / p, 6).alias("upsample_factor")))

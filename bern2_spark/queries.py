@@ -3310,3 +3310,56 @@ def events_sessionize(spark, sf_dir):
     from bern2_spark.operators.asof import sessionize
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize(ev).select("event_id", "user_id", "session_idx")
+
+
+# --------------------------------------- temperature mixing + windows
+
+@q("mix_temperature_weights", """
+WITH per AS (
+  SELECT lang AS domain,
+         CAST(sum(len(list_filter(string_split(text, ' '),
+                                  x -> x != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+t AS (SELECT sum(n_tokens) AS tot,
+             sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS ztau
+      FROM per)
+SELECT domain, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot, 6) AS p_natural,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.7) / ztau, 6)
+         AS q_temperature,
+       round((pow(CAST(n_tokens AS DOUBLE), 0.7) / ztau)
+             / (CAST(n_tokens AS DOUBLE) / tot), 6) AS upsample_factor
+FROM per, t
+""")
+def mix_temperature_weights(spark, sf_dir):
+    """Temperature-scaled domain mixing (the multilingual upsampling
+    rule q_d = p_d^tau / Z): per-language token shares -> sampling
+    weights; one aggregate + a 1-row broadcast."""
+    from bern2_spark.dataprep.mixing import temperature_weights
+    return temperature_weights(_docs(spark, sf_dir), "lang", tau=0.7)
+
+
+@q("events_windowed_counts", """
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS win_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micros
+FROM events GROUP BY 1, 2
+""")
+def events_windowed_counts(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation (F.window — the batch twin
+    of the Structured Streaming windowed path in streaming/windowed.py);
+    value summed as exact integer micros so the hash is stable against
+    float summation order."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = F.window("ts", "1 hour")
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', _wstart)")
+    return (ev.groupBy("event_type", win.alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+                 .cast("bigint").alias("value_micros"))
+            .withColumn("_wstart", F.col("w.start"))
+            .select("event_type", us.alias("win_us"),
+                    "n_events", "value_micros"))

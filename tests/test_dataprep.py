@@ -733,3 +733,21 @@ def test_sessionize_gap_splits(spark):
     ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
     out = {r.event_id: r.session_idx for r in sessionize(ev).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_temperature_weights_flattens(spark):
+    from bern2_spark.dataprep.mixing import temperature_weights
+    docs = spark.createDataFrame(
+        [(i, "w " * 99 + "w", "en") for i in range(9)]
+        + [(100, "w " * 99 + "w", "de")],
+        ["doc_id", "text", "lang"])
+    out = {r.domain: r for r in
+           temperature_weights(docs, "lang", tau=0.5).collect()}
+    # en has 9x the tokens; at tau=0.5 the ratio compresses to 3x
+    assert out["en"].n_tokens == 900 and out["de"].n_tokens == 100
+    assert abs(out["en"].q_temperature / out["de"].q_temperature
+               - 3.0) < 1e-3
+    # tails upsample (factor > 1), heads downsample (< 1)
+    assert out["de"].upsample_factor > 1 > out["en"].upsample_factor
+    # q sums to 1
+    assert abs(out["en"].q_temperature + out["de"].q_temperature - 1.0) < 1e-5
