@@ -106,11 +106,15 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
 
     One shuffle on the user key, then two stacked windows over the SAME
     sort — the physical plan sorts once. ``order_cols`` breaks ts ties
-    deterministically. Timestamps are NTZ; the gap compares via
-    timestampdiff, which never consults the session timezone."""
+    deterministically. Timestamps are NTZ; the gap compares exact
+    MICROSECOND diffs (never the session timezone, and never
+    second-granularity truncation — Spark's timestampdiff(SECOND)
+    truncates elapsed time while other engines count boundary
+    crossings, which disagree on sub-second timestamps)."""
     w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
     prev = F.lag(ts_col).over(w)
-    gap = F.expr(f"timestampdiff(SECOND, _prev_ts, {ts_col})")
+    gap = (F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+           / 1_000_000.0)
     out = (events
            .withColumn("_prev_ts", prev)
            .withColumn(

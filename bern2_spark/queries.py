@@ -3295,7 +3295,7 @@ SELECT event_id, user_id, session_idx
 FROM (
   SELECT event_id, user_id, ts,
          sum(CASE WHEN prev IS NULL
-                    OR date_diff('second', prev, ts) > 1800
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS session_idx
