@@ -308,12 +308,32 @@ def _region_cpu(t0_ticks: tuple[int, int], wall_s: float) -> dict:
                 max(1.0, (b1 - t0_ticks[0]) + (s1 - t0_ticks[1])), 1)}
 
 
-def _steal_pct(window_s: float = 5.0) -> float:
-    """Hypervisor CPU-steal over a short window, % of granted+stolen."""
-    b0, s0 = _cpu_ticks()
-    time.sleep(window_s)
-    b1, s1 = _cpu_ticks()
-    return 100.0 * (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0))
+def _steal_pct(window_s: float = 5.0, loaded: bool = True,
+               n_spin: int = 8) -> float:
+    """Hypervisor CPU-steal over a short window, % of granted+stolen.
+
+    ``loaded``: probe WITH ``n_spin`` busy subprocesses spinning.  An
+    idle probe systematically under-reads — the host only time-slices
+    vCPUs that demand cycles, so a window that reads 0.4% idle can
+    steal 16% from the very next leg (measured, session 5, both
+    storm-day collections).  The spinners cost n_spin x window_s
+    core-seconds per probe, outside every timed region."""
+    import subprocess
+    procs = []
+    if loaded:
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", "while True: pass"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            for _ in range(n_spin)]
+        time.sleep(1.0)  # let them saturate before sampling
+    try:
+        b0, s0 = _cpu_ticks()
+        time.sleep(window_s)
+        b1, s1 = _cpu_ticks()
+        return 100.0 * (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0))
+    finally:
+        for p in procs:
+            p.kill()
 
 
 def _wait_quiet(max_steal: float | None = None,
