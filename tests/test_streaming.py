@@ -245,3 +245,62 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.text for r in spark.read.parquet(out_dir).collect())
     assert got == ["a", "b"]
+
+
+def test_stream_ivf_index_matches_batch_assignment(spark, tmp_path):
+    """Streaming IVF maintenance: embeddings streamed in micro-batches
+    land in the same cells a batch recompute assigns; the accumulated
+    store feeds ivf_topk identically to a batch-built corpus; and a
+    cell filter prunes to that cell's partitions only."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    from bern2_spark.dataprep.similarity import (ivf_assign,
+                                                 ivf_centroids, ivf_topk)
+    from bern2_spark.streaming.ann import read_ivf_index, stream_ivf_index
+
+    dim, n_cells = 8, 4
+    rng = random.Random(7)
+    vecs = [(i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+            for i in range(30)]
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    for b in range(3):  # 3 micro-batches of 10
+        p = os.path.join(inp, f"b{b}.json")
+        with open(p, "w") as f:
+            for i, v in vecs[b * 10:(b + 1) * 10]:
+                f.write(_json.dumps({"vec_id": i, "embedding": v}) + "\n")
+        os.utime(p, (1000000 + b, 1000000 + b))
+
+    cents = ivf_centroids(n_cells, dim)
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType()))])
+    idx_dir = str(tmp_path / "index")
+    stream_ivf_index(spark, inp, idx_dir, cents, schema)
+
+    store = read_ivf_index(spark, idx_dir)
+    batch_df = spark.createDataFrame(vecs, schema)
+    want = {(r.vec_id, r.cell) for r in
+            ivf_assign(batch_df, cents).collect()}
+    got = {(r.vec_id, r.cell) for r in store.collect()}
+    assert got == want and len(got) == 30
+
+    # the accumulated store answers queries identically to batch IVF
+    queries = spark.createDataFrame(vecs[:3], schema)
+    a = ivf_topk(store.select("vec_id", "embedding"), queries, k=3,
+                 dim=dim, centroids=cents)
+    b = ivf_topk(batch_df, queries, k=3, dim=dim, centroids=cents)
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # partition pruning: the cell filter lands in PartitionFilters
+    # (inputFiles() reflects the unpruned listing, so read the plan)
+    one = store.filter(F.col("cell") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0] and "= 2" in pf[0], plan
