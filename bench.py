@@ -308,23 +308,40 @@ def _region_cpu(t0_ticks: tuple[int, int], wall_s: float) -> dict:
                 max(1.0, (b1 - t0_ticks[0]) + (s1 - t0_ticks[1])), 1)}
 
 
+def _spin_pool(n_spin: int = 8) -> list:
+    """Busy subprocesses that make the hypervisor show its hand: the
+    host only time-slices vCPUs that demand cycles, so an idle probe
+    systematically under-reads (a window that read 0.4% idle stole 16%
+    from the very next leg — measured, session 5, both storm-day
+    collections). Caller must _reap() the pool."""
+    import subprocess
+    return [subprocess.Popen(
+        [sys.executable, "-c", "while True: pass"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for _ in range(n_spin)]
+
+
+def _reap(procs: list) -> None:
+    # kill() alone leaves zombies until the interpreter happens to
+    # collect them; wait() reaps each child deterministically
+    for p in procs:
+        p.kill()
+    for p in procs:
+        p.wait()
+
+
 def _steal_pct(window_s: float = 5.0, loaded: bool = True,
-               n_spin: int = 8) -> float:
+               n_spin: int = 8, procs: list | None = None) -> float:
     """Hypervisor CPU-steal over a short window, % of granted+stolen.
 
-    ``loaded``: probe WITH ``n_spin`` busy subprocesses spinning.  An
-    idle probe systematically under-reads — the host only time-slices
-    vCPUs that demand cycles, so a window that reads 0.4% idle can
-    steal 16% from the very next leg (measured, session 5, both
-    storm-day collections).  The spinners cost n_spin x window_s
-    core-seconds per probe, outside every timed region."""
-    import subprocess
-    procs = []
-    if loaded:
-        procs = [subprocess.Popen(
-            [sys.executable, "-c", "while True: pass"],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-            for _ in range(n_spin)]
+    ``loaded``: probe WITH ``n_spin`` busy subprocesses spinning (see
+    _spin_pool).  ``procs``: reuse an already-running pool (e.g. across
+    _wait_quiet poll iterations) instead of paying spawn+saturate per
+    probe.  Spinner core-seconds are burned OUTSIDE every timed
+    region."""
+    own = []
+    if procs is None and loaded:
+        own = procs = _spin_pool(n_spin)
         time.sleep(1.0)  # let them saturate before sampling
     try:
         b0, s0 = _cpu_ticks()
@@ -332,8 +349,7 @@ def _steal_pct(window_s: float = 5.0, loaded: bool = True,
         b1, s1 = _cpu_ticks()
         return 100.0 * (s1 - s0) / max(1.0, (b1 - b0) + (s1 - s0))
     finally:
-        for p in procs:
-            p.kill()
+        _reap(own)
 
 
 def _wait_quiet(max_steal: float | None = None,
@@ -343,14 +359,21 @@ def _wait_quiet(max_steal: float | None = None,
     but the host time-slices its cores: steal bursts up to ~16% were
     measured mid-leg). Gives up after max_wait and proceeds; the
     per-region steal telemetry recorded in the leg JSON exposes any
-    still-noisy window."""
+    still-noisy window. One spinner pool lives across all poll
+    iterations (spawn once, reap once)."""
     max_steal = max_steal if max_steal is not None else float(
         os.environ.get("SPARK_GRAFT_SCALE_MAX_STEAL", "2"))
     max_wait = max_wait if max_wait is not None else float(
         os.environ.get("SPARK_GRAFT_SCALE_MAX_WAIT", "240"))
     t0 = time.time()
-    while _steal_pct() > max_steal and time.time() - t0 < max_wait:
-        time.sleep(5)
+    procs = _spin_pool()
+    try:
+        time.sleep(1.0)
+        while (_steal_pct(procs=procs) > max_steal
+               and time.time() - t0 < max_wait):
+            time.sleep(5)
+    finally:
+        _reap(procs)
     return _loadavg()
 
 

@@ -167,6 +167,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec")),
         centroids, "c_vec")
+    return _probe_rerank(c, queries, centroids, k, n_probe,
+                         id_col, vec_col)
+
+
+def ivf_topk_prebuilt(store: DataFrame, queries: DataFrame,
+                      centroids: List[List[float]], k: int = 5,
+                      n_probe: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Top-k over an EXISTING cell-partitioned IVF store — the read
+    side of streaming index maintenance (streaming/ann.py
+    read_ivf_index): ``store`` already carries its ``cell`` assignment
+    from write time, so the corpus-proportional assignment scan that
+    ``ivf_topk`` pays never happens; only the probed cells' rows join.
+    ``centroids`` must be the generation the store was built with
+    (frozen between retrains — see streaming/ann.py)."""
+    c = store.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("c_vec"),
+                     F.col("cell").cast("int").alias("cell"))
+    return _probe_rerank(c, queries, centroids, k, n_probe,
+                         id_col, vec_col)
+
+
+def _probe_rerank(c: DataFrame, queries: DataFrame,
+                  centroids: List[List[float]], k: int, n_probe: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF query path: each query probes its n_probe nearest
+    cells, joins the celled corpus, exact-cosine re-ranks."""
     scores = _cell_scores(F.col("q_vec"), centroids)
     probes = F.slice(F.array_sort(scores), 1, n_probe)
     q = (queries.select(F.col(id_col).alias("query_id"),

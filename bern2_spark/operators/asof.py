@@ -110,20 +110,34 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
     MICROSECOND diffs (never the session timezone, and never
     second-granularity truncation — Spark's timestampdiff(SECOND)
     truncates elapsed time while other engines count boundary
-    crossings, which disagree on sub-second timestamps)."""
+    crossings, which disagree on sub-second timestamps).
+
+    Internal column names are picked fresh against the input schema
+    (never shadow caller columns) and ``ts_col`` is backtick-quoted in
+    the one SQL fragment, so dotted/spaced column names work."""
+    def _fresh(base: str) -> str:
+        name = base
+        while name in events.columns:
+            name += "_"
+        return name
+
+    prev_c = _fresh("_prev_ts")
+    new_c = _fresh("_new_session")
+    ts_q = "`" + ts_col.replace("`", "``") + "`"
+    prev_q = "`" + prev_c.replace("`", "``") + "`"
     w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
     prev = F.lag(ts_col).over(w)
-    gap = (F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+    gap = (F.expr(f"timestampdiff(MICROSECOND, {prev_q}, {ts_q})")
            / 1_000_000.0)
     out = (events
-           .withColumn("_prev_ts", prev)
+           .withColumn(prev_c, prev)
            .withColumn(
-               "_new_session",
-               F.when(F.col("_prev_ts").isNull()
+               new_c,
+               F.when(F.col(prev_c).isNull()
                       | (gap > gap_seconds), 1).otherwise(0))
            .withColumn(
                "session_idx",
-               F.sum("_new_session").over(
+               F.sum(new_c).over(
                    w.rowsBetween(Window.unboundedPreceding, 0)))
-           .drop("_prev_ts", "_new_session"))
+           .drop(prev_c, new_c))
     return out

@@ -71,6 +71,11 @@ class CheckpointedSink:
     def _path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
 
+    def stage_path(self, name: str) -> str:
+        """Public accessor for a stage's snapshot root (the basePath a
+        partitioned read of its committed runs uses)."""
+        return self._path(name)
+
     def manifest_path(self, stage: str) -> str:
         return os.path.join(self.base_dir, "manifests", f"{stage}.json")
 
@@ -180,8 +185,15 @@ class CheckpointedSink:
                    with_run: bool = False) -> DataFrame:
         if self.catalog is not None:
             return spark.read.table(f"{self.catalog}.{stage}")
+        paths = self.committed_paths(stage)
+        if not paths:
+            # spark.read.parquet(*[]) raises an opaque analysis error;
+            # fail with the actual condition instead
+            raise ValueError(
+                f"stage {stage!r} has no committed filesystem runs "
+                f"under {self.base_dir!r}")
         df = (spark.read.option("basePath", self._path(stage))
-              .parquet(*self.committed_paths(stage)))
+              .parquet(*paths))
         return df if with_run else df.drop("_run")
 
     def resume_filter(self, docs: DataFrame, stage: str,

@@ -49,8 +49,11 @@ def stream_ivf_index(spark: SparkSession, input_dir: str, index_dir: str,
     def process_batch(batch_df, batch_id: int) -> None:
         assigned = ivf_assign(batch_df, centroids, vec_col=vec_col)
         # batch=<id> via directory (idempotent overwrite), cell=<c> via
-        # partitionBy (pruned at query time)
-        (assigned.write.mode("overwrite").partitionBy("cell")
+        # partitionBy (pruned at query time); format pinned to parquet
+        # because read_ivf_index reads .parquet() — a session whose
+        # spark.sql.sources.default differs must not change the layout
+        (assigned.write.mode("overwrite").format("parquet")
+         .partitionBy("cell")
          .save(os.path.join(cells_dir, f"batch={batch_id}")))
 
     query = (spark.readStream.schema(schema)

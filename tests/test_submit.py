@@ -31,8 +31,14 @@ def _build_zip(tmp) -> str:
     return zip_path
 
 
+INPUT = os.environ.get("SPARK_GRAFT_SUBMIT_INPUT",
+                       "/root/testdata/sf0.001/documents.parquet")
+
+
 @pytest.mark.skipif(shutil.which("spark-submit") is None,
                     reason="spark-submit not on PATH")
+@pytest.mark.skipif(not os.path.exists(INPUT),
+                    reason=f"test corpus missing: {INPUT}")
 def test_spark_submit_py_files_end_to_end(tmp_path):
     zip_path = _build_zip(tmp_path)
     out_dir = str(tmp_path / "sink")
@@ -43,7 +49,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
            "--conf", "spark.ui.enabled=false",
            "--py-files", zip_path,
            os.path.join(REPO, "tools", "submit_job.py"),
-           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--input", INPUT,
            "--output", out_dir]
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # imports must come from --py-files

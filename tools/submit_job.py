@@ -4,7 +4,7 @@
     spark-submit --master <cluster> \
         --py-files /tmp/bern2_spark_pyfiles.zip \
         tools/submit_job.py --input <docs parquet> --output <dir> \
-        [--sf-lexicon] [--resume]
+        [--resume]
 
 Reads the documents table, runs the full KG pipeline (preprocess ->
 tag -> mutations -> sieve normalize -> neural fallback -> canonicalize),
@@ -54,9 +54,8 @@ def main(argv=None) -> int:
     sink = CheckpointedSink(args.output)
     t0 = time.time()
     if args.resume and sink.is_committed("triples"):
-        triples = spark.read.option("basePath", sink._path("triples")) \
-            .parquet(*sink.committed_paths("triples"))
-        out = {"resumed": True, "triples": triples.count(),
+        out = {"resumed": True,
+               "triples": sink.read_stage(spark, "triples").count(),
                "sec": round(time.time() - t0, 2)}
         print(json.dumps(out))
         return 0
@@ -76,8 +75,7 @@ def main(argv=None) -> int:
             F.col("text").alias("content"))
     res = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark)
     sink.write_stage(res.triples, "triples", partition_by=["pred"])
-    n = spark.read.option("basePath", sink._path("triples")) \
-        .parquet(*sink.committed_paths("triples")).count()
+    n = sink.read_stage(spark, "triples").count()
     print(json.dumps({"resumed": False, "triples": n,
                       "sec": round(time.time() - t0, 2)}))
     return 0
