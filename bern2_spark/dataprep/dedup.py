@@ -93,10 +93,19 @@ def minhash_signatures(docs: DataFrame = None, text_col: str = "text",
     would multiply the shuffle by num_hashes). Values are identical to
     the ANSI formulation the oracle uses.
 
+    The default path explodes shingles WITHOUT a distinct: min over the
+    multiset equals min over the set, and the per-doc element-wise min
+    partial-aggregates map-side — so the only shuffle this stage pays
+    is num_docs x num_hashes partial-min rows, never the exploded
+    string shingles themselves (the distinct in ``shingle_table`` is a
+    full (doc_id, shingle-string) exchange that only Jaccard needs).
+
     Pass ``shingle_df`` (a shingle_table result, possibly persisted) to
-    share the shingle scan with a downstream verify stage."""
+    reuse an existing shingle relation instead."""
     sh = (shingle_df if shingle_df is not None
-          else shingle_table(docs, text_col, shingle_n))
+          else docs.select("doc_id",
+                           F.explode(shingles(F.col(text_col), shingle_n))
+                           .alias("shingle")))
     sh = (sh
           .withColumn(
               "hs",
@@ -137,9 +146,15 @@ def minhash_lsh_pairs(docs: DataFrame = None, text_col: str = "text",
     bands = lsh_bands(minhash_signatures(docs, text_col, num_hashes,
                                          shingle_n, shingle_df=shingle_df),
                       rows_per_band)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
-    return (a.join(b, ["band", "band_hash"])
+    # the 32-hex band_hash feeds ONLY this equi-join; collapsing it to
+    # an 8-byte xxhash64 shrinks the self-join shuffle rows ~3x without
+    # changing the bucket equivalence (same pairs modulo 2^-64
+    # collisions, which the exact-Jaccard verify absorbs anyway)
+    bands = bands.select("doc_id", "band",
+                         F.xxhash64("band_hash").alias("bh"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (a.join(b, ["band", "bh"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct())
@@ -196,15 +211,27 @@ def lsh_verified_pairs(docs: DataFrame, text_col: str = "text",
                        threshold: float = 0.8,
                        track_persisted: list | None = None) -> DataFrame:
     """The production dedup composition: MinHash-LSH candidates ->
-    exact Jaccard verify constrained by the candidate list — with the
-    shingle subtree computed ONCE and persisted, feeding both stages.
+    exact Jaccard verify constrained by the candidate list.
 
-    Without the shared persist the signature stage and the verify stage
-    each independently scan the corpus and re-shingle it; at 100 TB
-    that is two full corpus scans where one suffices (this was the
-    slowest headline query at sf0.1 before sharing).  The persisted
-    artifact is the distinct (doc_id, shingle) table — small relative
-    to the corpus (strings of ~3 tokens), spillable to disk.
+    Shuffle posture (reworked after the round-4 string-key audit):
+
+    * the SIGNATURE stage never shuffles shingles at all — it explodes
+      straight off the corpus scan and partial-aggregates element-wise
+      mins map-side (see minhash_signatures), so its exchange is
+      num_docs x num_hashes partial rows;
+    * the VERIFY stage's set algebra runs on 8-byte ``xxhash64``
+      shingle keys: the distinct + persisted table and both verify-join
+      shuffles carry (doc_id, int64) rows instead of ~3-token strings
+      (~3-5x smaller rows through every exchange). Jaccard over hashed
+      sets equals Jaccard over string sets modulo 2^-64 collisions; the
+      DuckDB oracle stays on string shingles, so the driver's hash
+      check would expose a collision if one ever occurred in data.
+
+    The two stages each scan the (column-pruned) corpus once.  At
+    100 TB a second narrow scan of source parquet is cheaper than
+    persisting a corpus-sized string-shingle table just to share one
+    scan — the persisted artifact here is the hashed distinct table,
+    ~16 bytes/row, spillable to disk.
 
     ``track_persisted``: pass a list to receive the persisted shingle
     DataFrame so the caller can ``unpersist()`` it once the result is
@@ -212,13 +239,18 @@ def lsh_verified_pairs(docs: DataFrame, text_col: str = "text",
     otherwise each invocation leaks one cached copy for the session
     lifetime (e.g. repeated bench runs)."""
     from pyspark import StorageLevel
-    sh = (shingle_table(docs, text_col, shingle_n)
+    sh = (docs.select("doc_id",
+                      F.explode(shingles(F.col(text_col), shingle_n))
+                      .alias("shingle"))
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK))
     if track_persisted is not None:
         track_persisted.append(sh)
-    cands = minhash_lsh_pairs(num_hashes=num_hashes,
+    cands = minhash_lsh_pairs(docs=docs, text_col=text_col,
+                              num_hashes=num_hashes,
                               rows_per_band=rows_per_band,
-                              shingle_df=sh)
+                              shingle_n=shingle_n)
     return ngram_jaccard_pairs(candidates=cands, threshold=threshold,
                                shingle_df=sh)
 
