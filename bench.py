@@ -32,6 +32,10 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "qc_quality_score",
     "tpch_q1ish",
+    # graph family (added r5): new first-class surface a KG user hits
+    "kg_pagerank",
+    "kg_triangles",
+    "kg_khop",
 ]
 
 

@@ -98,14 +98,17 @@ class TinyNumpyCheckpoint:
         BATCH_SIZE chunks exactly like the reference's inference loop
         (multi_ner/main.py:702-801: DataLoader(batch_size=32) -> per
         batch forward -> logits concatenated over batches)."""
-        if ent_type in self.heads:
-            w_mat, bias = self.heads[ent_type]
-        else:
-            # no head shipped for this type: the all-O head (a real
-            # checkpoint bundle simply lacks that classifier)
-            w_mat = np.zeros((self.E.shape[1], 3), dtype=np.float32)
-            w_mat[:, 2] = MARGIN
-            bias = np.zeros(3, dtype=np.float32)
+        if ent_type not in self.heads:
+            # no head shipped for this type: constant all-O logits
+            # (a zero weight matrix with an O-margin BIAS — independent
+            # of the embedding values, unlike a margin column in W,
+            # whose sign would follow the hidden-state sum)
+            n = len(input_ids)
+            length = len(input_ids[0]) if n else 0
+            out = np.zeros((n, length, 3), dtype=np.float32)
+            out[:, :, 2] = MARGIN
+            return out
+        w_mat, bias = self.heads[ent_type]
         outs = []
         for i in range(0, len(input_ids), BATCH_SIZE):
             ids = np.asarray(input_ids[i:i + BATCH_SIZE], dtype=np.int64)
@@ -119,6 +122,92 @@ class TinyNumpyCheckpoint:
             outs.append(hidden @ w_mat + bias)           # [b, L, 3]
         return np.concatenate(outs, axis=0) if outs else \
             np.zeros((0, 0, 3), dtype=np.float32)
+
+
+# HF state-dict key layout of the reference checkpoint
+# (dmis-lab/bern2-ner, RoBERTaMultiNER2 in multi_ner/modeling.py):
+# backbone word embeddings at roberta.embeddings.word_embeddings.weight
+# (modeling.py:129) and one Linear(hidden, 3) head per entity type
+# named {prefix}_classifier (modeling.py:29-33).
+HF_EMBEDDING_KEY = "roberta.embeddings.word_embeddings.weight"
+HF_HEAD_PREFIXES = {
+    "disease": "dise",
+    "drug": "chem",       # the reference's chemical head
+    "gene": "gene",
+    "species": "spec",
+    "cell_line": "cell",
+}
+NUM_LABELS = 3  # B / I / O, multi_ner/modeling.py:23
+
+
+def load_hf_checkpoint(vocab_lines: Sequence[str], config: Dict,
+                       state_dict: Dict[str, np.ndarray],
+                       max_seq_length: int = 128,
+                       ctx_weight: float = CTX_WEIGHT
+                       ) -> TinyNumpyCheckpoint:
+    """Adapt an HF-format NER bundle (vocab.txt lines + config dict +
+    numpy state dict) onto the checkpoint seam, validating every shape
+    the real deployment depends on:
+
+    * ``config['vocab_size']`` == embedding rows == max vocab id + 1 —
+      features built from this vocab can never index outside ``E``;
+    * each shipped per-type head ``{p}_classifier.weight`` is
+      [num_labels=3, hidden_size] (HF Linear stores [out, in];
+      multi_ner/modeling.py:29-33) and is transposed here into the
+      [d, 3] orientation ``forward`` matmuls with;
+    * ``config['max_position_embeddings']`` admits the feature window
+      (X5 windows are ``max_seq_length`` wide incl. [CLS]/[SEP]).
+
+    The returned checkpoint runs the same batched numpy forward as the
+    frozen one (embedding lookup -> masked-mean context -> head matmul
+    -> argmax) — it does NOT run the transformer layers, so its outputs
+    are not the reference's; this function is the SHAPE + TOKENIZER
+    compatibility gate the sandbox can execute (no torch, no network).
+    On a GPU host the torch forward of multi_ner/main.py:702-801
+    replaces ``TinyNumpyCheckpoint.forward`` behind the same
+    ``checkpoint_logits_factory`` contract; see PARITY.md, "Real
+    checkpoint deployment"."""
+    vocab = WordpieceVocab.from_vocab_lines(vocab_lines)
+    v_size = int(config["vocab_size"])
+    max_id = max(vocab.tok2id.values())
+    if max_id >= v_size:
+        raise ValueError(
+            f"vocab file ids reach {max_id} but config.vocab_size is "
+            f"{v_size} — features would index past the embedding table")
+    if HF_EMBEDDING_KEY not in state_dict:
+        raise ValueError(f"state dict lacks {HF_EMBEDDING_KEY}")
+    emb = np.asarray(state_dict[HF_EMBEDDING_KEY], dtype=np.float32)
+    if emb.ndim != 2 or emb.shape[0] != v_size:
+        raise ValueError(
+            f"embedding table is {emb.shape}, expected "
+            f"({v_size}, hidden_size)")
+    hidden = emb.shape[1]
+    if int(config.get("hidden_size", hidden)) != hidden:
+        raise ValueError(
+            f"config.hidden_size={config['hidden_size']} != embedding "
+            f"width {hidden}")
+    max_pos = int(config.get("max_position_embeddings", max_seq_length))
+    if max_pos < max_seq_length:
+        raise ValueError(
+            f"max_position_embeddings={max_pos} < feature window "
+            f"{max_seq_length}")
+    heads: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for ent_type, p in HF_HEAD_PREFIXES.items():
+        wk, bk = f"{p}_classifier.weight", f"{p}_classifier.bias"
+        if wk not in state_dict:
+            continue  # a bundle may ship fewer heads; forward -> all-O
+        w = np.asarray(state_dict[wk], dtype=np.float32)
+        b = np.asarray(state_dict.get(bk, np.zeros(NUM_LABELS)),
+                       dtype=np.float32)
+        if w.shape != (NUM_LABELS, hidden):
+            raise ValueError(
+                f"{wk} is {w.shape}, expected ({NUM_LABELS}, {hidden})")
+        if b.shape != (NUM_LABELS,):
+            raise ValueError(f"{bk} is {b.shape}, expected ({NUM_LABELS},)")
+        heads[ent_type] = (w.T.copy(), b)   # -> [d, 3] matmul orientation
+    if not heads:
+        raise ValueError("state dict ships no per-type classifier head")
+    return TinyNumpyCheckpoint(vocab, emb, heads, ctx_weight)
 
 
 def checkpoint_logits_factory(ckpt: TinyNumpyCheckpoint):

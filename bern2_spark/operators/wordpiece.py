@@ -72,6 +72,27 @@ class WordpieceVocab:
                 self.tok2id[p] = len(self.tok2id)
 
     @classmethod
+    def from_vocab_lines(cls, lines: Sequence[str]) -> "WordpieceVocab":
+        """A CHECKPOINT's vocab.txt: one piece per line, id = line
+        number — the HF WordPiece file format (dmis-lab/bern2-ner ships
+        one beside its weights; the reference loads it via
+        AutoTokenizer, multi_ner/main.py:513). Unlike ``from_words``,
+        ids here are fixed by the file so they key the checkpoint's
+        embedding rows. The four specials must appear somewhere in the
+        file (BERT files put [PAD] at 0 and [UNK] at 100 — any
+        positions work, padding uses tok2id[PAD])."""
+        self = cls.__new__(cls)
+        self.tok2id = {}
+        for i, piece in enumerate(lines):
+            piece = piece.rstrip("\n")
+            if piece and piece not in self.tok2id:
+                self.tok2id[piece] = i
+        missing = [s for s in (PAD, UNK, CLS, SEP) if s not in self.tok2id]
+        if missing:
+            raise ValueError(f"vocab file lacks special tokens: {missing}")
+        return self
+
+    @classmethod
     def from_words(cls, words: Sequence[str],
                    prefix_len: int = 4) -> "WordpieceVocab":
         """Deterministic corpus vocab: each distinct word contributes
