@@ -3401,6 +3401,70 @@ def ann_ivf_streamed(spark, sf_dir):
             .withColumn("rank", F.col("rank").cast("long")))
 
 
+# ------------------------------------------------------------- dict builders
+
+@q("lex_build_cellosaurus", """
+SELECT 'CVCL_' || p_partkey AS cui,
+       p_name || '|' || p_brand || '|' || p_type ||
+       CASE WHEN p_partkey % 3 = 0 THEN '|extra-' || p_size ELSE '' END
+         AS names
+FROM part
+""")
+def lex_build_cellosaurus(spark, sf_dir):
+    """Cellosaurus flat-file dictionary build (the reference's
+    preprocess_cellosaurus.py:4-28 stateful loop as a record-parallel
+    column parse).  The raw ID/AC/SY record text is synthesized
+    deterministically from the part table — with a whitespace
+    continuation line, an untagged CA line, a '//' terminator, and a
+    second SY line on every third record so each branch of the parser
+    (skip, ignore, synonym accumulation across SY lines) is exercised —
+    then parsed by the SAME column expressions the file reader uses
+    (sources/dictbuild.py:parse_cellosaurus_records); the oracle states
+    the expected dictionary directly."""
+    from bern2_spark.sources.dictbuild import parse_cellosaurus_records
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pk = F.col("p_partkey")
+    extra_sy = F.when(pk % 3 == 0,
+                      F.concat(F.lit("\nSY extra-"),
+                               F.col("p_size").cast("string"))
+                      ).otherwise(F.lit(""))
+    rec = F.concat(
+        F.lit("ID "), F.col("p_name"),
+        F.lit("\n   continuation line the parser must skip"),
+        F.lit("\nAC CVCL_"), pk.cast("string"),
+        F.lit("\nSY "), F.col("p_brand"), F.lit("; "), F.col("p_type"),
+        extra_sy,
+        F.lit("\nCA synthetic\n//"))
+    return parse_cellosaurus_records(p.select(rec.alias("record")))
+
+
+@q("lex_build_cellontology", """
+SELECT 'CL_' || p_partkey AS cui,
+       CASE WHEN p_partkey % 3 = 0 THEN p_name
+            ELSE p_name || '|' || p_brand || '|' || p_type END AS names
+FROM part
+WHERE p_partkey % 7 <> 0
+""")
+def lex_build_cellontology(spark, sf_dir):
+    """Cell Ontology CSV dictionary build (reference
+    preprocess_cellontology.py:6-22): URL-tail CUI extraction, CL-only
+    filter, blank-synonym branch.  Rows synthesized from part (every
+    7th row gets a non-CL UBERON id to exercise the filter, every 3rd
+    a blank synonym list) and parsed by the shared column logic
+    (sources/dictbuild.py:parse_cellontology_rows)."""
+    from bern2_spark.sources.dictbuild import parse_cellontology_rows
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pk = F.col("p_partkey")
+    prefix = F.when(pk % 7 == 0, F.lit("UBERON_")).otherwise(F.lit("CL_"))
+    rows = p.select(
+        F.concat(F.lit("http://purl.obolibrary.org/obo/"), prefix,
+                 pk.cast("string")).alias("class_id"),
+        F.col("p_name").alias("name"),
+        F.when(pk % 3 == 0, F.lit("")).otherwise(
+            F.concat_ws("|", "p_brand", "p_type")).alias("synonyms"))
+    return parse_cellontology_rows(rows)
+
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -3424,6 +3488,7 @@ _SWEEP_FIRST = [
     "mm_frame_sample", "qc_gopher_rules", "events_sessionize",
     "mix_temperature_weights", "events_windowed_counts",
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
+    "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",
