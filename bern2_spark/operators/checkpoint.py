@@ -109,19 +109,26 @@ class TinyNumpyCheckpoint:
             out[:, :, 2] = MARGIN
             return out
         w_mat, bias = self.heads[ent_type]
+        # accumulate in float64: BLAS reorders the float32 matmul's
+        # summation depending on thread count / kernel choice, which
+        # wobbles logits by ~1e-8 — enough to flip a downstream
+        # round(prob, 6) sitting on a rounding boundary between
+        # environments. float64 reorder noise (~1e-16) cannot reach
+        # the 1e-6 grid, keeping the pinned golden stable everywhere.
+        w64, b64 = w_mat.astype(np.float64), bias.astype(np.float64)
         outs = []
         for i in range(0, len(input_ids), BATCH_SIZE):
             ids = np.asarray(input_ids[i:i + BATCH_SIZE], dtype=np.int64)
             mask = np.asarray(attention_mask[i:i + BATCH_SIZE],
-                              dtype=np.float32)
-            emb = self.E[ids]                            # [b, L, d]
+                              dtype=np.float64)
+            emb = self.E[ids].astype(np.float64)         # [b, L, d]
             denom = np.clip(mask.sum(axis=1), 1.0, None)  # [b]
             ctx = ((emb * mask[:, :, None]).sum(axis=1)
                    / denom[:, None])                     # [b, d]
             hidden = emb + self.ctx_weight * ctx[:, None, :]
-            outs.append(hidden @ w_mat + bias)           # [b, L, 3]
+            outs.append(hidden @ w64 + b64)              # [b, L, 3]
         return np.concatenate(outs, axis=0) if outs else \
-            np.zeros((0, 0, 3), dtype=np.float32)
+            np.zeros((0, 0, 3), dtype=np.float64)
 
 
 # HF state-dict key layout of the reference checkpoint

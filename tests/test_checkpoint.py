@@ -100,10 +100,16 @@ def test_checkpoint_probs_depend_on_context(spark, ckpt):
     """The same surface in two different sentences gets DIFFERENT
     probabilities (window context flows through the masked-mean term) —
     the behavior a real contextual model has and a gazetteer lookup
-    does not."""
+    does not.  The masked-mean context term depends on the FRACTIONS
+    of B-row vs O-row tokens in the window, so the two sentences must
+    differ in those fractions: doc a tokenizes to 1 gene-B-row token
+    of 6 (spar of CLS spar ##k UNK UNK SEP), doc b to 2 of 10
+    (spar+vect) — 1/6 vs 1/5.  (The original doc-b sentence had 2 of
+    12 = the SAME 1/6, making the probs mathematically equal; float32
+    summation noise used to hide that.)"""
     from bern2_spark.operators.wordpiece import extract_mentions_real
     docs = spark.createDataFrame(
-        [("a", "spark runs."), ("b", "spark is a stream vector thing.")],
+        [("a", "spark runs."), ("b", "spark stream vector thing.")],
         ["doc_id", "text"])
     out = extract_mentions_real(
         docs, LEX, logits_fn_factory=checkpoint_logits_factory(ckpt),
