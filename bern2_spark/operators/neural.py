@@ -79,7 +79,13 @@ def build_index(lexicon_rows) -> Dict[str, Tuple[np.ndarray, List[str]]]:
     index = {}
     for t, (names, cuis) in by_type.items():
         if names:
-            index[t] = (embed_batch(names), cuis)
+            # float64: the top-1 argmax and the MIN_SIM threshold sit
+            # downstream of a BLAS matmul whose float32 summation order
+            # varies by environment (thread count / kernel choice);
+            # float64 keeps reorder noise ~1e-16, so near-ties and
+            # near-threshold sims cannot flip between environments
+            # (same reasoning as operators/checkpoint.py:forward).
+            index[t] = (embed_batch(names).astype(np.float64), cuis)
     return index
 
 
