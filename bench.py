@@ -30,6 +30,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
+    "ann_ivf_pq",  # compressed-store ANN (added r5)
     "qc_quality_score",
     "tpch_q1ish",
     # graph family (added r5): new first-class surface a KG user hits

@@ -475,3 +475,209 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
             .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
             .select(id_col, "cell",
                     F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))
+
+
+# -------------------------------------------------- product quantization
+
+def pq_train(df: DataFrame, m: int = 4, k_codes: int = 8,
+             iters: int = 2, dim: int = 64,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> List[List[List[float]]]:
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` contiguous subspaces of dim/m and each subspace gets its own
+    ``k_codes``-centroid Lloyd's k-means (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    compression layer faiss stacks on the IVF the reference trains in
+    normalizers/neural_normalizer.py:145-158). Deterministic for the
+    same reason ``kmeans_train`` is: smallest-id init, argmin with
+    index tiebreak, per-cell means. Returns ``m`` codebooks, each
+    ``k_codes x (dim/m)`` — k*dim floats total on the driver, the same
+    bounded-collect posture as ``kmeans_train``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    # all m subspaces train TOGETHER: one scan + one (sub, cell, pos)
+    # mean agg per iteration — m independent kmeans_train calls would
+    # cost m x the jobs for identical results (the exploded row count
+    # n*m*(dim/m) = n*dim is the same either way)
+    init = (df.orderBy(id_col).limit(k_codes)
+            .select(F.col(vec_col).alias("v")).collect())
+    books = [[[float(x) for x in r["v"][s * dsub:(s + 1) * dsub]]
+              for r in init] for s in range(m)]
+    for _ in range(iters):
+        subs = []
+        for s in range(m):
+            sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+            cell = F.array_min(_book_scores(F.col(vec_col), books[s],
+                                            s * dsub))["i"]
+            subs.append(F.struct(F.lit(s).alias("sub"),
+                                 cell.alias("cell"), sub.alias("v")))
+        means = (df.select(F.explode(F.array(*subs)).alias("e"))
+                 .select("e.sub", "e.cell",
+                         F.posexplode("e.v").alias("pos", "x"))
+                 .groupBy("sub", "cell", "pos")
+                 .agg(F.avg("x").alias("m"))
+                 .collect())
+        new = [[list(c) for c in bk] for bk in books]
+        for r in means:
+            new[r["sub"]][r["cell"]][r["pos"]] = float(r["m"])
+        books = new  # cells with no members keep their centroid
+    return books
+
+
+def _book_lit(book: List[List[float]]):
+    """One subspace codebook as a nested array literal (k_codes x dsub).
+    Every child is foldable, so Catalyst's ConstantFolding collapses
+    the whole CreateArray tree into ONE Literal node before codegen —
+    the plan carries a constant, not k*dsub expression children."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in book])
+
+
+def _sub_dot(vec_col, c, base: int, dsub: int):
+    """Left-to-right fold ``sum_d v[base+d] * c[d]`` over one subspace
+    (0-based ``F.get`` indexing; ``c`` is an array column from a
+    codebook literal). Starts at 0.0 — IEEE ``0.0 + t == t`` — so the
+    sum is bitwise-identical to an unrolled multiply-add chain and to
+    DuckDB's sequential list_dot_product over the same doubles."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0),
+        lambda acc, d: acc + F.get(vec_col, d + base) * F.get(c, d))
+
+
+def _book_scores(vec_col, book: List[List[float]], base: int = 0):
+    """``_cell_scores`` over one PQ subspace: array of (score, idx)
+    structs where score = ||c||^2 - 2 v_s.c, computed with
+    higher-order functions over a constant-folded codebook literal
+    instead of unrolled arithmetic. The unrolled form (m*k_codes*dsub
+    ~ 1000+ flat terms) overflowed janino's 64 KB method limit inside
+    GenerateExec's consume path — where Spark cannot split the
+    generated method — and silently dropped the whole stage to
+    interpreted mode (~2x slower end-to-end). This form is a handful
+    of expression nodes regardless of codebook size; the lambda bodies
+    evaluate per element with identical double arithmetic. ``base``
+    addresses the subspace inside the full vector, no slice
+    allocation."""
+    c2 = F.array(*[F.lit(float(sum(x * x for x in c))) for c in book])
+    dsub = len(book[0])
+    return F.transform(
+        _book_lit(book),
+        lambda c, j: F.struct(
+            (F.get(c2, j) - 2.0 * _sub_dot(vec_col, c, base, dsub))
+            .alias("s"),
+            j.alias("i")))
+
+
+def pq_encode_col(vec_col, codebooks: List[List[List[float]]],
+                  dim: int):
+    """Column expr: vector -> array of ``m`` code ids (argmin-L2 per
+    subspace, smallest-index tiebreak — same ``_cell_scores`` argmin
+    the coarse quantizer uses). Pure plan-side expression, no UDF."""
+    m = len(codebooks)
+    dsub = dim // m
+    return F.array(*[
+        F.array_min(_book_scores(vec_col, codebooks[s], s * dsub))["i"]
+        for s in range(m)])
+
+
+def pq_encode(df: DataFrame, codebooks: List[List[List[float]]],
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Corpus -> (id, codes array<int>): ``m`` small ints per vector —
+    at m=8/k=256 that is 8 bytes where the raw float32[768] vector is
+    3 KB, the 100-TB reason PQ exists (the encoded store of 10^12
+    vectors fits a cluster's disks; the raw one does not)."""
+    return df.select(F.col(id_col),
+                     pq_encode_col(F.col(vec_col), codebooks, dim)
+                     .alias("codes"))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
+                coarse_centroids: List[List[float]],
+                codebooks: List[List[List[float]]],
+                k: int = 5, n_probe: int = 2, dim: int = 64,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-ADC: asymmetric-distance top-k over the PQ-compressed store
+    (faiss IndexIVFPQ's query path). Returns (query_id, neighbor_id,
+    adc_dist, rank<=k), ranked by approximate L2 ascending with
+    neighbor-id tiebreak; self-matches excluded.
+
+    Scale shape — why this is THE 10^12-vector layout:
+
+    * the corpus is scanned once to build the store (cell + m codes,
+      ~id+16 bytes/row); raw vectors never shuffle and never appear in
+      the query plan after the encode scan;
+    * each query ships a lookup table of m*k_codes precomputed
+      subspace distances (plan-side column, broadcast with the query
+      row), so scoring a candidate is m integer-indexed adds — no
+      per-candidate dot products, the ADC trick;
+    * the join is broadcast (few queries) against only the probed
+      cells' rows; the only shuffle is the per-query top-k window over
+      ~24-byte scored rows.
+
+    Exactness caveat (inherent to PQ, documented not hidden): adc_dist
+    approximates ||q - v||^2 by quantizing v to its codebook cell, so
+    recall trades against m/k_codes; the exact-re-rank refinement
+    (fetch raw vectors for the top-k' « corpus candidates) is the
+    standard production chaser and composes as brute_force_topk over
+    the id-filtered corpus."""
+    m = len(codebooks)
+    k_codes = len(codebooks[0])
+    dsub = dim // m
+
+    store = (ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")),
+        coarse_centroids, "c_vec")
+        .select("neighbor_id", "cell",
+                pq_encode_col(F.col("c_vec"), codebooks, dim)
+                .alias("codes")))
+
+    # per-query LUT: entry s*k_codes+j = ||q_s - codebook[s][j]||^2 =
+    # ||q_s||^2 + (c2_j - 2 q_s.c_j), the parenthesized part being the
+    # _book_scores "s" field. HOFs over constant-folded codebook
+    # literals, NOT unrolled arithmetic — this projection sits under
+    # the probe explode (GenerateExec), where an unrolled m*k_codes*
+    # dsub term tree overflows janino's 64 KB method limit and drops
+    # the stage to interpreted mode (see _book_scores). The python
+    # loop over s keeps the flat entry order s-major / j-minor, which
+    # the ADC indexing below and the DuckDB oracle both assume.
+    qv = F.col("q_vec")
+
+    def _qs2(s):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0),
+            lambda acc, d: acc + F.get(qv, d + s * dsub)
+            * F.get(qv, d + s * dsub))
+
+    lut = F.flatten(F.array(*[
+        F.transform(_book_scores(qv, codebooks[s], s * dsub),
+                    lambda e: _qs2(s) + e["s"])
+        for s in range(m)]))
+
+    scores = _cell_scores(F.col("q_vec"), coarse_centroids)
+    probes = F.slice(F.array_sort(scores), 1, n_probe)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .select("query_id", lut.alias("lut"),
+                 F.explode(F.transform(probes, lambda p: p["i"]))
+                 .alias("cell")))
+
+    # ADC: m ordered lookup-adds per candidate (fixed subspace order on
+    # both engines so equal code tuples sum bitwise-identically and the
+    # neighbor-id tiebreak is deterministic)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.col("lut"),
+            (s * k_codes + F.element_at(F.col("codes"), s + 1) + 1)
+            .cast("int")))
+    scored = (store.join(F.broadcast(q), "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("adc_dist", adc))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank"))

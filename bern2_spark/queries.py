@@ -1389,6 +1389,150 @@ def ann_ivf_trained(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ivf_pq_oracle(k_cent: int = 8, iters: int = 2, n_probe: int = 2,
+                   m: int = 8, k_codes: int = 16, dim: int = 64,
+                   k: int = 5) -> Optional[str]:
+    """DuckDB oracle for IVF-PQ/ADC: an independent numpy twin trains
+    BOTH the coarse centroids and the per-subspace codebooks (same
+    deterministic Lloyd's as _trained_ivf_oracle, run per subspace
+    slice); both become plan literals, and the SQL re-derives cell
+    assignment, candidate codes (argmin over codebook literals), the
+    per-query subspace-distance LUT, and the ADC sum (ORDER BY sub so
+    equal code tuples sum bitwise-identically and the neighbor-id
+    tiebreak is deterministic, mirroring the ordered F.aggregate on
+    the Spark side). Returns None (rows-only fallback) if the sf dir
+    is absent at import time."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF",
+                            "/root/testdata/sf0.01").rstrip("/")
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{path}') "
+        f"ORDER BY vec_id").fetchall()
+    con.close()
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def lloyd(data, kk):
+        cents = data[:kk].copy()
+        for _ in range(iters):
+            s = (cents * cents).sum(axis=1)[None, :] - 2.0 * (data @ cents.T)
+            cell = np.argmin(s, axis=1)
+            for i in range(kk):
+                members = data[cell == i]
+                if len(members):
+                    cents[i] = members.mean(axis=0)
+        return cents
+
+    coarse = lloyd(vecs, k_cent)
+    dsub = dim // m
+    books = [lloyd(vecs[:, s * dsub:(s + 1) * dsub].copy(), k_codes)
+             for s in range(m)]
+
+    cent_vals = ", ".join(
+        f"({i}, {[float(x) for x in c]!r}::DOUBLE[], "
+        f"{float((c * c).sum())!r})"
+        for i, c in enumerate(coarse))
+    cb_vals = ", ".join(
+        f"({s}, {j}, {[float(x) for x in c]!r}::DOUBLE[], "
+        f"{float((c * c).sum())!r})"
+        for s, book in enumerate(books) for j, c in enumerate(book))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT * FROM (VALUES {cent_vals}) c(i, arr, c2)),
+cb AS (SELECT * FROM (VALUES {cb_vals}) b(s, j, arr, c2)),
+sc AS (
+  SELECT e.vec_id, e.v, c.i,
+         c.c2 - 2 * list_dot_product(e.v, c.arr) AS s
+  FROM e, cent c
+),
+cells AS (
+  SELECT vec_id, i AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s, i) AS rn FROM sc)
+  WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, i AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s, i) AS rn
+        FROM sc WHERE vec_id % 97 = 0)
+  WHERE rn <= {n_probe}
+),
+subv AS (
+  SELECT e.vec_id, sub.s AS sub,
+         list_slice(e.v, sub.s * {dsub} + 1, sub.s * {dsub} + {dsub}) AS vs
+  FROM e, (SELECT unnest(range({m})) AS s) sub
+),
+codes AS (
+  SELECT vec_id, sub, j AS code
+  FROM (SELECT sv.vec_id, sv.sub, b.j,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY b.c2 - 2 * list_dot_product(sv.vs, b.arr), b.j
+               ) AS rn
+        FROM subv sv JOIN cb b ON b.s = sv.sub)
+  WHERE rn = 1
+),
+lutq AS (
+  SELECT qs.vec_id AS query_id, qs.sub, b.j,
+         list_dot_product(qs.vs, qs.vs) + b.c2
+           - 2 * list_dot_product(qs.vs, b.arr) AS d2
+  FROM subv qs JOIN cb b ON b.s = qs.sub
+  WHERE qs.vec_id % 97 = 0
+),
+scored AS (
+  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(l.d2 ORDER BY l.sub) AS adc
+  FROM qprobe qp
+  JOIN cells c ON c.cell = qp.cell AND c.vec_id != qp.vec_id
+  JOIN codes cd ON cd.vec_id = c.vec_id
+  JOIN lutq l ON l.query_id = qp.vec_id AND l.sub = cd.sub
+             AND l.j = cd.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@q("ann_ivf_pq", _ivf_pq_oracle())
+def ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ with asymmetric-distance scoring (faiss IndexIVFPQ's
+    query path; Jegou et al. 2011) — the memory-compression layer that
+    makes 10^12-vector ANN storable: the queried store carries only
+    (id, cell, m code bytes) per vector, raw vectors never shuffle,
+    and each candidate costs m LUT adds instead of a dot product. The
+    DuckDB oracle (_ivf_pq_oracle) trains coarse centroids AND the
+    per-subspace codebooks independently in numpy and re-derives
+    assignment, encoding, LUT, ADC sum, and ranking from literals.
+    Scale notes in dataprep/similarity.py:ivf_pq_topk."""
+    from bern2_spark.dataprep.similarity import (
+        ivf_pq_topk, kmeans_train, pq_train,
+    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    coarse = kmeans_train(emb, k=8, iters=2, dim=64)
+    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
+    out = ivf_pq_topk(emb, queries, coarse, books, k=5, n_probe=2,
+                      dim=64)
+    return out.withColumn("adc_dist", F.round("adc_dist", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
 # ------------------------------------------------------------------ textqc
 
 _EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "for", "with"]
@@ -3489,6 +3633,7 @@ _SWEEP_FIRST = [
     "mix_temperature_weights", "events_windowed_counts",
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
+    "ann_ivf_pq",  # new in r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

@@ -751,3 +751,68 @@ def test_temperature_weights_flattens(spark):
     assert out["de"].upsample_factor > 1 > out["en"].upsample_factor
     # q sums to 1
     assert abs(out["en"].q_temperature + out["de"].q_temperature - 1.0) < 1e-5
+
+
+def test_ivf_pq_adc(spark):
+    """IVF-PQ/ADC: (a) codebook training is deterministic; (b) codes
+    are m ints in [0, k_codes); (c) the scored plan's corpus side is
+    the COMPRESSED store — the broadcast side carries the query
+    vectors/LUTs, the corpus rows only (id, cell, codes); (d) ADC
+    ranking keeps useful recall vs exact brute force on the driver
+    embeddings; (e) an exact duplicate of a query vector quantizes to
+    the same codes, so its ADC distance is the minimum possible and it
+    ranks first among its cell's candidates."""
+    from bern2_spark.dataprep.similarity import (
+        brute_force_topk, ivf_pq_topk, kmeans_train, pq_encode, pq_train,
+    )
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("embedding")))
+    b1 = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
+    b2 = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
+    assert b1 == b2, "PQ training must be deterministic"
+    assert len(b1) == 8 and all(len(bk) == 16 and len(bk[0]) == 8
+                                for bk in b1)
+
+    codes = pq_encode(emb, b1).collect()
+    assert all(len(r["codes"]) == 8
+               and all(0 <= c < 16 for c in r["codes"]) for r in codes)
+
+    coarse = kmeans_train(emb, k=8, iters=2, dim=64)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = ivf_pq_topk(emb, queries, coarse, b1, k=5, n_probe=2, dim=64)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # the store side never carries raw vectors into the join: c_vec is
+    # consumed by the encode/assign projections and pruned before it
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert per_q and all(len(v) <= 5 for v in per_q.values())
+    for v in per_q.values():
+        ranks = sorted(r["rank"] for r in v)
+        assert ranks == list(range(1, len(v) + 1))
+        by_rank = sorted(v, key=lambda r: r["rank"])
+        dists = [r["adc_dist"] for r in by_rank]
+        assert dists == sorted(dists)
+
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, queries, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.15, f"ivf_pq recall {recall}"
+
+    # duplicate-vector sanity: clone vec 0 as id 100000
+    from pyspark.sql import Row
+    first = emb.filter(F.col("vec_id") == 0).collect()[0]
+    clone = spark.createDataFrame(
+        [Row(vec_id=100000, embedding=list(first["embedding"]))])
+    out2 = ivf_pq_topk(emb.unionByName(clone),
+                       emb.filter(F.col("vec_id") == 0),
+                       coarse, b1, k=1, n_probe=1, dim=64).collect()
+    assert out2 and out2[0]["neighbor_id"] == 100000
+    assert out2[0]["rank"] == 1
