@@ -479,59 +479,97 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
 
 # -------------------------------------------------- product quantization
 
+def training_sample(df: DataFrame, n_train: int = 65536,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Deterministic bounded training sample: the ``n_train``
+    smallest-id vectors, as a float64 numpy array in id order. This is
+    the faiss/ScaNN production posture — quantizer codebooks train on
+    a driver-sized sample (faiss defaults to ~max(256*k, 65536)
+    points), NEVER the full corpus, so the collect is bounded by
+    n_train*dim floats regardless of corpus size (10^12 vectors train
+    from the same 65k sample). TakeOrderedAndProject keeps the
+    smallest-id selection a single bounded-heap pass, no global
+    sort."""
+    import numpy as np
+
+    rows = (df.orderBy(id_col).limit(n_train)
+            .select(F.col(vec_col).alias("v")).collect())
+    return np.array([list(r["v"]) for r in rows], dtype=np.float64)
+
+
+def _lloyd(data, k: int, iters: int):
+    """Driver-side Lloyd's on a training sample, float64 end-to-end:
+    smallest-id init, argmin with lowest-index tiebreak, per-cell
+    means; empty cells keep their centroid. Numerically IDENTICAL to
+    the independent numpy twins the DuckDB oracles train (queries.py
+    _trained_ivf_oracle/_ivf_pq_oracle) — same code shape, same
+    summation order — so training can never drift from the oracle by
+    float reorder across environments (the round-5 checkpoint/kNN
+    lesson: distributed avg sums in partition order, which is not an
+    environment-stable contract; a sample-trained codebook is)."""
+    cents = data[:k].copy()
+    for _ in range(iters):
+        s = (cents * cents).sum(axis=1)[None, :] - 2.0 * (data @ cents.T)
+        cell = s.argmin(axis=1)
+        for i in range(k):
+            members = data[cell == i]
+            if len(members):
+                cents[i] = members.mean(axis=0)
+    return cents
+
+
+def kmeans_train_local(df: DataFrame, k: int = 8, iters: int = 2,
+                       dim: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_train: int = 65536) -> List[List[float]]:
+    """Coarse-quantizer training on a bounded sample (see
+    ``training_sample``): one Spark job total instead of one scan per
+    Lloyd's iteration. Same argmin/mean math as the distributed
+    ``kmeans_train`` — use that when training must see every row; use
+    this for the production IVF-PQ path where sample-training is the
+    standard (and the assignment of the FULL corpus still happens
+    distributed, in ``ivf_assign``)."""
+    sample = training_sample(df, n_train, id_col, vec_col)
+    return [[float(x) for x in c] for c in _lloyd(sample, k, iters)]
+
+
 def pq_train(df: DataFrame, m: int = 4, k_codes: int = 8,
              iters: int = 2, dim: int = 64,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> List[List[List[float]]]:
+             vec_col: str = "embedding",
+             n_train: int = 65536) -> List[List[List[float]]]:
     """Train product-quantization codebooks: the vector is split into
     ``m`` contiguous subspaces of dim/m and each subspace gets its own
     ``k_codes``-centroid Lloyd's k-means (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011 — the
     compression layer faiss stacks on the IVF the reference trains in
-    normalizers/neural_normalizer.py:145-158). Deterministic for the
-    same reason ``kmeans_train`` is: smallest-id init, argmin with
-    index tiebreak, per-cell means. Returns ``m`` codebooks, each
-    ``k_codes x (dim/m)`` — k*dim floats total on the driver, the same
-    bounded-collect posture as ``kmeans_train``."""
+    normalizers/neural_normalizer.py:145-158). Trains on the bounded
+    ``training_sample`` driver-side (the faiss posture — one Spark job,
+    float64-deterministic, oracle-identical math; see ``_lloyd``).
+    Returns ``m`` codebooks, each ``k_codes x (dim/m)``."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    # all m subspaces train TOGETHER: one scan + one (sub, cell, pos)
-    # mean agg per iteration — m independent kmeans_train calls would
-    # cost m x the jobs for identical results (the exploded row count
-    # n*m*(dim/m) = n*dim is the same either way)
-    init = (df.orderBy(id_col).limit(k_codes)
-            .select(F.col(vec_col).alias("v")).collect())
-    books = [[[float(x) for x in r["v"][s * dsub:(s + 1) * dsub]]
-              for r in init] for s in range(m)]
-    for _ in range(iters):
-        subs = []
-        for s in range(m):
-            sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-            cell = F.array_min(_book_scores(F.col(vec_col), books[s],
-                                            s * dsub))["i"]
-            subs.append(F.struct(F.lit(s).alias("sub"),
-                                 cell.alias("cell"), sub.alias("v")))
-        means = (df.select(F.explode(F.array(*subs)).alias("e"))
-                 .select("e.sub", "e.cell",
-                         F.posexplode("e.v").alias("pos", "x"))
-                 .groupBy("sub", "cell", "pos")
-                 .agg(F.avg("x").alias("m"))
-                 .collect())
-        new = [[list(c) for c in bk] for bk in books]
-        for r in means:
-            new[r["sub"]][r["cell"]][r["pos"]] = float(r["m"])
-        books = new  # cells with no members keep their centroid
-    return books
+    sample = training_sample(df, n_train, id_col, vec_col)
+    return [[[float(x) for x in c]
+             for c in _lloyd(sample[:, s * dsub:(s + 1) * dsub].copy(),
+                             k_codes, iters)]
+            for s in range(m)]
 
 
 def _book_lit(book: List[List[float]]):
     """One subspace codebook as a nested array literal (k_codes x dsub).
-    Every child is foldable, so Catalyst's ConstantFolding collapses
-    the whole CreateArray tree into ONE Literal node before codegen —
-    the plan carries a constant, not k*dsub expression children."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                     for c in book])
+    Built as ONE parsed SQL expression, not k*dsub ``F.lit`` calls —
+    the py4j round trips of per-element Column construction dominated
+    plan-build time (~4 s for m=8/k=16/dsub=8 across encode+LUT,
+    measured). ``repr`` of a Python float round-trips exactly through
+    Java's string→double cast, every child is foldable, and Catalyst's
+    ConstantFolding collapses the tree into ONE Literal node before
+    codegen."""
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
+        for c in book) + ")")
 
 
 def _sub_dot(vec_col, c, base: int, dsub: int):
@@ -558,7 +596,9 @@ def _book_scores(vec_col, book: List[List[float]], base: int = 0):
     evaluate per element with identical double arithmetic. ``base``
     addresses the subspace inside the full vector, no slice
     allocation."""
-    c2 = F.array(*[F.lit(float(sum(x * x for x in c))) for c in book])
+    c2 = F.expr("array(" + ",".join(
+        f"CAST('{sum(x * x for x in c)!r}' AS DOUBLE)"
+        for c in book) + ")")
     dsub = len(book[0])
     return F.transform(
         _book_lit(book),

@@ -1518,14 +1518,17 @@ def ann_ivf_pq(spark, sf_dir):
     assignment, encoding, LUT, ADC sum, and ranking from literals.
     Scale notes in dataprep/similarity.py:ivf_pq_topk."""
     from bern2_spark.dataprep.similarity import (
-        ivf_pq_topk, kmeans_train, pq_train,
+        ivf_pq_topk, kmeans_train_local, pq_train,
     )
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    coarse = kmeans_train(emb, k=8, iters=2, dim=64)
+    # sample-trained (faiss posture, oracle-identical numpy Lloyd's);
+    # n_train covers the whole corpus at test scale so the oracle's
+    # full-corpus twin sees the same training set
+    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64)
     books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
     out = ivf_pq_topk(emb, queries, coarse, books, k=5, n_probe=2,
                       dim=64)

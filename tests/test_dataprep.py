@@ -763,7 +763,8 @@ def test_ivf_pq_adc(spark):
     the same codes, so its ADC distance is the minimum possible and it
     ranks first among its cell's candidates."""
     from bern2_spark.dataprep.similarity import (
-        brute_force_topk, ivf_pq_topk, kmeans_train, pq_encode, pq_train,
+        brute_force_topk, ivf_pq_topk, kmeans_train_local, pq_encode,
+        pq_train,
     )
     sf = "/root/testdata/sf0.001"
     emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -780,7 +781,7 @@ def test_ivf_pq_adc(spark):
     assert all(len(r["codes"]) == 8
                and all(0 <= c < 16 for c in r["codes"]) for r in codes)
 
-    coarse = kmeans_train(emb, k=8, iters=2, dim=64)
+    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64)
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     out = ivf_pq_topk(emb, queries, coarse, b1, k=5, n_probe=2, dim=64)
 
