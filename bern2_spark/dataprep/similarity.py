@@ -721,3 +721,44 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
+def ivf_pq_rerank(corpus: DataFrame, queries: DataFrame,
+                  coarse_centroids: List[List[float]],
+                  codebooks: List[List[List[float]]],
+                  k: int = 5, k_cand: int = 20, n_probe: int = 2,
+                  dim: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact-cosine re-rank of IVF-PQ/ADC candidates — the standard
+    production chaser on a compressed store (faiss's refine/
+    IndexRefineFlat stage): ADC recall is bounded by quantization, so
+    the query takes ``k_cand`` > k approximate candidates from
+    ``ivf_pq_topk`` and re-scores ONLY those against their raw
+    vectors, returning exact-cosine top-k.
+
+    Scale shape: the candidate set is |Q| x k_cand id pairs —
+    broadcast — so the raw-vector fetch is a broadcast hash join the
+    corpus scan can prune on (runtime filter / DPP on the id column at
+    scale); the full corpus is never re-scored and raw vectors for
+    non-candidates never leave the scan. Output (query_id,
+    neighbor_id, cosine, rank<=k) with brute_force_topk's exact
+    ordering semantics (cosine DESC, neighbor_id ASC)."""
+    cand = (ivf_pq_topk(corpus, queries, coarse_centroids, codebooks,
+                        k=k_cand, n_probe=n_probe, dim=dim,
+                        id_col=id_col, vec_col=vec_col)
+            .select("query_id", "neighbor_id"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    scored = (c.join(F.broadcast(cand), "neighbor_id")
+              .join(F.broadcast(q), "query_id")
+              .withColumn("cosine",
+                          _dot(F.col("q_vec"), F.col("c_vec"))
+                          / (_norm(F.col("q_vec"))
+                             * _norm(F.col("c_vec")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -1389,9 +1389,9 @@ def ann_ivf_trained(spark, sf_dir):
               .withColumn("rank", F.col("rank").cast("long"))
 
 
-def _ivf_pq_oracle(k_cent: int = 8, iters: int = 2, n_probe: int = 2,
-                   m: int = 8, k_codes: int = 16, dim: int = 64,
-                   k: int = 5) -> Optional[str]:
+def _ivf_pq_ctes(k_cent: int = 8, iters: int = 2, n_probe: int = 2,
+                 m: int = 8, k_codes: int = 16,
+                 dim: int = 64) -> Optional[str]:
     """DuckDB oracle for IVF-PQ/ADC: an independent numpy twin trains
     BOTH the coarse centroids and the per-subspace codebooks (same
     deterministic Lloyd's as _trained_ivf_oracle, run per subspace
@@ -1497,11 +1497,66 @@ scored AS (
              AND l.j = cd.code
   GROUP BY 1, 2
 )
+"""
+
+
+_IVF_PQ_CTES_CACHE: dict = {}
+
+
+def _ivf_pq_ctes_cached(**kw) -> Optional[str]:
+    """The numpy training + duckdb scan in _ivf_pq_ctes runs at module
+    import (decorator args); two oracles share one training pass."""
+    key = tuple(sorted(kw.items()))
+    if key not in _IVF_PQ_CTES_CACHE:
+        _IVF_PQ_CTES_CACHE[key] = _ivf_pq_ctes(**kw)
+    return _IVF_PQ_CTES_CACHE[key]
+
+
+def _ivf_pq_oracle(k: int = 5) -> Optional[str]:
+    ctes = _ivf_pq_ctes_cached()
+    if ctes is None:
+        return None
+    return f"""{ctes}
 SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc ASC, neighbor_id ASC)
                AS rank
       FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def _ivf_pq_rerank_oracle(k: int = 5, k_cand: int = 20) -> Optional[str]:
+    """Re-rank twin: the SAME trained/assigned/ADC-scored CTEs produce
+    the k_cand approximate candidates (identical adc/neighbor-id
+    tiebreak as the Spark window), then exact cosine over the raw
+    vectors re-ranks them with brute_force_topk's ordering."""
+    ctes = _ivf_pq_ctes_cached()
+    if ctes is None:
+        return None
+    return f"""{ctes},
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc ASC, neighbor_id ASC)
+               AS rn
+        FROM scored)
+  WHERE rn <= {k_cand}
+),
+rer AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v))
+          * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id ASC)
+               AS rank
+      FROM rer)
 WHERE rank <= {k}
 """
 
@@ -1533,6 +1588,33 @@ def ann_ivf_pq(spark, sf_dir):
     out = ivf_pq_topk(emb, queries, coarse, books, k=5, n_probe=2,
                       dim=64)
     return out.withColumn("adc_dist", F.round("adc_dist", 6)) \
+              .withColumn("rank", F.col("rank").cast("long"))
+
+
+@q("ann_ivf_pq_rerank", _ivf_pq_rerank_oracle())
+def ann_ivf_pq_rerank(spark, sf_dir):
+    """IVF-PQ candidates + exact-cosine re-rank (faiss refine stage):
+    the ADC pass nominates k_cand=20 approximate candidates per query
+    from the compressed store; only THOSE raw vectors are fetched
+    (broadcast candidate join the corpus scan can prune on) and
+    re-scored exactly, recovering the recall quantization costs. The
+    oracle (_ivf_pq_rerank_oracle) shares the trained-codebook CTEs
+    with ann_ivf_pq and re-derives the candidate cut and the exact
+    re-rank independently. Scale notes in
+    dataprep/similarity.py:ivf_pq_rerank."""
+    from bern2_spark.dataprep.similarity import (
+        ivf_pq_rerank, kmeans_train_local, pq_train,
+    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64)
+    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
+    out = ivf_pq_rerank(emb, queries, coarse, books, k=5, k_cand=20,
+                        n_probe=2, dim=64)
+    return out.withColumn("cosine", F.round("cosine", 6)) \
               .withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -3636,7 +3718,7 @@ _SWEEP_FIRST = [
     "mix_temperature_weights", "events_windowed_counts",
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
-    "ann_ivf_pq",  # new in r5
+    "ann_ivf_pq", "ann_ivf_pq_rerank",  # new in r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

@@ -817,3 +817,44 @@ def test_ivf_pq_adc(spark):
                        coarse, b1, k=1, n_probe=1, dim=64).collect()
     assert out2 and out2[0]["neighbor_id"] == 100000
     assert out2[0]["rank"] == 1
+
+
+def test_ivf_pq_rerank(spark):
+    """The refine stage: (a) re-ranked output is a subset of the ADC
+    candidate set; (b) exact-cosine re-ranking never lowers recall vs
+    the plain ADC top-k against brute force; (c) ordering is exact
+    cosine DESC with neighbor-id tiebreak."""
+    from bern2_spark.dataprep.similarity import (
+        brute_force_topk, ivf_pq_rerank, ivf_pq_topk, kmeans_train_local,
+        pq_train,
+    )
+    sf = "/root/testdata/sf0.001"
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("embedding")))
+    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
+    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+
+    cand = {(r.query_id, r.neighbor_id)
+            for r in ivf_pq_topk(emb, queries, coarse, books, k=20,
+                                 n_probe=2, dim=64).collect()}
+    adc5 = {(r.query_id, r.neighbor_id)
+            for r in ivf_pq_topk(emb, queries, coarse, books, k=5,
+                                 n_probe=2, dim=64).collect()}
+    rer = ivf_pq_rerank(emb, queries, coarse, books, k=5, k_cand=20,
+                        n_probe=2, dim=64).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rer}
+    assert got <= cand
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, queries, k=5).collect()}
+    assert len(bf & got) >= len(bf & adc5), \
+        "exact re-rank must not lose recall vs raw ADC"
+    per_q = {}
+    for r in rer:
+        per_q.setdefault(r.query_id, []).append(r)
+    for v in per_q.values():
+        by_rank = sorted(v, key=lambda r: r.rank)
+        cosines = [r.cosine for r in by_rank]
+        assert cosines == sorted(cosines, reverse=True)
