@@ -3480,6 +3480,26 @@ def mm_frame_sample(spark, sf_dir):
         "doc_id", "frame_idx", "ts_ms", "frame_hash")
 
 
+# ------------------------------------------------------- KMV sketch
+
+from bern2_spark.dataprep.sketch import kmv_oracle_sql  # noqa: E402
+
+
+@q("qc_kmv_distinct", kmv_oracle_sql("documents", "text", "lang", k=32))
+def qc_kmv_distinct(spark, sf_dir):
+    """Bottom-k (KMV) distinct-count sketch per language (Bar-Yossef
+    et al. 2002): estimated distinct texts from the k=32 smallest md5
+    fractions. The 100-TB point is the plan: a mapInPandas partial
+    sketch bounds every partition's output to groups x k rows, so the
+    merge shuffle is partitions x groups x k 16-byte rows where exact
+    count(DISTINCT) shuffles every distinct hash. The DuckDB oracle
+    recomputes the same exact-double fractions (13 hex digits / 2^52)
+    from the true distinct set — identical k-min by the mergeability
+    of bottom-k. Scale notes in dataprep/sketch.py."""
+    from bern2_spark.dataprep.sketch import kmv_distinct
+    return kmv_distinct(_docs(spark, sf_dir), "text", "lang", k=32)
+
+
 # --------------------------------------------- gopher rules + sessions
 
 @q("qc_gopher_rules", """
@@ -3718,7 +3738,7 @@ _SWEEP_FIRST = [
     "mix_temperature_weights", "events_windowed_counts",
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
-    "ann_ivf_pq", "ann_ivf_pq_rerank",  # new in r5
+    "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",  # new in r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

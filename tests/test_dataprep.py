@@ -858,3 +858,38 @@ def test_ivf_pq_rerank(spark):
         by_rank = sorted(v, key=lambda r: r.rank)
         cosines = [r.cosine for r in by_rank]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_kmv_distinct_sketch(spark):
+    """KMV bottom-k: (a) when a group's distinct count < k the sketch
+    IS the distinct set and the answer is exact; (b) the estimate is
+    invariant to partitioning (mergeability of bottom-k); (c) on a
+    group with distinct >> k the estimate lands within the standard
+    ~1/sqrt(k) relative-error band; (d) the partial sketch emits at
+    most groups x k rows per partition."""
+    from bern2_spark.dataprep.sketch import (
+        kmv_distinct, kmv_partial_sketch, uniform_hash_col,
+    )
+    rows = ([("small", f"s{i % 7}") for i in range(100)]
+            + [("big", f"b{i}") for i in range(3000)])
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    out = {r["g"]: r["kmv_distinct"]
+           for r in kmv_distinct(df, "v", "g", k=32).collect()}
+    assert out["small"] == 7.0  # exact path
+    assert abs(out["big"] - 3000) / 3000 < 3 / (32 ** 0.5)
+
+    out8 = {r["g"]: r["kmv_distinct"]
+            for r in kmv_distinct(df.repartition(8), "v", "g", k=32)
+            .collect()}
+    out1 = {r["g"]: r["kmv_distinct"]
+            for r in kmv_distinct(df.coalesce(1), "v", "g", k=32)
+            .collect()}
+    assert out == out8 == out1
+
+    hashed = df.repartition(4).select(
+        F.col("g"), uniform_hash_col(F.col("v")).alias("u"))
+    partial = kmv_partial_sketch(hashed, "g", k=32)
+    per_part = partial.withColumn("p", F.spark_partition_id()) \
+        .groupBy("p", "g").count().collect()
+    assert all(r["count"] <= 32 for r in per_part)
