@@ -194,3 +194,79 @@ def temperature_weights(docs: DataFrame, domain_col: str = "lang",
                     F.round(p, 6).alias("p_natural"),
                     F.round(q, 6).alias("q_temperature"),
                     F.round(q / p, 6).alias("upsample_factor")))
+
+
+def pps_systematic_sample(docs: DataFrame, k: int,
+                          weight_col: str,
+                          id_col: str = "doc_id",
+                          num_parts: int = 32) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949), the survey-sampling primitive behind weighted data pruning:
+    exactly ``k`` picks, each doc selected with probability (or
+    expected multiplicity, when its weight exceeds W/k) proportional
+    to its integer ``weight_col``. Docs lie on a 0..W line in
+    deterministic hash order, each covering its weight; k equally
+    spaced markers select them:
+
+        picks_i = floor(cum_i*k/W) - floor((cum_i - w_i)*k/W)
+
+    — ALL bigint arithmetic, so the sample is bit-identical on any
+    engine and independent of partitioning (unlike float cumsums,
+    whose summation order is partition-dependent; cf. the integer-
+    micros rule in the events family).
+
+    Scale shape — a REAL distributed prefix sum, not a single-partition
+    window: (1) ONE range-repartition of the (id, weight, h) triples on
+    the hash order key; (2) a bounded collect of per-partition weight
+    totals (num_parts rows) whose running total becomes a driver-known
+    offset per partition; (3) an in-place sortWithinPartitions +
+    mapInPandas integer cumsum seeded with that offset — NO second
+    exchange (a Window over the derived partition id would re-shuffle
+    the whole corpus by pid; measured on the first cut of this
+    function). The integer math makes step (1)'s sampled range
+    boundaries irrelevant to the result. Output: (id, weight,
+    picks>=1) for selected docs; sum(picks) == k exactly."""
+    import pandas as pd
+
+    h = ((F.col(id_col) * F.lit(_KNUTH)) % F.lit(_M32)).alias("h")
+    d = (docs.select(F.col(id_col), F.col(weight_col).cast("long")
+                     .alias("w"), h)
+         .repartitionByRange(num_parts, "h", id_col)
+         .withColumn("pid", F.spark_partition_id()))
+
+    part_tot = {r["pid"]: r["t"] for r in
+                d.groupBy("pid").agg(F.sum("w").alias("t")).collect()}
+    total = int(sum(part_tot.values()))
+    if total == 0 or k <= 0:
+        return d.select(id_col, F.col("w").alias(weight_col),
+                        F.lit(0).cast("long").alias("picks")).limit(0)
+    offsets, acc = {}, 0
+    for pid in sorted(part_tot):
+        offsets[pid] = acc
+        acc += int(part_tot[pid])
+
+    def cumsum(batches: "pd.DataFrame") -> "pd.DataFrame":
+        # per-partition integer running sum, seeded with the driver-
+        # computed offset; range partitioning guarantees ascending pid
+        # == ascending key range, so offsets line up with sort order
+        run = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["pid"].iloc[0]), 0)
+            out = pdf[[id_col, "w"]].copy()
+            out["cum"] = pdf["w"].cumsum() + run
+            run = int(out["cum"].iloc[-1])
+            yield out
+
+    cums = (d.sortWithinPartitions("h", id_col)
+            .mapInPandas(cumsum, schema=f"`{id_col}` long, w long, "
+                                        f"cum long"))
+    # bigint `div`, never `/`: double division loses exactness past
+    # 2^53 and would make marker assignment engine-dependent
+    picks = F.expr(f"(cum * {int(k)}) div {total} "
+                   f"- ((cum - w) * {int(k)}) div {total}")
+    return (cums.withColumn("picks", picks.cast("long"))
+            .filter(F.col("picks") > 0)
+            .select(id_col, F.col("w").alias(weight_col), "picks"))

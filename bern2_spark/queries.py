@@ -3500,6 +3500,42 @@ def qc_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_docs(spark, sf_dir), "text", "lang", k=32)
 
 
+# ------------------------------------------------- PPS systematic sample
+
+@q("mix_pps_sample", """
+WITH w AS (
+  SELECT doc_id, n_chars AS wt,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, wt,
+         sum(wt) OVER (ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(wt) OVER () AS W
+  FROM w
+),
+p AS (
+  SELECT doc_id, wt,
+         (cum * 50) // W - ((cum - wt) * 50) // W AS picks
+  FROM c
+)
+SELECT doc_id, wt AS n_chars, picks FROM p WHERE picks > 0
+""")
+def mix_pps_sample(spark, sf_dir):
+    """Systematic PPS sample (Madow 1949): exactly k=50 picks with
+    per-doc multiplicity proportional to n_chars — the weighted-
+    pruning/subsampling primitive, distinct from the token-budget cut
+    (fixed pick COUNT, heavy docs repeat). All-bigint marker
+    arithmetic over a genuinely distributed prefix sum (range
+    partition + bounded per-partition-total collect + broadcast
+    offsets), so the sample is bit-identical on any engine and any
+    partitioning. Scale notes in dataprep/mixing.py."""
+    from bern2_spark.dataprep.mixing import pps_systematic_sample
+    return pps_systematic_sample(_docs(spark, sf_dir), k=50,
+                                 weight_col="n_chars")
+
+
 # --------------------------------------------- gopher rules + sessions
 
 @q("qc_gopher_rules", """
@@ -3738,7 +3774,8 @@ _SWEEP_FIRST = [
     "mix_temperature_weights", "events_windowed_counts",
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
-    "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",  # new in r5
+    "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",
+    "mix_pps_sample",  # new in r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

@@ -893,3 +893,26 @@ def test_kmv_distinct_sketch(spark):
     per_part = partial.withColumn("p", F.spark_partition_id()) \
         .groupBy("p", "g").count().collect()
     assert all(r["count"] <= 32 for r in per_part)
+
+
+def test_pps_systematic_sample(spark):
+    """PPS: (a) total picks == k exactly; (b) result is invariant to
+    num_parts (the distributed prefix sum is partition-independent by
+    integer arithmetic); (c) a doc heavier than W/k is always picked,
+    with multiplicity ~ w*k/W; (d) zero-weight docs are never picked."""
+    from bern2_spark.dataprep.mixing import pps_systematic_sample
+    rows = [(i, 10) for i in range(200)] + [(1000, 5000), (1001, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    out = pps_systematic_sample(df, k=20, weight_col="w").collect()
+    assert sum(r["picks"] for r in out) == 20
+    by_id = {r["doc_id"]: r["picks"] for r in out}
+    # W = 7000, heavy doc w=5000 -> w*k/W ~ 14.3 picks
+    assert by_id[1000] in (14, 15)
+    assert 1001 not in by_id
+
+    for p in (1, 4, 16):
+        alt = pps_systematic_sample(df.repartition(5), k=20,
+                                    weight_col="w", num_parts=p).collect()
+        assert sorted((r["doc_id"], r["picks"]) for r in alt) \
+            == sorted((r["doc_id"], r["picks"]) for r in out)
