@@ -3500,6 +3500,47 @@ def qc_kmv_distinct(spark, sf_dir):
     return kmv_distinct(_docs(spark, sf_dir), "text", "lang", k=32)
 
 
+# ---------------------------------------------- prefix-filter join
+
+@q("dedup_prefix_jaccard", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS tok FROM docs2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+""")
+def dedup_prefix_jaccard(spark, sf_dir):
+    """Exact-threshold shingle-set Jaccard join via prefix filtering
+    (SSJoin, Chaudhuri et al. 2006; AllPairs, Bayardo et al. 2007) —
+    the SAME logical result as dedup_ngram_jaccard (identical tokens,
+    identical threshold, identical naive all-pairs oracle) through a
+    candidate-pruned plan: the join key set is each doc's rarest
+    ``n - ceil(t*n) + 1`` shingles, so hub shingles never join and a
+    size filter prunes before the candidate distinct. No false
+    negatives by the prefix lemma — hash equality with the all-pairs
+    oracle is that theorem, checked by the driver. Scale notes in
+    dataprep/dedup.py:prefix_filter_jaccard_pairs."""
+    from bern2_spark.dataprep.dedup import (
+        prefix_filter_jaccard_pairs, shingles,
+    )
+    pairs = prefix_filter_jaccard_pairs(_dup_docs(spark, sf_dir),
+                                        threshold=0.5,
+                                        token_fn=shingles)
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
 # ------------------------------------------------- PPS systematic sample
 
 @q("mix_pps_sample", """
@@ -3775,7 +3816,7 @@ _SWEEP_FIRST = [
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
     "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",
-    "mix_pps_sample",  # new in r5
+    "mix_pps_sample", "dedup_prefix_jaccard",  # new in r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

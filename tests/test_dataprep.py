@@ -916,3 +916,44 @@ def test_pps_systematic_sample(spark):
                                     weight_col="w", num_parts=p).collect()
         assert sorted((r["doc_id"], r["picks"]) for r in alt) \
             == sorted((r["doc_id"], r["picks"]) for r in out)
+
+
+def test_prefix_filter_jaccard_exact(spark):
+    """The prefix lemma in practice: the filtered join returns EXACTLY
+    the naive all-pairs >= t result (no false negatives, no false
+    positives), including across a hub stopword shared by every doc
+    that a naive token self-join would pair-explode on."""
+    from bern2_spark.dataprep.dedup import prefix_filter_jaccard_pairs
+    import itertools
+    docs = [
+        (1, "the quick brown fox jumps over dogs"),
+        (2, "the quick brown fox jumps over cats"),
+        (3, "the slow green turtle walks under rocks"),
+        (4, "the quick brown fox jumps over dogs today"),
+        (5, "the completely different text about spark engines"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): round(r.jaccard, 6)
+           for r in prefix_filter_jaccard_pairs(df, threshold=0.6)
+           .collect()}
+
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.6:
+            want[(a, b)] = round(j, 6)
+    assert got == want and (1, 2) in got and (1, 4) in got
+
+
+def test_prefix_jaccard_equals_allpairs_plan(spark):
+    """Two physical plans, one logical result: the prefix-filtered
+    join must return exactly the all-pairs ngram-Jaccard query's rows
+    (same shingles, same threshold) on the injected-duplicate corpus."""
+    from bern2_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    a = {(r.doc_a, r.doc_b, r.jaccard)
+         for r in QUERIES["dedup_prefix_jaccard"](spark, sf).collect()}
+    b = {(r.doc_a, r.doc_b, r.jaccard)
+         for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect()}
+    assert a == b and a
