@@ -245,7 +245,7 @@ def pps_systematic_sample(docs: DataFrame, k: int,
         offsets[pid] = acc
         acc += int(part_tot[pid])
 
-    def cumsum(batches: "pd.DataFrame") -> "pd.DataFrame":
+    def cumsum(batches):  # Iterator[pd.DataFrame] -> same
         # per-partition integer running sum, seeded with the driver-
         # computed offset; range partitioning guarantees ascending pid
         # == ascending key range, so offsets line up with sort order
