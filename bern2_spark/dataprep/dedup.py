@@ -442,8 +442,20 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     # word sets on template-generated corpora are near-universally
     # similar (94k pairs >= 0.6 at sf0.01); 3-gram shingle sets keep
     # word order and match the ngram_jaccard baseline's semantics
+    #
+    # xxhash64 the tokens BEFORE the first distinct: every downstream
+    # exchange (distinct, freq groupBy, freq join, per-doc collect,
+    # candidate self-join, verify join) then carries 8-byte keys
+    # instead of ~30-byte shingle strings — the dedup_lsh_verified
+    # lesson (16.6 s -> measured below at sf0.1). The prefix lemma
+    # holds for ANY consistent total order, so ordering by (freq,
+    # hash) instead of (freq, string) changes candidates, never the
+    # result; set sizes/intersections are unchanged absent an
+    # intra-pair xxhash64 collision (~n^2/2^64), and the driver's
+    # string-based all-pairs oracle checks exactly that.
     toks = (docs.select("doc_id",
-                        F.explode(token_fn(F.col(text_col)))
+                        F.explode(F.transform(token_fn(F.col(text_col)),
+                                              lambda x: F.xxhash64(x)))
                         .alias("tok"))
             .distinct())
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
