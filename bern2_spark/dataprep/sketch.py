@@ -81,7 +81,19 @@ def kmv_distinct(df: DataFrame, value_col: str, group_col: str,
     hashed = df.select(F.col(group_col).cast("string").alias(group_col),
                        uniform_hash_col(F.col(value_col)).alias("u"))
     partial = kmv_partial_sketch(hashed, group_col, k)
-    merged = (partial.groupBy(group_col)
+    return kmv_estimate(partial, group_col, k)
+
+
+def kmv_estimate(minima: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Merge (group, u) minima rows — from any number of partial
+    sketches — into the global bottom-k per group and apply the
+    estimator: (k-1)/u_k when the merged sketch is full, exact count
+    otherwise. Bottom-k merge is set-union + k-min, so this read-side
+    merge is order- and duplication-insensitive: the same helper
+    serves the batch operator and the streaming merge-on-read path
+    (streaming/sketch.py), where replayed micro-batches may contribute
+    identical minima twice."""
+    merged = (minima.groupBy(group_col)
               .agg(F.array_sort(F.collect_set("u")).alias("us")))
     n = F.size("us")
     est = F.when(n >= k,

@@ -3727,6 +3727,34 @@ def ann_ivf_streamed(spark, sf_dir):
             .withColumn("rank", F.col("rank").cast("long")))
 
 
+@q("qc_kmv_streamed", kmv_oracle_sql("documents", "text", "lang", k=32))
+def qc_kmv_streamed(spark, sf_dir):
+    """End-to-end STREAMED KMV cardinality maintenance: the documents
+    table arrives as a 4-file json stream (real micro-batches), each
+    batch persists only its groups x k bottom-k minima
+    (streaming/sketch.py, idempotent batch-dir overwrites), and the
+    query answers from the merge-on-read estimate. Shares
+    qc_kmv_distinct's oracle: by sketch mergeability the streamed
+    estimate must equal the batch sketch over the union — the
+    stream==batch equivalence is hash-checked by the driver, not
+    asserted. JSON round-trips strings exactly, so the md5 fractions
+    are identical to the batch path."""
+    import os as _os
+    import tempfile
+
+    from bern2_spark.streaming.sketch import (
+        read_kmv_estimate, stream_kmv_sketch,
+    )
+    docs = _docs(spark, sf_dir).select("lang", "text")
+    base = tempfile.mkdtemp(prefix="bern2_kmv_streamed_")
+    in_dir = _os.path.join(base, "in")
+    out_dir = _os.path.join(base, "sketch")
+    docs.repartition(4).write.mode("overwrite").json(in_dir)
+    stream_kmv_sketch(spark, in_dir, out_dir,
+                      schema="lang string, text string", k=32)
+    return read_kmv_estimate(spark, out_dir, k=32)
+
+
 # ------------------------------------------------------------- dict builders
 
 @q("lex_build_cellosaurus", """
@@ -3816,7 +3844,7 @@ _SWEEP_FIRST = [
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
     "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",
-    "mix_pps_sample", "dedup_prefix_jaccard",  # new in r5
+    "mix_pps_sample", "dedup_prefix_jaccard", "qc_kmv_streamed",  # new r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

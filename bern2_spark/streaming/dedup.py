@@ -83,9 +83,13 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str,
         # the batch=<id> DIRECTORY carries the partition value —
         # including a batch column in the files too would collide with
         # partition discovery at read time
-        (batch.write.mode("overwrite")
+        # format pinned: read_deduped/_seen_before read .parquet(),
+        # so a session with a different spark.sql.sources.default must
+        # not change the on-disk layout (same fix as streaming/ann.py)
+        (batch.write.mode("overwrite").format("parquet")
          .save(os.path.join(docs_dir, f"batch={batch_id}")))
         (batch.select("text_hash").write.mode("overwrite")
+         .format("parquet")
          .save(os.path.join(seen_dir, f"batch={batch_id}")))
 
     query = (spark.readStream.schema(schema)

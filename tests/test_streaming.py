@@ -304,3 +304,50 @@ def test_stream_ivf_index_matches_batch_assignment(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cell" in pf[0] and "= 2" in pf[0], plan
+
+
+def test_stream_kmv_sketch_merges_to_batch_answer(spark, tmp_path):
+    """Streaming KMV: (a) the merge-on-read estimate over N micro-
+    batches equals the batch kmv_distinct over the union of all rows,
+    value for value (sketch mergeability); (b) re-writing one batch's
+    minima (replay) leaves the estimate unchanged (idempotent merge)."""
+    import json as _json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from bern2_spark.dataprep.sketch import kmv_distinct
+    from bern2_spark.streaming.sketch import (
+        read_kmv_estimate, stream_kmv_sketch,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    rows = []
+    for i in range(300):
+        lang = ["en", "fr", "de"][i % 3]
+        rows.append({"lang": lang, "text": f"doc {lang} {i % 110}"})
+    for b in range(3):  # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+        with open(os.path.join(inp, f"f{b}.json"), "w") as f:
+            for r in rows[b * 100:(b + 1) * 100]:
+                f.write(_json.dumps(r) + "\n")
+    schema = StructType([StructField("lang", StringType()),
+                         StructField("text", StringType())])
+
+    stream_kmv_sketch(spark, inp, out, schema, k=16)
+    got = {r["lang"]: r["kmv_distinct"]
+           for r in read_kmv_estimate(spark, out, k=16).collect()}
+    full = spark.createDataFrame([(r["lang"], r["text"]) for r in rows],
+                                 "lang string, text string")
+    want = {r["lang"]: r["kmv_distinct"]
+            for r in kmv_distinct(full, "text", "lang", k=16).collect()}
+    assert got == want and set(got) == {"en", "fr", "de"}
+
+    # replay: duplicate batch 0's minima into a fake extra batch dir —
+    # union + k-min absorbs the duplicates, estimate unchanged
+    m0 = spark.read.parquet(os.path.join(out, "mins", "batch=0"))
+    (m0.write.mode("overwrite").format("parquet")
+     .save(os.path.join(out, "mins", "batch=99")))
+    again = {r["lang"]: r["kmv_distinct"]
+             for r in read_kmv_estimate(spark, out, k=16).collect()}
+    assert again == got
