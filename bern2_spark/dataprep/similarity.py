@@ -522,15 +522,19 @@ def _lloyd(data, k: int, iters: int):
 def kmeans_train_local(df: DataFrame, k: int = 8, iters: int = 2,
                        dim: int = 64, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       n_train: int = 65536) -> List[List[float]]:
+                       n_train: int = 65536,
+                       sample=None) -> List[List[float]]:
     """Coarse-quantizer training on a bounded sample (see
     ``training_sample``): one Spark job total instead of one scan per
     Lloyd's iteration. Same argmin/mean math as the distributed
     ``kmeans_train`` — use that when training must see every row; use
     this for the production IVF-PQ path where sample-training is the
     standard (and the assignment of the FULL corpus still happens
-    distributed, in ``ivf_assign``)."""
-    sample = training_sample(df, n_train, id_col, vec_col)
+    distributed, in ``ivf_assign``). Pass ``sample`` (a
+    ``training_sample`` result) to reuse one collect across the coarse
+    and PQ trainers."""
+    if sample is None:
+        sample = training_sample(df, n_train, id_col, vec_col)
     return [[float(x) for x in c] for c in _lloyd(sample, k, iters)]
 
 
@@ -538,7 +542,8 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 8,
              iters: int = 2, dim: int = 64,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
-             n_train: int = 65536) -> List[List[List[float]]]:
+             n_train: int = 65536,
+             sample=None) -> List[List[List[float]]]:
     """Train product-quantization codebooks: the vector is split into
     ``m`` contiguous subspaces of dim/m and each subspace gets its own
     ``k_codes``-centroid Lloyd's k-means (Jegou et al., "Product
@@ -551,7 +556,8 @@ def pq_train(df: DataFrame, m: int = 4, k_codes: int = 8,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    sample = training_sample(df, n_train, id_col, vec_col)
+    if sample is None:
+        sample = training_sample(df, n_train, id_col, vec_col)
     return [[[float(x) for x in c]
              for c in _lloyd(sample[:, s * dsub:(s + 1) * dsub].copy(),
                              k_codes, iters)]

@@ -1582,9 +1582,12 @@ def ann_ivf_pq(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     # sample-trained (faiss posture, oracle-identical numpy Lloyd's);
     # n_train covers the whole corpus at test scale so the oracle's
-    # full-corpus twin sees the same training set
-    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64)
-    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
+    # full-corpus twin sees the same training set; ONE collect feeds
+    # both trainers
+    from bern2_spark.dataprep.similarity import training_sample
+    sample = training_sample(emb)
+    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64, sample=sample)
+    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64, sample=sample)
     out = ivf_pq_topk(emb, queries, coarse, books, k=5, n_probe=2,
                       dim=64)
     return out.withColumn("adc_dist", F.round("adc_dist", 6)) \
@@ -1610,8 +1613,10 @@ def ann_ivf_pq_rerank(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64)
-    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64)
+    from bern2_spark.dataprep.similarity import training_sample
+    sample = training_sample(emb)
+    coarse = kmeans_train_local(emb, k=8, iters=2, dim=64, sample=sample)
+    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64, sample=sample)
     out = ivf_pq_rerank(emb, queries, coarse, books, k=5, k_cand=20,
                         n_probe=2, dim=64)
     return out.withColumn("cosine", F.round("cosine", 6)) \

@@ -957,3 +957,18 @@ def test_prefix_jaccard_equals_allpairs_plan(spark):
     b = {(r.doc_a, r.doc_b, r.jaccard)
          for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect()}
     assert a == b and a
+
+
+def test_pps_plan_single_exchange(spark):
+    """Guard the prefix-sum plan shape: the PPS sample must carry
+    exactly ONE Exchange (the range repartition) — a Window over the
+    derived partition id would re-shuffle the whole input a second
+    time (the bug the mapInPandas cumsum replaced)."""
+    from bern2_spark.dataprep.mixing import pps_systematic_sample
+    df = spark.createDataFrame([(i, 10) for i in range(100)],
+                               "doc_id long, w long")
+    out = pps_systematic_sample(df, k=10, weight_col="w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    n_ex = len(re.findall(r"\bExchange\b", plan))
+    assert n_ex == 1, f"expected 1 Exchange, plan has {n_ex}:\n{plan}"
