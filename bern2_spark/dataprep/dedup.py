@@ -415,7 +415,9 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
 
 def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
                                 text_col: str = "text",
-                                token_fn=None) -> DataFrame:
+                                token_fn=None,
+                                track_persisted: list | None = None
+                                ) -> DataFrame:
     """EXACT-threshold Jaccard similarity join via prefix filtering
     (Chaudhuri et al. ICDE 2006 SSJoin; Bayardo et al. WWW 2007
     AllPairs) — the deterministic complement to the MinHash/LSH family:
@@ -453,11 +455,21 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     # result; set sizes/intersections are unchanged absent an
     # intra-pair xxhash64 collision (~n^2/2^64), and the driver's
     # string-based all-pairs oracle checks exactly that.
+    from pyspark import StorageLevel
+
     toks = (docs.select("doc_id",
                         F.explode(F.transform(token_fn(F.col(text_col)),
                                               lambda x: F.xxhash64(x)))
                         .alias("tok"))
-            .distinct())
+            .distinct()
+            # three consumers (frequency table, per-doc prefix arrays,
+            # both verify-join sides) — persist the 16-byte hashed rows
+            # once instead of recomputing tokenize+distinct per
+            # consumer (the dedup_lsh_verified sharing pattern; the
+            # persisted artifact is hash rows, never shingle strings)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    if track_persisted is not None:
+        track_persisted.append(toks)
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     per_doc = (toks.join(freq, "tok")
                .groupBy("doc_id")

@@ -3540,9 +3540,9 @@ def dedup_prefix_jaccard(spark, sf_dir):
     from bern2_spark.dataprep.dedup import (
         prefix_filter_jaccard_pairs, shingles,
     )
-    pairs = prefix_filter_jaccard_pairs(_dup_docs(spark, sf_dir),
-                                        threshold=0.5,
-                                        token_fn=shingles)
+    pairs = prefix_filter_jaccard_pairs(
+        _dup_docs(spark, sf_dir), threshold=0.5, token_fn=shingles,
+        track_persisted=_persist_generation("dedup_prefix_jaccard"))
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
