@@ -248,3 +248,34 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         F.round(alpha_frac, 6).alias("alpha_frac"),
         stop_hits.cast("bigint").alias("stopword_hits"),
         passes.alias("passes"))
+
+
+def group_quantiles_disc(df, value_col: str, group_col: str,
+                         qs=(0.25, 0.5, 0.75),
+                         id_col: str = "doc_id"):
+    """Exact discrete quantiles per group (percentile_disc semantics:
+    the value at rank ceil(q*n), no interpolation — deterministic on
+    any engine, which interpolating percentile() is not once float
+    arithmetic differs). Output: (group, q, value).
+
+    Plan: ONE per-group sort serves every requested quantile — the
+    window ranks once, a single pass marks the rows whose rank equals
+    any ceil(q*n). Scale note: per-group sort is the exact path;
+    at 10^12 rows per group use percentile_approx (t-digest) and
+    accept engine-specific sketches — exactness and boundedness trade
+    here, so both postures stay available."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = (df.select(group_col, value_col, id_col)
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy(group_col))))
+    # one row per (group, q): explode the q list and keep rank hits
+    # (ties across q values each emit their own row, e.g. n=1)
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (ranked
+            .withColumn("q", F.explode(qarr))
+            .filter(F.ceil(F.col("q") * F.col("n")) == F.col("rn"))
+            .select(group_col, "q", F.col(value_col).alias("value")))

@@ -3546,6 +3546,31 @@ def dedup_prefix_jaccard(spark, sf_dir):
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
+# ------------------------------------------------ length quantiles
+
+@q("qc_length_quantiles", """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, q, n_chars AS value
+FROM ranked, unnest([0.25, 0.5, 0.75]) t(q)
+WHERE ceil(q * n) = rn
+""")
+def qc_length_quantiles(spark, sf_dir):
+    """Exact per-language doc-length quartiles with percentile_disc
+    semantics (value at rank ceil(q*n) — no interpolation, so the
+    answer is engine-exact where interpolating percentile() floats
+    are not). One window sort per group serves all three quantiles.
+    Scale posture in dataprep/textqc.py:group_quantiles_disc
+    (percentile_approx is the documented unbounded-group path)."""
+    from bern2_spark.dataprep.textqc import group_quantiles_disc
+    return group_quantiles_disc(_docs(spark, sf_dir), "n_chars", "lang")
+
+
 # ------------------------------------------------- PPS systematic sample
 
 @q("mix_pps_sample", """
@@ -3849,7 +3874,8 @@ _SWEEP_FIRST = [
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
     "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",
-    "mix_pps_sample", "dedup_prefix_jaccard", "qc_kmv_streamed",  # new r5
+    "mix_pps_sample", "dedup_prefix_jaccard", "qc_kmv_streamed",
+    "qc_length_quantiles",  # new r5
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

@@ -972,3 +972,17 @@ def test_pps_plan_single_exchange(spark):
     import re
     n_ex = len(re.findall(r"\bExchange\b", plan))
     assert n_ex == 1, f"expected 1 Exchange, plan has {n_ex}:\n{plan}"
+
+
+def test_group_quantiles_disc(spark):
+    """percentile_disc semantics: value at rank ceil(q*n) per group,
+    verified against a hand-computed fixture including an n=1 group
+    (all three quantiles pick the single row)."""
+    from bern2_spark.dataprep.textqc import group_quantiles_disc
+    rows = ([("a", i, i * 10) for i in range(1, 11)]  # n=10: ranks 3,5,8
+            + [("b", 1, 42)])
+    df = spark.createDataFrame(rows, "g string, doc_id long, v long")
+    out = {(r["g"], r["q"]): r["value"]
+           for r in group_quantiles_disc(df, "v", "g").collect()}
+    assert out == {("a", 0.25): 30, ("a", 0.5): 50, ("a", 0.75): 80,
+                   ("b", 0.25): 42, ("b", 0.5): 42, ("b", 0.75): 42}
