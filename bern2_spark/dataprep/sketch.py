@@ -20,7 +20,7 @@ the same md5 with positional hex arithmetic.
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
