@@ -270,3 +270,33 @@ def pps_systematic_sample(docs: DataFrame, k: int,
     return (cums.withColumn("picks", picks.cast("long"))
             .filter(F.col("picks") > 0)
             .select(id_col, F.col("w").alias(weight_col), "picks"))
+
+
+def bottomk_sample(df, group_col: str, id_col: str, k: int,
+                   salt: int = 8):
+    """Deterministic per-group uniform k-sample: bottom-k rows by a
+    keyed md5 hash.  With a uniform hash, bottom-k by hash order IS a
+    uniform random sample without replacement — and unlike a stateful
+    reservoir it is order-independent, mergeable, and bit-reproducible
+    on any engine (DuckDB computes the identical md5 ordering).
+
+    Two-phase exact bottom-k so a hot group never funnels through one
+    task: phase 1 ranks within (group, salt-bucket) and keeps k per
+    bucket — after it at most salt*k rows per group survive; phase 2
+    ranks those survivors per group and keeps the true bottom-k.  The
+    phase-1 window's partition key carries the salt, so the heavy
+    shuffle spreads a skewed group over `salt` reducers; the phase-2
+    shuffle moves only salt*k rows per group.  Output:
+    (group, id, rk) with rk = 1..min(k, |group|)."""
+    key = F.md5(F.concat(F.col(group_col), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    d = df.select(group_col, id_col).withColumn("_k", key)
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    w1 = (Window.partitionBy(F.col(group_col), bucket)
+          .orderBy("_k", id_col))
+    local = (d.withColumn("_rn1", F.row_number().over(w1))
+             .filter(F.col("_rn1") <= k))
+    w2 = Window.partitionBy(group_col).orderBy("_k", id_col)
+    return (local.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select(group_col, id_col, "rk"))

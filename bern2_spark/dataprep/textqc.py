@@ -279,3 +279,34 @@ def group_quantiles_disc(df, value_col: str, group_col: str,
             .withColumn("q", F.explode(qarr))
             .filter(F.ceil(F.col("q") * F.col("n")) == F.col("rn"))
             .select(group_col, "q", F.col(value_col).alias("value")))
+
+
+def c4_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 heuristic cleaning verdict (Raffel et al. 2020 §2.2, the
+    public colossal-clean-crawled-corpus rules): a line survives when
+    it has >=5 words AND ends in terminal punctuation; the document
+    survives when >=3 lines remain and it contains neither
+    'lorem ipsum' nor a curly brace (the code-in-web-text tell).
+
+    Adds n_lines, kept_lines, has_lorem, has_brace, passes.  All
+    higher-order array expressions over split lines — the line array
+    never explodes into rows, so the filter fuses into the document
+    scan at any corpus size."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (F.size(F.filter(F.split(x, " "),
+                                   lambda w: w != "")) >= 5)
+        & x.rlike(r'[.!?"]\s*$'))
+    lt = F.lower(c)
+    has_lorem = lt.contains("lorem ipsum")
+    has_brace = lt.contains("{")
+    kept_n = F.size(kept).cast("bigint")
+    return (docs
+            .withColumn("n_lines", F.size(lines).cast("bigint"))
+            .withColumn("kept_lines", kept_n)
+            .withColumn("has_lorem", has_lorem)
+            .withColumn("has_brace", has_brace)
+            .withColumn("passes",
+                        (kept_n >= 3) & ~has_lorem & ~has_brace))

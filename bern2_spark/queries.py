@@ -3850,6 +3850,295 @@ def lex_build_cellontology(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# source-code corpus QC (The Stack / StarCoder filters) — round 5
+# --------------------------------------------------------------------------
+
+# The north rule's input shape is a source-code-repository table
+# (repo, path, commit, lang, content).  The driver's parquet fixtures
+# carry documents(doc_id, text, lang, source, ...), so the code view is
+# DERIVED deterministically — identically in Spark and DuckDB — with
+# license headers injected on a doc_id%7 schedule so the license
+# spotter has true positives to find.  corpus.make_documents() supplies
+# the genuinely code-shaped table for pytest.
+
+_CODE_CTE = """
+WITH code AS (
+  SELECT source AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         md5(CAST(doc_id AS VARCHAR)) AS commit_sha,
+         lang,
+         (CASE doc_id % 7
+            WHEN 0 THEN 'SPDX-License-Identifier: MIT' || chr(10)
+            WHEN 1 THEN 'Apache License' || chr(10)
+                        || 'Version 2.0' || chr(10)
+            WHEN 2 THEN 'GNU General Public License v3' || chr(10)
+            ELSE '' END) || text AS content,
+         doc_id
+  FROM documents)
+"""
+
+
+def _code(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    hdr = (F.when(did % 7 == 0,
+                  F.lit("SPDX-License-Identifier: MIT\n"))
+            .when(did % 7 == 1, F.lit("Apache License\nVersion 2.0\n"))
+            .when(did % 7 == 2, F.lit("GNU General Public License v3\n"))
+            .otherwise(F.lit("")))
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), did.cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.md5(did.cast("string")).alias("commit_sha"),
+        F.col("lang"),
+        F.concat(hdr, F.col("text")).alias("content"),
+        did)
+
+
+@q("code_stack_filters", _CODE_CTE + """
+, l AS (
+  SELECT doc_id, repo, path,
+         string_split(content, chr(10)) AS lines, content
+  FROM code)
+SELECT doc_id, repo, path,
+       CAST(coalesce(list_max(list_transform(lines, x -> length(x))),
+                     0) AS BIGINT) AS max_line_len,
+       round(CAST(coalesce(list_sum(list_transform(lines,
+                                                   x -> length(x))),
+                           0) AS DOUBLE)
+             / greatest(len(lines), 1), 6) AS avg_line_len,
+       round(CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '',
+                                        'g')) AS DOUBLE)
+             / greatest(length(content), 1), 6) AS alnum_frac,
+       regexp_matches(content,
+                      '(?i)auto-?generated|do not edit|generated by')
+           AS autogen,
+       (coalesce(list_max(list_transform(lines, x -> length(x))), 0)
+            <= 1000
+        AND CAST(coalesce(list_sum(list_transform(lines,
+                                                  x -> length(x))),
+                          0) AS DOUBLE) / greatest(len(lines), 1)
+            <= 100
+        AND CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '',
+                                       'g')) AS DOUBLE)
+            / greatest(length(content), 1) >= 0.25
+        AND NOT regexp_matches(content,
+                   '(?i)auto-?generated|do not edit|generated by'))
+           AS passes
+FROM l
+""")
+def code_stack_filters(spark, sf_dir):
+    """The Stack / StarCoder file-quality gates (Kocetkov et al. 2022;
+    Li et al. 2023): max/avg line length, alphanumeric fraction,
+    auto-generated detection, composite verdict.  Pure column exprs
+    fused into the content scan — dataprep/codeqc.py has the 100-TB
+    posture."""
+    from bern2_spark.dataprep.codeqc import stack_quality_features
+    return stack_quality_features(_code(spark, sf_dir)).select(
+        "doc_id", "repo", "path", "max_line_len", "avg_line_len",
+        "alnum_frac", "autogen", "passes")
+
+
+@q("code_license_spot", _CODE_CTE + r"""
+SELECT doc_id, repo,
+       nullif(coalesce(
+         nullif(regexp_extract(content,
+                  'SPDX-License-Identifier:\s*([A-Za-z0-9.\-]+)', 1),
+                ''),
+         CASE WHEN contains(content, 'MIT License') THEN 'MIT'
+              WHEN contains(content, 'Apache License') THEN 'Apache-2.0'
+              WHEN contains(content, 'GNU General Public License')
+                   THEN 'GPL-3.0-only'
+              WHEN contains(content, 'BSD 3-Clause') THEN 'BSD-3-Clause'
+         END), '') AS license,
+       coalesce(coalesce(
+         nullif(regexp_extract(content,
+                  'SPDX-License-Identifier:\s*([A-Za-z0-9.\-]+)', 1),
+                ''),
+         CASE WHEN contains(content, 'MIT License') THEN 'MIT'
+              WHEN contains(content, 'Apache License') THEN 'Apache-2.0'
+              WHEN contains(content, 'GNU General Public License')
+                   THEN 'GPL-3.0-only'
+              WHEN contains(content, 'BSD 3-Clause') THEN 'BSD-3-Clause'
+         END) IN ('MIT', 'Apache-2.0', 'BSD-3-Clause'),
+         FALSE) AS permissive
+FROM code
+""")
+def code_license_spot(spark, sf_dir):
+    """License spotting over file content: SPDX identifier when
+    present (authoritative), else well-known header phrases; plus a
+    permissive-license verdict (the filter The Stack applies before
+    anything else).  regexp_extract + contains, codegen'd."""
+    from bern2_spark.dataprep.codeqc import spot_license
+    return spot_license(_code(spark, sf_dir)).select(
+        "doc_id", "repo", "license", "permissive")
+
+
+@q("code_repo_stats", _CODE_CTE + """
+, h AS (
+  SELECT repo, lang, length(content) AS n_bytes,
+         md5(content) AS hh
+  FROM code),
+c AS (SELECT hh, count(*) AS n_copies FROM h GROUP BY hh)
+SELECT h.repo,
+       count(*) AS n_files,
+       count(DISTINCT h.lang) AS n_langs,
+       CAST(sum(h.n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_files
+FROM h JOIN c ON h.hh = c.hh
+GROUP BY h.repo
+""")
+def code_repo_stats(spark, sf_dir):
+    """Per-repo corpus profile (file count, language spread, bytes,
+    cross-corpus exact-duplicate files — the vendored-content signal).
+    Two aggregations + a 32-byte-hash equi-join; content never
+    shuffles (dataprep/codeqc.py:repo_stats)."""
+    from bern2_spark.dataprep.codeqc import repo_stats
+    return repo_stats(_code(spark, sf_dir))
+
+
+# ------------------------------------------------- C4 heuristic cleaning
+
+@q("qc_c4_rules", """
+WITH l AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         lower(text) AS lt
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, x ->
+              len(list_filter(string_split(x, ' '), w -> w != '')) >= 5
+              AND regexp_matches(x, '[.!?"]\\s*$'))) AS BIGINT)
+             AS kept_lines,
+         contains(lt, 'lorem ipsum') AS has_lorem,
+         contains(lt, '{') AS has_brace
+  FROM l)
+SELECT doc_id, n_lines, kept_lines, has_lorem, has_brace,
+       (kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS passes
+FROM m
+""")
+def qc_c4_rules(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020): keep lines with >=5
+    words ending in terminal punctuation; drop docs with <3 surviving
+    lines, 'lorem ipsum', or curly braces.  Higher-order array exprs
+    only — the line array never explodes (dataprep/textqc.py:c4_rules).
+    The driver corpus is punctuation-free word soup, so `passes` is
+    uniformly false there by C4's own verdict; the crafted-web-text
+    branch is exercised in tests/test_dataprep.py."""
+    from bern2_spark.dataprep.textqc import c4_rules
+    return c4_rules(_docs(spark, sf_dir)).select(
+        "doc_id", "n_lines", "kept_lines", "has_lorem", "has_brace",
+        "passes")
+
+
+# ------------------------------------------------------- heavy hitters
+
+@q("qc_heavy_hitters", """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+             AS token
+  FROM documents),
+f AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT sum(cnt) AS total FROM f)
+SELECT token, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+FROM f, t
+ORDER BY cnt DESC, token
+LIMIT 20
+""")
+def qc_heavy_hitters(spark, sf_dir):
+    """Exact global top-20 token frequencies + corpus share — the
+    vocabulary/heavy-hitter primitive.  groupBy gets map-side partial
+    aggregation; the top-k is TakeOrderedAndProject (no global sort);
+    the total is a 1-row broadcast.  The sketch-based scale variant
+    (Count-Min, bounded state) lives in dataprep/sketch.py with
+    property-tested error bounds."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(
+        F.filter(F.split(F.col("text"), " "),
+                 lambda t: t != "")).alias("token"))
+    f = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = f.agg(F.sum("cnt").alias("total"))
+    return (f.crossJoin(F.broadcast(total))
+            .select("token", "cnt",
+                    F.round(F.col("cnt").cast("double")
+                            / F.col("total"), 6).alias("share"))
+            .orderBy(F.desc("cnt"), "token")
+            .limit(20))
+
+
+# --------------------------------------------- per-group uniform sample
+
+@q("mix_reservoir_sample", """
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rk
+  FROM documents)
+WHERE rk <= 10
+""")
+def mix_reservoir_sample(spark, sf_dir):
+    """Deterministic per-group uniform k-sample (bottom-k by keyed
+    hash == reservoir sampling without the sequential state): exactly
+    min(k, |group|) docs per language, engine-reproducible.  Two-phase
+    exact bottom-k (dataprep/mixing.py:bottomk_sample): a salted local
+    top-k prunes each group to salt*k rows BEFORE the per-group
+    shuffle, so a hot group never funnels through one task."""
+    from bern2_spark.dataprep.mixing import bottomk_sample
+    return bottomk_sample(_docs(spark, sf_dir), group_col="lang",
+                          id_col="doc_id", k=10)
+
+
+# ------------------------------------------------------ triples upsert
+
+@q("kg_triples_upsert", """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS subj, 'in_lang' AS pred,
+         lang AS obj
+  FROM documents),
+upd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS subj, 'in_lang' AS pred,
+         'rev:' || lang AS obj,
+         CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM documents WHERE doc_id % 5 = 0 OR doc_id % 11 = 0),
+u AS (
+  SELECT subj, pred, obj, '' AS op, 0 AS prec FROM base
+  UNION ALL
+  SELECT subj, pred, obj, op, 1 AS prec FROM upd),
+r AS (
+  SELECT subj, pred, obj, op,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY prec DESC) AS rn
+  FROM u)
+SELECT subj, pred, obj FROM r WHERE rn = 1 AND op <> 'D'
+""")
+def kg_triples_upsert(spark, sf_dir):
+    """SCD-1 snapshot upsert for the triples table: an updates batch
+    (upserts + 'D' tombstones) merged into the base snapshot — the
+    Iceberg MERGE INTO twin the KG maintenance loop needs between full
+    pipeline reruns.  union + one window on the merge key
+    (operators/upsert.py has the scale notes)."""
+    from bern2_spark.operators.upsert import upsert_snapshot
+    d = _docs(spark, sf_dir)
+    base = d.select(F.col("doc_id").cast("string").alias("subj"),
+                    F.lit("in_lang").alias("pred"),
+                    F.col("lang").alias("obj"))
+    did = F.col("doc_id")
+    upd = (d.filter((did % 5 == 0) | (did % 11 == 0))
+           .select(did.cast("string").alias("subj"),
+                   F.lit("in_lang").alias("pred"),
+                   F.concat(F.lit("rev:"), F.col("lang")).alias("obj"),
+                   F.when(did % 11 == 0, F.lit("D"))
+                    .otherwise(F.lit("U")).alias("op")))
+    return upsert_snapshot(base, upd, keys=["subj", "pred"])
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -3876,6 +4165,11 @@ _SWEEP_FIRST = [
     "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",
     "mix_pps_sample", "dedup_prefix_jaccard", "qc_kmv_streamed",
     "qc_length_quantiles",  # new r5
+    # session-3 additions (r5): code-corpus QC, C4, heavy hitters,
+    # per-group sampling, triples upsert
+    "code_stack_filters", "code_license_spot", "code_repo_stats",
+    "qc_c4_rules", "qc_heavy_hitters", "mix_reservoir_sample",
+    "kg_triples_upsert",
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

@@ -986,3 +986,158 @@ def test_group_quantiles_disc(spark):
            for r in group_quantiles_disc(df, "v", "g").collect()}
     assert out == {("a", 0.25): 30, ("a", 0.5): 50, ("a", 0.75): 80,
                    ("b", 0.25): 42, ("b", 0.5): 42, ("b", 0.75): 42}
+
+
+# ------------------------------------------------- code-corpus QC (r5 s3)
+
+@pytest.fixture(scope="module")
+def code_files(spark):
+    """Code-shaped corpus (BASELINE.json input_hint) with the edge
+    cases the Stack filters exist to catch."""
+    mit = ("SPDX-License-Identifier: MIT\n"
+           "# short helper\ndef f():\n    return 1\n")
+    gen = ("// Code generated by protoc. DO NOT EDIT.\n"
+           "package x\n")
+    longline = "x = 1\n" + "a" * 1500 + "\n"
+    binaryish = "\x00\x01\x02\x03 ++ ==\n"  # low alnum fraction
+    apache = ("Licensed under the Apache License, Version 2.0\n"
+              "fn main() {}\n")
+    dup = "print('hello')\n"
+    rows = [
+        ("r1", "a.py", "c1", "python", mit),
+        ("r1", "b.go", "c2", "go", gen),
+        ("r1", "c.py", "c3", "python", longline),
+        ("r2", "d.bin", "c4", "text", binaryish),
+        ("r2", "e.rs", "c5", "rust", apache),
+        ("r2", "f.py", "c6", "python", dup),
+        ("r3", "g.py", "c7", "python", dup),
+    ]
+    return spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"])
+
+
+def test_stack_filters_verdicts(spark, code_files):
+    from bern2_spark.dataprep.codeqc import stack_quality_features
+    out = {r.path: r for r in
+           stack_quality_features(code_files).collect()}
+    assert out["a.py"].passes                      # clean file
+    assert not out["b.go"].passes and out["b.go"].autogen
+    assert not out["c.py"].passes                  # 1500-char line
+    assert out["c.py"].max_line_len == 1500
+    assert not out["d.bin"].passes                 # alnum_frac < 0.25
+    assert out["d.bin"].alnum_frac < 0.25
+
+
+def test_license_spotting(spark, code_files):
+    from bern2_spark.dataprep.codeqc import spot_license
+    out = {r.path: r for r in spot_license(code_files).collect()}
+    assert out["a.py"].license == "MIT" and out["a.py"].permissive
+    assert out["e.rs"].license == "Apache-2.0" and out["e.rs"].permissive
+    assert out["f.py"].license is None and not out["f.py"].permissive
+
+
+def test_repo_stats_dup_files(spark, code_files):
+    from bern2_spark.dataprep.codeqc import repo_stats
+    out = {r.repo: r for r in repo_stats(code_files).collect()}
+    assert out["r1"].n_files == 3 and out["r1"].n_langs == 2
+    # the dup file appears once in r2 and once in r3
+    assert out["r2"].dup_files == 1 and out["r3"].dup_files == 1
+    assert out["r1"].dup_files == 0
+
+
+def test_comment_line_ratio(spark):
+    from bern2_spark.dataprep.codeqc import comment_line_ratio
+    rows = [
+        ("python", "# a\n# b\nx = 1\n\n"),       # 2 of 3 non-blank
+        ("go", "// only comments\n"),
+        ("rust", "fn main() {}\n"),
+        ("mystery", "# hash fallback\ncode\n"),
+    ]
+    df = spark.createDataFrame(rows, ["lang", "content"])
+    out = {r.lang: r for r in comment_line_ratio(df).collect()}
+    assert abs(out["python"].comment_ratio - 2 / 3) < 1e-6
+    assert out["python"].n_code_lines == 1
+    assert out["go"].comment_ratio == 1.0
+    assert out["rust"].comment_ratio == 0.0
+    assert abs(out["mystery"].comment_ratio - 0.5) < 1e-6
+
+
+def test_c4_rules_web_text(spark):
+    from bern2_spark.dataprep.textqc import c4_rules
+    good = ("This is a perfectly normal sentence of prose.\n"
+            "Here is another reasonable sentence for the corpus.\n"
+            "And a third one rounds out the document nicely.\n"
+            "short line\n")
+    rows = [
+        (1, good),
+        (2, "Lorem ipsum dolor sit amet this text is filler junk."),
+        (3, "function f() { return 1; } and some trailing words."),
+        (4, "no punct\nat all\nanywhere here\n"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_rules(df).collect()}
+    assert out[1].passes and out[1].kept_lines == 3
+    assert not out[2].passes and out[2].has_lorem
+    assert not out[3].passes and out[3].has_brace
+    assert not out[4].passes and out[4].kept_lines == 0
+
+
+def test_bottomk_sample_exact_and_salt_invariant(spark):
+    from bern2_spark.dataprep.mixing import bottomk_sample
+    rows = [(f"g{i % 3}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    out = bottomk_sample(df, "lang", "doc_id", k=5)
+    per = {r["lang"]: [] for r in out.select("lang").distinct().collect()}
+    for r in out.collect():
+        per[r["lang"]].append((r["rk"], r["doc_id"]))
+    for g, picks in per.items():
+        assert sorted(rk for rk, _ in picks) == [1, 2, 3, 4, 5]
+    # exactness: the two-phase result equals the single-window truth
+    # and is independent of the salt width
+    a = {tuple(r) for r in
+         bottomk_sample(df, "lang", "doc_id", 5, salt=2).collect()}
+    b = {tuple(r) for r in
+         bottomk_sample(df, "lang", "doc_id", 5, salt=32).collect()}
+    assert a == b
+    # small group: min(k, |group|) rows, ranks contiguous
+    tiny = spark.createDataFrame([("solo", 1), ("solo", 2)],
+                                 ["lang", "doc_id"])
+    got = bottomk_sample(tiny, "lang", "doc_id", 5).collect()
+    assert sorted(r.rk for r in got) == [1, 2]
+
+
+def test_upsert_snapshot_semantics(spark):
+    from bern2_spark.operators.upsert import upsert_snapshot
+    base = spark.createDataFrame(
+        [("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")],
+        ["subj", "pred", "obj"])
+    upd = spark.createDataFrame(
+        [("a", "p", "9", "U"),   # update existing
+         ("d", "p", "4", "U"),   # insert new
+         ("b", "p", "", "D")],   # tombstone
+        ["subj", "pred", "obj", "op"])
+    out = {(r.subj, r.pred): r.obj for r in
+           upsert_snapshot(base, upd, keys=["subj", "pred"]).collect()}
+    assert out == {("a", "p"): "9", ("c", "p"): "3", ("d", "p"): "4"}
+
+
+def test_upsert_multi_batch_precedence(spark):
+    from bern2_spark.operators.upsert import upsert_snapshot
+    base = spark.createDataFrame([("a", "p", "1")],
+                                 ["subj", "pred", "obj"])
+    # batch 0 updates, batch 1 deletes, batch 2 re-inserts: the
+    # highest-precedence op must win
+    upd = spark.createDataFrame(
+        [("a", "p", "2", "U", 0),
+         ("a", "p", "", "D", 1),
+         ("a", "p", "3", "U", 2)],
+        ["subj", "pred", "obj", "op", "batch"])
+    out = upsert_snapshot(base, upd, keys=["subj", "pred"],
+                          prec_col="batch").collect()
+    assert [(r.subj, r.obj) for r in out] == [("a", "3")]
+    # ...and with the delete last, the key disappears
+    upd2 = spark.createDataFrame(
+        [("a", "p", "2", "U", 0), ("a", "p", "", "D", 1)],
+        ["subj", "pred", "obj", "op", "batch"])
+    assert upsert_snapshot(base, upd2, keys=["subj", "pred"],
+                           prec_col="batch").count() == 0
