@@ -130,3 +130,70 @@ SELECT g AS {group_col},
 FROM ranked
 GROUP BY g, cnt
 """
+
+
+# -------------------------------------------------- Count-Min sketch
+
+def cms_bucket(col, seed: int, width: int):
+    """Deterministic CMS row hash: first 13 md5 hex digits of
+    'seed:value' (exact in a long) mod width — the same
+    engine-portable construction as the KMV fraction, so the DuckDB
+    oracle reproduces the sketch bit-for-bit."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, _HEX_DIGITS),
+        16, 10).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_sketch(df: DataFrame, value_col: str,
+               depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value
+    column: ``depth`` hash rows of ``width`` counters.  Output rows
+    (seed, bucket, cnt) — at most depth*width regardless of input
+    size, and the groupBy's map-side partial aggregation bounds the
+    shuffle to partitions * depth * width rows.  This is the
+    heavy-hitter scale path: where the exact top-k (qc_heavy_hitters)
+    shuffles one row per distinct token, the sketch shuffles a fixed
+    few KB per partition at any corpus size, with the classic
+    guarantee est <= true + (e/width) * N at confidence 1-e^-depth."""
+    c = F.col(value_col)
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("seed"),
+                 cms_bucket(c, i, width).alias("bucket"))
+        for i in range(depth)])
+    return (df.select(F.explode(pairs).alias("p"))
+            .select("p.seed", "p.bucket")
+            .groupBy("seed", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame,
+                 value_col: str, depth: int = 4,
+                 width: int = 256) -> DataFrame:
+    """Point-estimate each query value against a CMS: min over the
+    depth rows of the addressed counters (absent counter = 0).  The
+    sketch side is at most depth*width rows, so Catalyst broadcasts
+    it; the query side never shuffles."""
+    c = F.col(value_col)
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("seed"),
+                 cms_bucket(c, i, width).alias("bucket"))
+        for i in range(depth)])
+    expanded = (queries.select(c.alias(value_col),
+                               F.explode(pairs).alias("p"))
+                .select(value_col, "p.seed", "p.bucket"))
+    joined = expanded.join(F.broadcast(sketch), ["seed", "bucket"],
+                           "left")
+    return (joined.groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_count")))
+
+
+def cms_hex_terms_sql(hex_col: str = "hx") -> str:
+    """DuckDB twin of cms_bucket's hex->int step: positional hex
+    arithmetic over a 13-hex-digit column (no conv() in DuckDB),
+    exact for 52 bits.  Wrap as CAST(<terms> AS BIGINT) % width."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({hex_col}, {i + 1}, 1))"
+        f" - 1) * {float(16 ** (_HEX_DIGITS - 1 - i))!r}"
+        for i in range(_HEX_DIGITS))

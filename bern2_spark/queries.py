@@ -4070,6 +4070,60 @@ def qc_heavy_hitters(spark, sf_dir):
             .limit(20))
 
 
+# ------------------------------------------ Count-Min sketch estimates
+
+def _cms_oracle() -> str:
+    """Oracle generated from the same depth/width/hash constants as
+    the Spark sketch — the positional-hex arithmetic makes the CMS
+    deterministic on both engines, so even the SKETCH gets a hard
+    hash-compare (estimates equal bit-for-bit, not just bounded)."""
+    from bern2_spark.dataprep.sketch import cms_hex_terms_sql
+    terms = cms_hex_terms_sql("hx")
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+             AS token
+  FROM documents),
+top AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+  ORDER BY cnt DESC, token LIMIT 20),
+b AS (
+  SELECT token, seed, CAST({terms} AS BIGINT) % 256 AS bucket
+  FROM (SELECT t.token, s.seed,
+               md5(CAST(s.seed AS VARCHAR) || ':' || t.token) AS hx
+        FROM tok t, unnest([0, 1, 2, 3]) s(seed))),
+sk AS (SELECT seed, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+qb AS (SELECT DISTINCT b.token, b.seed, b.bucket
+       FROM b JOIN top USING (token))
+SELECT qb.token,
+       CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_count
+FROM qb LEFT JOIN sk USING (seed, bucket)
+GROUP BY qb.token
+"""
+
+
+@q("qc_cms_heavy_hitters", _cms_oracle())
+def qc_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) estimates for
+    the corpus' exact top-20 tokens — the bounded-state scale path of
+    qc_heavy_hitters: the sketch shuffles at most depth*width counter
+    rows per partition no matter the corpus size.  The md5-hex hash
+    construction is engine-portable, so the DuckDB oracle rebuilds the
+    identical sketch and the estimates hash-match exactly
+    (dataprep/sketch.py:cms_sketch; error bound property-tested in
+    tests/test_dataprep.py)."""
+    from bern2_spark.dataprep.sketch import cms_estimate, cms_sketch
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(
+        F.filter(F.split(F.col("text"), " "),
+                 lambda t: t != "")).alias("token"))
+    sketch = cms_sketch(toks, "token", depth=4, width=256)
+    top = (toks.groupBy("token").agg(F.count("*").alias("cnt"))
+           .orderBy(F.desc("cnt"), "token").limit(20)
+           .select("token"))
+    return cms_estimate(sketch, top, "token", depth=4, width=256)
+
+
 # --------------------------------------------- per-group uniform sample
 
 @q("mix_reservoir_sample", """
@@ -4168,8 +4222,8 @@ _SWEEP_FIRST = [
     # session-3 additions (r5): code-corpus QC, C4, heavy hitters,
     # per-group sampling, triples upsert
     "code_stack_filters", "code_license_spot", "code_repo_stats",
-    "qc_c4_rules", "qc_heavy_hitters", "mix_reservoir_sample",
-    "kg_triples_upsert",
+    "qc_c4_rules", "qc_heavy_hitters", "qc_cms_heavy_hitters",
+    "mix_reservoir_sample", "kg_triples_upsert",
     # flagship queries stay inside every sweep window: they are the
     # north-rule surface and must never rotate out of the hard signal
     "kg_pipeline_triples", "kg_pubannotation",

@@ -1141,3 +1141,34 @@ def test_upsert_multi_batch_precedence(spark):
         ["subj", "pred", "obj", "op", "batch"])
     assert upsert_snapshot(base, upd2, keys=["subj", "pred"],
                            prec_col="batch").count() == 0
+
+
+def test_cms_sketch_bounds(spark):
+    from bern2_spark.dataprep.sketch import cms_estimate, cms_sketch
+    # 5000 tokens over a Zipf-ish vocab: heavy 'hot' token + tail
+    vals = (["hot"] * 1000 + ["warm"] * 200
+            + [f"t{i}" for i in range(3800)])
+    df = spark.createDataFrame([(v,) for v in vals], ["token"])
+    depth, width = 4, 256
+    sketch = cms_sketch(df, "token", depth=depth, width=width)
+    rows = sketch.collect()
+    # bounded state: never more than depth*width counter rows, and
+    # mass conservation: every row's counters sum to N
+    assert len(rows) <= depth * width
+    per_seed = {}
+    for r in rows:
+        per_seed[r.seed] = per_seed.get(r.seed, 0) + r.cnt
+    assert set(per_seed.values()) == {len(vals)}
+    q = spark.createDataFrame(
+        [("hot",), ("warm",), ("t1",), ("absent",)], ["token"])
+    est = {r.token: r.cms_count for r in
+           cms_estimate(sketch, q, "token", depth, width).collect()}
+    exact = {"hot": 1000, "warm": 200, "t1": 1, "absent": 0}
+    n = len(vals)
+    import math
+    eps_bound = math.e / width * n  # classic CM guarantee per row
+    for t, true in exact.items():
+        assert est[t] >= true, f"{t}: CMS must never undercount"
+        assert est[t] <= true + eps_bound
+    # the heavy hitter is estimated within the bound and dominates
+    assert est["hot"] > est["warm"] > est["t1"] - 1

@@ -351,3 +351,90 @@ def test_stream_kmv_sketch_merges_to_batch_answer(spark, tmp_path):
     again = {r["lang"]: r["kmv_distinct"]
              for r in read_kmv_estimate(spark, out, k=16).collect()}
     assert again == got
+
+
+def test_stream_dedup_bloom_no_false_negatives(spark, tmp_path):
+    """Bloom-gated streaming dedup: constant-size state, previously
+    seen docs are NEVER re-emitted (one-sided guarantee), new docs
+    pass (FPR negligible at this fill factor), replay is idempotent."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from bern2_spark.streaming.bloom import (read_survivors,
+                                             stream_dedup_bloom)
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    batches = [
+        [(i, f"t{i}") for i in range(40)],
+        # 20 repeats of batch 0 + 20 new
+        [(100 + i, f"t{i}") for i in range(20)]
+        + [(200 + i, f"n{i}") for i in range(20)],
+        # everything repeats -> zero survivors
+        [(300 + i, f"t{i}") for i in range(10)]
+        + [(400 + i, f"n{i}") for i in range(10)],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(inp, f"b{i}.json")
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text})
+                        + "\n")
+        os.utime(p, (1000000 + i, 1000000 + i))
+    m_bits, k = 1 << 16, 5
+    stream_dedup_bloom(spark, inp, out, schema, m_bits=m_bits, k=k)
+    surv = read_survivors(spark, out)
+    # no false negatives: no text survives twice across batches
+    per_text = (surv.groupBy("text").count()
+                .filter("count > 1").collect())
+    assert per_text == []
+    # batch 0 passes whole; batch 2 is all-repeat -> empty
+    assert surv.filter("batch = 0").count() == 40
+    assert surv.filter("batch = 2").count() == 0
+    # at 80 insertions into 2^16 bits the FP probability is ~1e-11 per
+    # doc, so every genuinely new batch-1 doc must survive
+    b1 = sorted(r.text for r in surv.filter("batch = 1").collect())
+    assert b1 == sorted(f"n{i}" for i in range(20))
+    # state is constant-size: every snapshot holds <= m/64 words
+    for b in (0, 1, 2):
+        words = spark.read.parquet(
+            os.path.join(out, "state", f"batch={b}"))
+        assert words.count() <= m_bits // 64
+    # monotone fill: state only gains bits across batches
+    w0 = {r.word_idx: r.word for r in spark.read.parquet(
+        os.path.join(out, "state", "batch=0")).collect()}
+    w2 = {r.word_idx: r.word for r in spark.read.parquet(
+        os.path.join(out, "state", "batch=2")).collect()}
+    for idx, word in w0.items():
+        assert (w2.get(idx, 0) | word) == w2.get(idx, 0)
+
+    # replay batch 1 by hand: prior-state read excludes batch 1's own
+    # snapshot, so survivors and the rewritten snapshot are identical
+    from bern2_spark.streaming.bloom import (_latest_state,
+                                             batch_bitmap,
+                                             merge_bitmaps,
+                                             probably_seen)
+    before = sorted((r.doc_id, r.text)
+                    for r in surv.filter("batch = 1").collect())
+    b1df = spark.createDataFrame(batches[1], schema)
+    batch = (b1df.withColumn("text_hash", F.md5(F.col("text")))
+             .dropDuplicates(["text_hash"]))
+    prev = _latest_state(spark, os.path.join(out, "state"), 1)
+    flagged = probably_seen(batch, prev, "text_hash", k, m_bits)
+    redo = flagged.filter(~F.coalesce("seen", F.lit(False))) \
+        .drop("seen").localCheckpoint(eager=True)
+    redo.write.mode("overwrite").format("parquet").save(
+        os.path.join(out, "docs", "batch=1"))
+    merged = merge_bitmaps(prev, batch_bitmap(batch, "text_hash", k,
+                                              m_bits))
+    merged.write.mode("overwrite").format("parquet").save(
+        os.path.join(out, "state", "batch=1"))
+    after = sorted((r.doc_id, r.text) for r in
+                   read_survivors(spark, out)
+                   .filter("batch = 1").collect())
+    assert after == before
