@@ -1172,3 +1172,27 @@ def test_cms_sketch_bounds(spark):
         assert est[t] <= true + eps_bound
     # the heavy hitter is estimated within the bound and dominates
     assert est["hot"] > est["warm"] > est["t1"] - 1
+
+
+def test_fork_candidates_detects_fork_and_caps_hubs(spark):
+    from bern2_spark.dataprep.codeqc import fork_candidates
+    # repo B forks A (4/5 files shared); C is unrelated; 'boiler' is
+    # corpus-wide boilerplate that must not create pairs on its own
+    rows = []
+    for i in range(5):
+        rows.append(("A", f"h{i}"))
+    for i in range(4):
+        rows.append(("B", f"h{i}"))
+    rows.append(("B", "hB"))
+    rows += [("C", "hC1"), ("C", "hC2")]
+    for r in ("A", "B", "C", "D", "E"):
+        rows.append((r, "boiler"))
+    df = spark.createDataFrame(rows, ["repo", "h"])
+    out = {(r.repo_a, r.repo_b): r for r in
+           fork_candidates(df, tau=0.3, max_hash_degree=3).collect()}
+    assert set(out) == {("A", "B")}
+    assert out[("A", "B")].shared == 4
+    assert abs(out[("A", "B")].jaccard - 4 / 6) < 1e-6
+    # without the cap the boilerplate hash pairs every repo
+    uncapped = fork_candidates(df, tau=0.0, max_hash_degree=100)
+    assert uncapped.count() > 1
