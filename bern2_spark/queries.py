@@ -4113,6 +4113,85 @@ def code_fork_detection(spark, sf_dir):
         track_persisted=_persist_generation("code_fork_detection"))
 
 
+# ------------------------------------------------ sequence packing
+
+@q("mix_pack_sequences", """
+SELECT doc_id, n_chars,
+       start // 4096 AS seq_id,
+       start % 4096 AS seq_offset
+FROM (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars
+             AS start
+  FROM documents)
+""")
+def mix_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the GPT pretraining layout):
+    docs laid end-to-end in canonical order, cut into 4096-unit
+    training sequences; each doc gets the sequence where it starts +
+    its in-sequence offset.  One ordered window prefix sum, all-bigint
+    arithmetic (dataprep/mixing.py:pack_sequences; the hierarchical
+    bucket-local variant is the documented 10^12-doc path)."""
+    from bern2_spark.dataprep.mixing import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), token_col="n_chars",
+                          budget=4096)
+
+
+# --------------------------------------------- KG negative sampling
+
+def _negsample_oracle() -> str:
+    from bern2_spark.dataprep.sketch import _DENOM, cms_hex_terms_sql
+    terms = cms_hex_terms_sql("hx")
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS subj, 'in_lang' AS pred,
+         lang AS obj
+  FROM documents),
+e AS (
+  SELECT lang AS ent,
+         row_number() OVER (ORDER BY lang) - 1 AS idx
+  FROM (SELECT DISTINCT lang FROM documents)),
+n AS (SELECT count(*) AS n FROM e),
+x AS (
+  SELECT subj, pred, obj, s.seed,
+         md5(subj || ':' || pred || ':' || obj || ':'
+             || CAST(s.seed AS VARCHAR)) AS hx
+  FROM t, unnest([0, 1]) s(seed)),
+i AS (
+  SELECT subj, pred, obj AS true_obj, seed,
+         least(CAST(floor(({terms}) / {_DENOM!r} * n.n) AS BIGINT),
+               n.n - 1) AS idx
+  FROM x, n)
+SELECT subj, pred, true_obj, CAST(seed AS BIGINT) AS seed,
+       e.ent AS neg_obj,
+       (e.ent = true_obj) AS collision
+FROM i JOIN e USING (idx)
+"""
+
+
+@q("kg_negative_samples", _negsample_oracle())
+def kg_negative_samples(spark, sf_dir):
+    """Deterministic tail-corruption negative sampling (the
+    TransE/DistMult KG-embedding training recipe): k=2 corrupted
+    copies per triple, object replaced by a hash-picked entity from
+    the ranked vocabulary; collisions flagged, never resampled
+    (resampling loops are nondeterministic under distribution).  The
+    pick is the engine-portable 52-bit md5 fraction, so the 'random'
+    sample hash-matches the oracle exactly
+    (operators/graph.py:negative_samples)."""
+    from bern2_spark.operators.graph import negative_samples
+    d = _docs(spark, sf_dir)
+    triples = d.select(F.col("doc_id").cast("string").alias("subj"),
+                       F.lit("in_lang").alias("pred"),
+                       F.col("lang").alias("obj"))
+    entities = d.select("lang")
+    out = negative_samples(triples, entities, k=2)
+    return out.select("subj", "pred", "true_obj",
+                      F.col("seed").cast("bigint").alias("seed"),
+                      "neg_obj", "collision")
+
+
 # ------------------------------------------------- curation funnel
 
 @q("qc_curation_funnel", """
@@ -4328,11 +4407,12 @@ _SWEEP_FIRST = [
     "qc_heavy_hitters", "qc_cms_heavy_hitters",
     "mix_reservoir_sample", "kg_triples_upsert",
     "code_fork_detection", "qc_curation_funnel",
-    # position 51: one past the driver's 50-query window — qc_c4_rules
-    # is the least discriminative on the fixture corpus (word soup has
-    # no line punctuation, so only n_words varies) and keeps its local
-    # DuckDB-oracle coverage in tests/test_entry.py regardless
-    "qc_c4_rules",
+    # positions 51+: past the driver's 50-query window this round —
+    # qc_c4_rules is the least discriminative on the fixture corpus
+    # (word soup has no line punctuation, so only n_words varies);
+    # pack/negsample landed after the window filled.  All three keep
+    # local DuckDB-oracle coverage in tests/test_entry.py regardless.
+    "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
 ]
 
 

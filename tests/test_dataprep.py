@@ -1196,3 +1196,37 @@ def test_fork_candidates_detects_fork_and_caps_hubs(spark):
     # without the cap the boilerplate hash pairs every repo
     uncapped = fork_candidates(df, tau=0.0, max_hash_degree=100)
     assert uncapped.count() > 1
+
+
+def test_pack_sequences_layout(spark):
+    from bern2_spark.dataprep.mixing import pack_sequences
+    rows = [(1, 3000), (2, 2000), (3, 100), (4, 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "tok"])
+    out = {r.doc_id: (r.seq_id, r.seq_offset) for r in
+           pack_sequences(df, "tok", budget=4096).collect()}
+    # cumulative starts: 0, 3000, 5000, 5100
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 3000)
+    assert out[3] == (1, 5000 - 4096)
+    assert out[4] == (1, 5100 - 4096)
+
+
+def test_negative_samples_deterministic_and_flagged(spark):
+    from bern2_spark.operators.graph import negative_samples
+    triples = spark.createDataFrame(
+        [("s1", "p", "e1"), ("s2", "p", "e3")],
+        ["subj", "pred", "obj"])
+    entities = spark.createDataFrame(
+        [("e1",), ("e2",), ("e3",), ("e4",)], ["ent"])
+    out = negative_samples(triples, entities, k=3)
+    rows = out.collect()
+    # k negatives per triple, all drawn from the vocabulary
+    assert len(rows) == 6
+    assert {r.neg_obj for r in rows} <= {"e1", "e2", "e3", "e4"}
+    # collision flag is consistent, never silently resampled
+    for r in rows:
+        assert r.collision == (r.neg_obj == r.true_obj)
+    # bit-stable: a second run yields the identical sample
+    again = sorted(map(tuple, negative_samples(
+        triples, entities, k=3).collect()))
+    assert sorted(map(tuple, rows)) == again
