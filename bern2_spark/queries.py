@@ -4070,6 +4070,47 @@ def qc_heavy_hitters(spark, sf_dir):
             .limit(20))
 
 
+# ------------------------------------------------ composed curation
+
+@q("code_curated_corpus", _CODE_CTE + """
+, g AS (
+  SELECT doc_id, repo, path, content,
+         ((coalesce(list_max(list_transform(
+               string_split(content, chr(10)), x -> length(x))), 0)
+              <= 1000)
+          AND CAST(coalesce(list_sum(list_transform(
+                  string_split(content, chr(10)), x -> length(x))),
+                  0) AS DOUBLE)
+              / greatest(len(string_split(content, chr(10))), 1)
+              <= 100
+          AND CAST(length(regexp_replace(content, '[^A-Za-z0-9]',
+                                         '', 'g')) AS DOUBLE)
+              / greatest(length(content), 1) >= 0.25
+          AND NOT regexp_matches(content,
+                '(?i)auto-?generated|do not edit|generated by'))
+             AS passes
+  FROM code),
+k AS (
+  SELECT doc_id, repo, path,
+         row_number() OVER (PARTITION BY md5(content)
+                            ORDER BY repo, path) AS rn
+  FROM g WHERE passes)
+SELECT doc_id, repo, path FROM k WHERE rn = 1
+""")
+def code_curated_corpus(spark, sf_dir):
+    """The composed curation pipeline end-to-end: Stack quality gates
+    then exact content dedup keeping the lexicographically-first
+    (repo, path) copy — one call from raw files to the training-ready
+    corpus (dataprep/codeqc.py:curate_code_corpus; the per-stage
+    report twin is qc_curation_funnel's shape).  Gates scan-fused,
+    dedup is one window on the 32-byte content hash."""
+    from bern2_spark.dataprep.codeqc import curate_code_corpus
+    kept, _ = curate_code_corpus(
+        _code(spark, sf_dir),
+        track_persisted=_persist_generation("code_curated_corpus"))
+    return kept.select("doc_id", "repo", "path")
+
+
 # -------------------------------------------------- fork detection
 
 @q("code_fork_detection", """
@@ -4413,6 +4454,7 @@ _SWEEP_FIRST = [
     # pack/negsample landed after the window filled.  All three keep
     # local DuckDB-oracle coverage in tests/test_entry.py regardless.
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
+    "code_curated_corpus",
 ]
 
 

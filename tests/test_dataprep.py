@@ -1230,3 +1230,28 @@ def test_negative_samples_deterministic_and_flagged(spark):
     again = sorted(map(tuple, negative_samples(
         triples, entities, k=3).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_curate_code_corpus_composed(spark, code_files):
+    from bern2_spark.dataprep.codeqc import curate_code_corpus
+    tracked = []
+    kept, report = curate_code_corpus(code_files,
+                                      require_permissive=True,
+                                      track_persisted=tracked)
+    rows = kept.collect()
+    # only the clean MIT file and the clean Apache file pass both
+    # gates; the dup pair fails the license gate entirely
+    assert sorted(r.path for r in rows) == ["a.py", "e.rs"]
+    rep = {r.stage: r.kept for r in report.collect()}
+    assert rep["1_total"] == 7
+    assert rep["2_quality"] == 4   # a.py, e.rs, f.py, g.py
+    assert rep["3_license"] == 2   # permissive gate
+    assert rep["4_unique"] == 2
+    for df in tracked:
+        df.unpersist()
+    # without the license gate the dup pair survives as ONE copy,
+    # kept at the lexicographically-first (repo, path)
+    kept2, rep2 = curate_code_corpus(code_files)
+    paths = sorted(r.path for r in kept2.collect())
+    assert paths == ["a.py", "e.rs", "f.py"]
+    assert {r.stage: r.kept for r in rep2.collect()}["4_unique"] == 3
