@@ -1255,3 +1255,23 @@ def test_curate_code_corpus_composed(spark, code_files):
     paths = sorted(r.path for r in kept2.collect())
     assert paths == ["a.py", "e.rs", "f.py"]
     assert {r.stage: r.kept for r in rep2.collect()}["4_unique"] == 3
+
+
+def test_codeqc_filters_plan_scan_fused(spark, code_files):
+    """Guard the scan-fusion contract: the Stack gates, license
+    spotter, comment ratio, and C4 rules must add ZERO Exchanges —
+    they are the operators that must run at scan speed at 10^12
+    files."""
+    import re
+
+    from bern2_spark.dataprep.codeqc import (comment_line_ratio,
+                                             spot_license,
+                                             stack_quality_features)
+    from bern2_spark.dataprep.textqc import c4_rules
+    for df in (stack_quality_features(code_files),
+               spot_license(code_files),
+               comment_line_ratio(code_files),
+               c4_rules(code_files, text_col="content")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_ex = len(re.findall(r"\bExchange\b", plan))
+        assert n_ex == 0, f"scan-fused op shuffles:\n{plan}"
