@@ -141,3 +141,68 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                    w.rowsBetween(Window.unboundedPreceding, 0)))
            .drop(prev_c, new_c))
     return out
+
+
+def funnel_counts(events: DataFrame, steps, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts"):
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 STRICTLY after their first step-1 event, then step 3 after
+    that, ... (the classic product-analytics funnel, each stage
+    anchored at the user's earliest qualifying time).  Output:
+    (step, stage, users) — one row per funnel stage.
+
+    Plan shape: one filtered min-aggregation per stage, each joined to
+    the previous stage's anchor times.  The anchor tables are
+    user-count-sized (<= |users| rows, shrinking per stage) — at any
+    realistic user cardinality they broadcast, so the event table is
+    scanned once per stage with no wide join; with events bucketed by
+    user (sources/bucketed.py) even the aggregations are
+    exchange-free.  The per-stage scans are the exact formulation; a
+    single-scan variant (collect each user's per-type min-ts vector,
+    fold the funnel in one agg) trades one shuffle of |users| x
+    |steps| rows for the re-scans at extreme scale."""
+    from pyspark.sql.functions import broadcast
+
+    prev = None
+    out = None
+    for i, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step)
+        if prev is not None:
+            stage = (stage.join(broadcast(prev), user_col)
+                     .filter(F.col(ts_col) > F.col("_anchor"))
+                     .drop("_anchor"))
+        prev = (stage.groupBy(user_col)
+                .agg(F.min(ts_col).alias("_anchor")))
+        row = prev.agg(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("stage"),
+            F.count("*").cast("bigint").alias("users"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", max_offset: int = 7):
+    """Cohort retention: users are cohorted by their first active day;
+    for each (cohort_day, day_offset <= max_offset) count the distinct
+    cohort users active that day.  Output: (cohort_day, day_offset,
+    users).
+
+    Two aggregations over the (user, day) distinct table — first-day
+    per user, then the cohort-offset count — joined on user.  The
+    first-day table is |users| rows (broadcast); the distinct (user,
+    day) table is the only thing that shuffles, and it is already a
+    tiny projection of the event stream."""
+    from pyspark.sql.functions import broadcast
+
+    day = F.to_date(F.col(ts_col))
+    active = events.select(user_col, day.alias("_day")).distinct()
+    first = (active.groupBy(user_col)
+             .agg(F.min("_day").alias("cohort_day")))
+    joined = (active.join(broadcast(first), user_col)
+              .withColumn("day_offset",
+                          F.datediff(F.col("_day"),
+                                     F.col("cohort_day")).cast("bigint"))
+              .filter(F.col("day_offset") <= max_offset))
+    return (joined.groupBy("cohort_day", "day_offset")
+            .agg(F.countDistinct(user_col).cast("bigint").alias("users")))

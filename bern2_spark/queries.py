@@ -4070,6 +4070,57 @@ def qc_heavy_hitters(spark, sf_dir):
             .limit(20))
 
 
+# --------------------------------------------- event funnel/retention
+
+@q("events_funnel", """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS stage,
+       CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase, each stage strictly
+    after the user's earliest previous-stage event): per-stage user
+    counts.  Stage anchors are user-count-sized broadcasts; the event
+    table never self-joins (operators/asof.py:funnel_counts)."""
+    from bern2_spark.operators.asof import funnel_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@q("events_retention", """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY user_id)
+SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+FROM a JOIN f ON a.user_id = f.user_id
+WHERE datediff('day', f.cohort_day, a.d) <= 7
+GROUP BY 1, 2
+""")
+def events_retention(spark, sf_dir):
+    """Cohort retention (first-active-day cohorts, day offsets 0..7):
+    distinct active users per (cohort_day, offset).  Only the tiny
+    distinct (user, day) projection shuffles
+    (operators/asof.py:retention_cohorts)."""
+    from bern2_spark.operators.asof import retention_cohorts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, max_offset=7)
+
+
 # ------------------------------------------------ composed curation
 
 @q("code_curated_corpus", _CODE_CTE + """
@@ -4454,7 +4505,7 @@ _SWEEP_FIRST = [
     # pack/negsample landed after the window filled.  All three keep
     # local DuckDB-oracle coverage in tests/test_entry.py regardless.
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
-    "code_curated_corpus",
+    "code_curated_corpus", "events_funnel", "events_retention",
 ]
 
 

@@ -53,3 +53,48 @@ def test_asof_equal_ts_seq_tiebreak(spark):
     row = asof_join(left, right, ["k"], right_cols=["price"],
                     right_seq="event_id").collect()[0]
     assert row.asof_price == 2.0
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime as dt
+
+    from bern2_spark.operators.asof import funnel_counts
+    rows = [
+        # u1 completes the funnel in order
+        (1, dt(2024, 1, 1), 1, "view"),
+        (2, dt(2024, 1, 2), 1, "click"),
+        (3, dt(2024, 1, 3), 1, "purchase"),
+        # u2 clicks BEFORE viewing -> stalls at view
+        (4, dt(2024, 1, 2), 2, "click"),
+        (5, dt(2024, 1, 3), 2, "view"),
+        # u3 views only
+        (6, dt(2024, 1, 1), 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    out = {r.stage: r.users for r in
+           funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    from datetime import datetime as dt
+
+    from bern2_spark.operators.asof import retention_cohorts
+    rows = [
+        (1, dt(2024, 1, 1, 9), 1, "a"), (2, dt(2024, 1, 2, 9), 1, "a"),
+        (3, dt(2024, 1, 1, 5), 2, "a"), (4, dt(2024, 1, 3, 5), 2, "a"),
+        (5, dt(2024, 1, 2, 1), 3, "a"),   # second cohort
+        (6, dt(2024, 1, 20, 1), 1, "a"),  # beyond max_offset -> dropped
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    out = {(str(r.cohort_day), r.day_offset): r.users
+           for r in retention_cohorts(ev, max_offset=7).collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1   # u1 returns next day
+    assert out[("2024-01-01", 2)] == 1   # u2 returns on day 3
+    assert out[("2024-01-02", 0)] == 1   # u3's own cohort
+    assert ("2024-01-01", 19) not in out
