@@ -4070,6 +4070,33 @@ def qc_heavy_hitters(spark, sf_dir):
             .limit(20))
 
 
+# ---------------------------------------------- bloom runtime filter
+
+@q("join_bloom_pruned", """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderkey % 20 = 0)
+""")
+def join_bloom_pruned(spark, sf_dir):
+    """Semi-join with a manual Bloom runtime filter: the probe side
+    (lineitem) is pruned by a broadcast bitmap of the selective build
+    side's keys BEFORE the exact join's shuffle — k broadcast word
+    lookups stream the probe with zero added exchanges, and the
+    verifying semi-join makes the result bit-identical to the plain
+    EXISTS (Bloom filters have no false negatives), which is why the
+    oracle is the plain semi-join SQL
+    (operators/runtime_filter.py:bloom_semi_join)."""
+    from bern2_spark.operators.runtime_filter import bloom_semi_join
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") % 20 == 0)
+              .select(F.col("o_orderkey").alias("l_orderkey")))
+    out = bloom_semi_join(li, orders, "l_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 # --------------------------------------------- event funnel/retention
 
 @q("events_funnel", """
@@ -4506,6 +4533,7 @@ _SWEEP_FIRST = [
     # local DuckDB-oracle coverage in tests/test_entry.py regardless.
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
     "code_curated_corpus", "events_funnel", "events_retention",
+    "join_bloom_pruned",
 ]
 
 
