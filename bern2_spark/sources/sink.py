@@ -235,3 +235,26 @@ def write_outputs(sink: CheckpointedSink, annotations: DataFrame,
 def resume_docs(sink: CheckpointedSink, docs: DataFrame) -> DataFrame:
     """Filter the input table down to not-yet-processed docs."""
     return sink.resume_filter(docs, "processed_docs")
+
+
+def read_input(spark: SparkSession, source: str):
+    """Resolve the job's input: a CATALOG TABLE when ``source`` names
+    one (``catalog.db.table`` / ``db.table`` — the north rule's
+    Iceberg source-table shape; the built-in ``spark_catalog`` works
+    the same way, which is what the test drives), else a parquet
+    path.  The heuristic is explicit, not a try/except — a path like
+    ``/data/x.parquet`` must never be mistaken for a table name, and
+    a misspelled table must fail as a table, not silently fall back
+    to a path read.
+
+    Catalyst treats both identically downstream: ``spark.read.table``
+    on an Iceberg catalog gets snapshot isolation, hidden-partition
+    pruning, and min/max file skipping from the table format; the
+    parquet path gets the same predicate/column pushdown from the
+    file source.  Pipeline code never needs to know which one fed
+    it."""
+    looks_like_path = ("/" in source or "\\" in source
+                       or source.endswith(".parquet"))
+    if not looks_like_path:
+        return spark.read.table(source)
+    return spark.read.parquet(source)

@@ -117,3 +117,28 @@ def test_checkpoint_probs_depend_on_context(spark, ckpt):
     probs = {r.doc_id: r.prob for r in out.collect()
              if r.mention == "spark"}
     assert set(probs) == {"a", "b"} and probs["a"] != probs["b"]
+
+
+def test_read_input_resolves_table_or_path(spark, tmp_path):
+    """read_input: a catalog table name reads through the session
+    catalog (the Iceberg source-table seam — spark_catalog drives the
+    same spark.read.table path); a filesystem path reads parquet; a
+    bad table name fails as a table, never silently as a path."""
+    import pytest
+
+    from bern2_spark.sources.sink import read_input
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    p = str(tmp_path / "docs.parquet")
+    df.write.parquet(p)
+    assert read_input(spark, p).count() == 2
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_ri")
+    df.write.mode("overwrite").saveAsTable("t_ri.docs")
+    try:
+        got = read_input(spark, "t_ri.docs")
+        assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+        with pytest.raises(Exception):
+            read_input(spark, "t_ri.nope").collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ri.docs")
+        spark.sql("DROP DATABASE IF EXISTS t_ri")

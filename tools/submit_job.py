@@ -32,8 +32,10 @@ import time
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="documents parquet (doc_id/text or "
-                         "repo/path/commit/lang/content shape)")
+                    help="documents parquet path OR catalog table "
+                         "name (catalog.db.table — the Iceberg "
+                         "source-table shape; doc_id/text or "
+                         "repo/path/commit/lang/content columns)")
     ap.add_argument("--output", required=True,
                     help="sink base dir (snapshots + manifests)")
     ap.add_argument("--resume", action="store_true",
@@ -60,7 +62,8 @@ def main(argv=None) -> int:
         print(json.dumps(out))
         return 0
 
-    docs = spark.read.parquet(args.input)
+    from bern2_spark.sources.sink import read_input
+    docs = read_input(spark, args.input)
     if "content" not in docs.columns:
         # test-corpus shape (doc_id, text, lang, source, ...) -> the
         # north-rule input shape run_pipeline consumes (same adapter as
