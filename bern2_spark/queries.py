@@ -4070,6 +4070,45 @@ def qc_heavy_hitters(spark, sf_dir):
             .limit(20))
 
 
+# ------------------------------------------------- ANN self-evaluation
+
+def _recall_oracle() -> str:
+    """Composes the two ALREADY-VERIFIED oracles (brute force = ground
+    truth, IVF = the index under test) — the recall report is then
+    itself hash-checked end to end."""
+    return f"""
+WITH bf AS (SELECT * FROM ({ORACLES["ann_topk_bruteforce"]}) b),
+ivf AS (SELECT * FROM ({_ivf_oracle()}) i)
+SELECT bf.query_id,
+       CAST(count(ivf.neighbor_id) AS BIGINT) AS hits,
+       round(count(ivf.neighbor_id) / 5.0, 6) AS recall_at_5
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id
+ AND bf.neighbor_id = ivf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+@q("ann_recall_report", _recall_oracle())
+def ann_recall_report(spark, sf_dir):
+    """Index quality self-evaluation: recall@5 of the IVF ANN against
+    the exact brute-force top-5, per query vector — the report a real
+    deployment runs after every index rebuild to decide n_probe.
+    Both sides are the registry's own (independently hash-verified)
+    queries; the join is on (query, neighbor) pairs, so the metric
+    itself is engine-exact."""
+    ivf = QUERIES["ann_ivf_topk"](spark, sf_dir) \
+        .select("query_id", "neighbor_id")
+    bf = QUERIES["ann_topk_bruteforce"](spark, sf_dir) \
+        .select("query_id", "neighbor_id")
+    joined = bf.join(ivf.withColumn("_hit", F.lit(1)),
+                     ["query_id", "neighbor_id"], "left")
+    return (joined.groupBy("query_id")
+            .agg(F.count("_hit").cast("bigint").alias("hits"),
+                 F.round(F.count("_hit") / 5.0, 6)
+                 .alias("recall_at_5")))
+
+
 # ---------------------------------------------- bloom runtime filter
 
 @q("join_bloom_pruned", """
@@ -4533,7 +4572,7 @@ _SWEEP_FIRST = [
     # local DuckDB-oracle coverage in tests/test_entry.py regardless.
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
     "code_curated_corpus", "events_funnel", "events_retention",
-    "join_bloom_pruned",
+    "join_bloom_pruned", "ann_recall_report",
 ]
 
 
