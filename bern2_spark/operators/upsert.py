@@ -57,3 +57,42 @@ def upsert_snapshot(base: DataFrame, updates: DataFrame,
             .withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
             .select(*cols))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  keys: List[str]) -> DataFrame:
+    """The inverse of ``upsert_snapshot``: diff two snapshots into the
+    CDC batch that transforms ``old`` into ``new`` — rows with
+    ``op`` = 'I' (key only in new), 'U' (key in both, values differ),
+    'D' (key only in old; value columns carry the old values so the
+    tombstone is self-describing).  Unchanged keys emit nothing.
+    ``upsert_snapshot(old, snapshot_diff(old, new), keys)`` == new,
+    which the test asserts as the round-trip law.
+
+    One full outer join co-partitioned on the merge key — the same
+    single exchange as the upsert; with both snapshots bucketed by
+    the key (sources/bucketed.py) it is exchange-free."""
+    value_cols = [c for c in new.columns if c not in keys]
+    # presence flags come from JOIN-side tags, not value nullness: a
+    # legitimately-NULL value column must not misreport presence
+    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}")
+                            for c in value_cols],
+                   F.lit(True).alias("_in_o"))
+    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}")
+                            for c in value_cols],
+                   F.lit(True).alias("_in_n"))
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~(
+            F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")))
+    op = (F.when(F.col("_in_o").isNull(), F.lit("I"))
+           .when(F.col("_in_n").isNull(), F.lit("D"))
+           .when(changed, F.lit("U")))
+    out_vals = [
+        F.when(F.col("_in_n").isNotNull(), F.col(f"_n_{c}"))
+         .otherwise(F.col(f"_o_{c}")).alias(c)
+        for c in value_cols]
+    return (j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(*keys, *out_vals, "op"))

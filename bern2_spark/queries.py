@@ -4070,6 +4070,51 @@ def qc_heavy_hitters(spark, sf_dir):
             .limit(20))
 
 
+# -------------------------------------------------- triples snapshot diff
+
+@q("kg_triples_diff", """
+WITH old AS (
+  SELECT CAST(doc_id AS VARCHAR) AS subj, 'in_lang' AS pred,
+         lang AS obj
+  FROM documents),
+new AS (
+  SELECT subj, pred,
+         CASE WHEN CAST(subj AS BIGINT) % 5 = 0
+              THEN 'rev:' || obj ELSE obj END AS obj
+  FROM old WHERE CAST(subj AS BIGINT) % 11 <> 0)
+SELECT coalesce(o.subj, n.subj) AS subj,
+       coalesce(o.pred, n.pred) AS pred,
+       CASE WHEN n.subj IS NOT NULL THEN n.obj ELSE o.obj END AS obj,
+       CASE WHEN o.subj IS NULL THEN 'I'
+            WHEN n.subj IS NULL THEN 'D'
+            WHEN o.obj IS DISTINCT FROM n.obj THEN 'U' END AS op
+FROM old o FULL OUTER JOIN new n
+  ON o.subj = n.subj AND o.pred = n.pred
+WHERE CASE WHEN o.subj IS NULL THEN 'I'
+           WHEN n.subj IS NULL THEN 'D'
+           WHEN o.obj IS DISTINCT FROM n.obj THEN 'U' END IS NOT NULL
+""")
+def kg_triples_diff(spark, sf_dir):
+    """Snapshot diff — the CDC-feed generator and inverse of
+    kg_triples_upsert: diff two triple snapshots into I/U/D rows
+    (unchanged keys emit nothing; upsert(old, diff) == new is the
+    round-trip law asserted in tests).  One full outer join
+    co-partitioned on the merge key
+    (operators/upsert.py:snapshot_diff)."""
+    from bern2_spark.operators.upsert import snapshot_diff
+    d = _docs(spark, sf_dir)
+    old = d.select(F.col("doc_id").cast("string").alias("subj"),
+                   F.lit("in_lang").alias("pred"),
+                   F.col("lang").alias("obj"))
+    did = F.col("subj").cast("bigint")
+    new = (old.filter(did % 11 != 0)
+           .withColumn("obj",
+                       F.when(did % 5 == 0,
+                              F.concat(F.lit("rev:"), F.col("obj")))
+                        .otherwise(F.col("obj"))))
+    return snapshot_diff(old, new, keys=["subj", "pred"])
+
+
 # ------------------------------------------------- ANN self-evaluation
 
 def _recall_oracle() -> str:
@@ -4572,7 +4617,7 @@ _SWEEP_FIRST = [
     # local DuckDB-oracle coverage in tests/test_entry.py regardless.
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
     "code_curated_corpus", "events_funnel", "events_retention",
-    "join_bloom_pruned", "ann_recall_report",
+    "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
 ]
 
 

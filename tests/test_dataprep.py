@@ -1296,3 +1296,23 @@ def test_bloom_semi_join_exact_and_prunes(spark):
     # added join is a BroadcastHashJoin
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\bBroadcastHashJoin\b", plan)) >= 5
+
+
+def test_snapshot_diff_roundtrip_law(spark):
+    from bern2_spark.operators.upsert import (snapshot_diff,
+                                              upsert_snapshot)
+    old = spark.createDataFrame(
+        [("a", "p", "1"), ("b", "p", "2"), ("c", "p", None)],
+        "subj string, pred string, obj string")
+    new = spark.createDataFrame(
+        [("a", "p", "9"),            # changed
+         ("c", "p", None),           # unchanged (NULL-safe compare)
+         ("d", "p", "4")],           # inserted; b deleted
+        "subj string, pred string, obj string")
+    diff = snapshot_diff(old, new, keys=["subj", "pred"])
+    ops = {(r.subj): r.op for r in diff.collect()}
+    assert ops == {"a": "U", "b": "D", "d": "I"}
+    # round-trip law: old + diff == new
+    merged = upsert_snapshot(old, diff, keys=["subj", "pred"])
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, new.collect()))
