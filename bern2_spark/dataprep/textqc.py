@@ -310,3 +310,69 @@ def c4_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("has_brace", has_brace)
             .withColumn("passes",
                         (kept_n >= 3) & ~has_lorem & ~has_brace))
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame,
+             text_col: str = "text", group_col: str = "lang",
+             vocab_col: str = "token") -> DataFrame:
+    """Tokenizer-fit report: per-group share of token OCCURRENCES not
+    covered by the vocabulary — the number that decides whether a
+    tokenizer needs retraining before a corpus is usable.  Output:
+    (group, n_tokens, oov_tokens, oov_rate).
+
+    The vocabulary is broadcast (vocabularies are bounded by
+    construction); the corpus explodes to token occurrences and
+    aggregates with map-side combine — one shuffle of |groups| rows."""
+    from pyspark.sql.functions import broadcast
+
+    toks = docs.select(
+        group_col,
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda t: t != "")).alias("_tok"))
+    v = vocab.select(F.col(vocab_col).alias("_tok")).distinct() \
+        .withColumn("_in_v", F.lit(1))
+    j = toks.join(broadcast(v), "_tok", "left")
+    return (j.groupBy(group_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("_in_v").isNull(), 1)
+                        .otherwise(0)).alias("oov_tokens"))
+            .withColumn("oov_rate",
+                        F.round(F.col("oov_tokens").cast("double")
+                                / F.col("n_tokens"), 6)))
+
+
+def compression_ratio(docs: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document — the classic
+    low-information-content signal (template/boilerplate/repetitive
+    text compresses far below prose; CCNet/RefinedWeb-style pipelines
+    gate on it).  No SQL twin exists (zlib is not expressible in
+    either engine's SQL), so this is an Arrow-batched mapInPandas
+    operator with property-based tests instead of a DuckDB oracle —
+    the same evidence class as the multimodal decode plumbing.
+
+    Adds ``compressed_ratio`` = deflate_len / max(raw_len, 1), rounded
+    6.  Vectorized per Arrow batch; zlib level 6 pinned so the number
+    is deterministic across zlib builds in practice (the format, not
+    the exact length, is standardized — hence property tests, not
+    hash tests)."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in docs.schema.fields)
+    schema = f"{fields}, compressed_ratio double"
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            ratio = [
+                round(len(zlib.compress(b, 6)) / max(len(b), 1), 6)
+                for b in raw]
+            out = pdf.copy()
+            out["compressed_ratio"] = ratio
+            yield out
+
+    return docs.mapInPandas(score, schema=schema)

@@ -4070,6 +4070,61 @@ def qc_heavy_hitters(spark, sf_dir):
             .limit(20))
 
 
+# ------------------------------------------- tokenizer fit + compression
+
+@q("qc_oov_rate", """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+             AS token
+  FROM documents),
+v AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 20))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS oov_tokens,
+       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN v USING (token)
+GROUP BY lang
+""")
+def qc_oov_rate(spark, sf_dir):
+    """Tokenizer-fit report: per-language share of token occurrences
+    not covered by the vocabulary (here: the corpus' own exact
+    top-20, so the report is self-contained, deterministic, AND
+    discriminative on the fixture — a 200-token vocab covers the
+    whole synthetic vocabulary and reads 0.0 everywhere) — the
+    number that decides whether a tokenizer needs retraining for a
+    corpus.  Broadcast vocab + map-side-combined agg
+    (dataprep/textqc.py:oov_rate)."""
+    from bern2_spark.dataprep.textqc import oov_rate
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(
+        F.filter(F.split(F.col("text"), " "),
+                 lambda t: t != "")).alias("token"))
+    vocab = (toks.groupBy("token").agg(F.count("*").alias("cnt"))
+             .orderBy(F.desc("cnt"), "token").limit(20)
+             .select("token"))
+    return oov_rate(d, vocab)
+
+
+@q("qc_compression_ratio")
+def qc_compression_ratio(spark, sf_dir):
+    """zlib compression ratio per doc — the low-information-content
+    quality gate (CCNet/RefinedWeb-style).  No SQL twin is possible
+    (zlib in SQL), so this is a rows-only driver check; the semantic
+    properties (repetition compresses, prose does not; determinism)
+    are asserted in tests/test_dataprep.py.  Arrow-batched
+    mapInPandas (dataprep/textqc.py:compression_ratio)."""
+    from bern2_spark.dataprep.textqc import compression_ratio
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return (compression_ratio(d)
+            .select("doc_id", "compressed_ratio"))
+
+
 # -------------------------------------------------- triples snapshot diff
 
 @q("kg_triples_diff", """
@@ -4618,6 +4673,7 @@ _SWEEP_FIRST = [
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
     "code_curated_corpus", "events_funnel", "events_retention",
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
+    "qc_oov_rate", "qc_compression_ratio",
 ]
 
 

@@ -1316,3 +1316,34 @@ def test_snapshot_diff_roundtrip_law(spark):
     merged = upsert_snapshot(old, diff, keys=["subj", "pred"])
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, new.collect()))
+
+
+def test_oov_rate_with_known_vocab(spark):
+    from bern2_spark.dataprep.textqc import oov_rate
+    docs = spark.createDataFrame(
+        [("en", "a b c d"), ("de", "a x y z")], ["lang", "text"])
+    vocab = spark.createDataFrame([("a",), ("b",), ("c",)], ["token"])
+    out = {r.lang: r for r in oov_rate(docs, vocab).collect()}
+    assert out["en"].n_tokens == 4 and out["en"].oov_tokens == 1
+    assert abs(out["en"].oov_rate - 0.25) < 1e-9
+    assert out["de"].oov_tokens == 3 and abs(out["de"].oov_rate - 0.75) < 1e-9
+
+
+def test_compression_ratio_properties(spark):
+    from bern2_spark.dataprep.textqc import compression_ratio
+    rows = [
+        (1, "spam " * 500),                       # highly repetitive
+        (2, "The quick brown fox jumps over the lazy dog; "
+            "weather patterns shift across coastal regions while "
+            "engineers debate architectural trade-offs in systems."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.compressed_ratio
+           for r in compression_ratio(df).collect()}
+    assert out[1] < 0.1 < out[2]       # repetition compresses hard
+    assert out[3] >= 0.0               # empty doc: defined, no crash
+    # deterministic across runs
+    again = {r.doc_id: r.compressed_ratio
+             for r in compression_ratio(df).collect()}
+    assert out == again
