@@ -1347,3 +1347,46 @@ def test_compression_ratio_properties(spark):
     again = {r.doc_id: r.compressed_ratio
              for r in compression_ratio(df).collect()}
     assert out == again
+
+
+def test_session3_ops_partition_invariant(spark):
+    """Determinism under re-partitioning: the session-3 deterministic
+    operators must produce IDENTICAL results regardless of how the
+    input is split across tasks — the property that makes their
+    driver-oracle hashes meaningful on a 1000-executor cluster."""
+    from bern2_spark.dataprep.mixing import bottomk_sample, pack_sequences
+    from bern2_spark.operators.graph import negative_samples
+    from bern2_spark.operators.upsert import snapshot_diff
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 4}", 100 + (i * 37) % 900) for i in range(300)],
+        ["doc_id", "lang", "tok"])
+
+    def runs(fn):
+        a = sorted(map(tuple, fn(docs).collect()))
+        b = sorted(map(tuple, fn(docs.repartition(7)).collect()))
+        c = sorted(map(tuple,
+                       fn(docs.repartition(1)).collect()))
+        assert a == b == c and a
+        return a
+
+    runs(lambda d: bottomk_sample(d, "lang", "doc_id", k=5))
+    runs(lambda d: pack_sequences(d, "tok", budget=4096))
+
+    triples = docs.select(F.col("doc_id").cast("string").alias("subj"),
+                          F.lit("p").alias("pred"),
+                          F.col("lang").alias("obj"))
+    ents = docs.select("lang")
+    a = sorted(map(tuple, negative_samples(triples, ents, k=2).collect()))
+    b = sorted(map(tuple, negative_samples(
+        triples.repartition(5), ents.repartition(3), k=2).collect()))
+    assert a == b and a
+
+    new = docs.filter("doc_id % 3 != 0") \
+        .withColumn("tok", F.col("tok") + 1)
+    d1 = sorted(map(tuple, snapshot_diff(
+        docs, new, keys=["doc_id"]).collect()))
+    d2 = sorted(map(tuple, snapshot_diff(
+        docs.repartition(9), new.repartition(2),
+        keys=["doc_id"]).collect()))
+    assert d1 == d2 and d1
