@@ -503,17 +503,30 @@ def scale_report(sf_dir: str, levels=None, replicas: int | None = None,
     min_eff = (best[lo] / best[hi]) / (hi / lo)
     # clean pairs: both legs saw <2% hypervisor steal during the timed
     # pipeline region — the objective noise gate (loadavg can't separate
-    # our own runnable threads from host pressure; steal can)
+    # our own runnable threads from host pressure; steal can) — AND
+    # hi/lo busy-core-s parity < 1.4x: the r05c collection showed the
+    # host can halve the wide leg's IPC at ZERO steal (SMT-sibling
+    # scheduling), visible only as the hi leg burning 1.9-2.8x the lo
+    # leg's core-seconds for the identical job; such pairs measure the
+    # host, not the engine (analysis: BENCH/BASELINE.md r05c section)
+    def _parity(i):
+        lo_b = legs[lo][i].get("pipe_busy_core_s") or 1.0
+        return (legs[hi][i].get("pipe_busy_core_s") or lo_b) / lo_b
+
     clean = [i for i in range(rounds)
              if max(legs[lo][i].get("pipe_steal_pct", 0),
-                    legs[hi][i].get("pipe_steal_pct", 0)) < 2.0]
+                    legs[hi][i].get("pipe_steal_pct", 0)) < 2.0
+             and _parity(i) < 1.4]
     clean_pipe = ([pipe_effs[i] for i in clean] or pipe_effs)
     clean_tag = ([tag_effs[i] for i in clean] or tag_effs)
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # APPEND, never overwrite: BENCH/BASELINE.md carries hand-curated
+    # cross-round analysis (the r05/r05b/r05c sections) that a fresh
+    # --scale run must extend, not destroy
+    with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            "# BENCH baseline — scaling evidence\n\n"
+            "\n\n# BENCH baseline — scaling evidence (new collection)\n\n"
             f"Flagship KG pipeline (documents -> triples, x{replicas} "
             f"corpus) at `{sf_dir}`, same input, two parallelism levels "
             "(sandbox proxy for N vs 4N executors). Protocol: fresh "
