@@ -1390,3 +1390,33 @@ def test_session3_ops_partition_invariant(spark):
         docs.repartition(9), new.repartition(2),
         keys=["doc_id"]).collect()))
     assert d1 == d2 and d1
+
+
+def test_pack_sequences_bucketed_scale_path(spark):
+    """The bucket-local packing variant: within every bucket the
+    layout law holds (offsets advance by token counts, sequences cut
+    at the budget), buckets are independent, and the result is
+    partition-invariant."""
+    from bern2_spark.dataprep.mixing import pack_sequences_bucketed
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 53) % 700) for i in range(400)],
+        ["doc_id", "tok"])
+    out = pack_sequences_bucketed(docs, "tok", budget=2048,
+                                  n_buckets=8)
+    rows = sorted(map(tuple, out.collect()))
+    again = sorted(map(tuple, pack_sequences_bucketed(
+        docs.repartition(7), "tok", budget=2048,
+        n_buckets=8).collect()))
+    assert rows == again and len(rows) == 400
+    # verify the per-bucket layout law against a python fold
+    from collections import defaultdict
+    per = defaultdict(list)
+    for doc_id, tok, bucket, seq_id, seq_offset in rows:
+        per[bucket].append((doc_id, tok, seq_id, seq_offset))
+    assert len(per) > 1
+    for bucket, docs_b in per.items():
+        start = 0
+        for doc_id, tok, seq_id, seq_offset in sorted(docs_b):
+            assert seq_id == start // 2048
+            assert seq_offset == start % 2048
+            start += tok
