@@ -1420,3 +1420,23 @@ def test_pack_sequences_bucketed_scale_path(spark):
             assert seq_id == start // 2048
             assert seq_offset == start % 2048
             start += tok
+
+
+def test_blocklist_filter_word_boundaries(spark):
+    from bern2_spark.dataprep.textqc import blocklist_filter
+    docs = spark.createDataFrame(
+        [(1, "a classy sentence about classification"),
+         (2, "contains blockedword right here"),
+         (3, "BLOCKEDWORD shouts in caps, blockedword twice"),
+         (4, "")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           blocklist_filter(docs, ["blockedword", "class"]).collect()}
+    # word-boundary exact: 'classy'/'classification' never match 'class'
+    assert not out[1].blocked and out[1].blocklist_hits == 0
+    assert out[2].blocked and out[2].blocklist_hits == 1
+    assert out[3].blocklist_hits == 2      # case-insensitive, counted
+    assert not out[4].blocked
+    # empty policy list: everything passes, schema stable
+    clean = blocklist_filter(docs, [])
+    assert clean.filter("blocked").count() == 0
