@@ -4287,6 +4287,46 @@ def events_retention(spark, sf_dir):
     return retention_cohorts(ev, max_offset=7)
 
 
+# ------------------------------------------------ winnowing (MOSS)
+
+def _winnow_oracle(k: int = 8, w: int = 4) -> str:
+    from bern2_spark.dataprep.sketch import cms_hex_terms_sql
+    terms = cms_hex_terms_sql("h")
+    return _CODE_CTE + f"""
+, g AS (SELECT doc_id, content,
+               greatest(length(content) - {k - 1}, 0) AS ng FROM code),
+hs AS (SELECT doc_id,
+         list_transform(range(1, ng + 1),
+           i -> md5(substr(content, CAST(i AS INT), {k}))) AS hxl
+       FROM g),
+hi AS (SELECT doc_id,
+         list_transform(hxl, h -> CAST({terms} AS BIGINT)) AS hints
+       FROM hs),
+m AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(hints) - {w - 1}, 0) + 1),
+          t -> list_min(list_slice(hints, CAST(t AS INT),
+                                   CAST(t + {w - 1} AS INT))))) AS fps
+      FROM hi)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m
+"""
+
+
+@q("code_winnow_fingerprints", _winnow_oracle())
+def code_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm) over the code view: every shared substring of
+    length >= k+w-1 is guaranteed a shared fingerprint — the
+    position-robust local signal behind code-plagiarism/fork ranking
+    (compose with fork_candidates for MOSS similarity, test-asserted).
+    Grams, hashes, window minima, and dedup all run inside the row
+    via higher-order functions; the hash is the engine-portable
+    13-hex md5 integer, so even the fingerprint sets hash-match the
+    DuckDB twin (dataprep/codeqc.py:winnow_fingerprints)."""
+    from bern2_spark.dataprep.codeqc import winnow_fingerprints
+    return winnow_fingerprints(_code(spark, sf_dir))
+
+
 # ------------------------------------------------ composed curation
 
 @q("code_curated_corpus", _CODE_CTE + """
@@ -4673,7 +4713,7 @@ _SWEEP_FIRST = [
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
     "code_curated_corpus", "events_funnel", "events_retention",
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
-    "qc_oov_rate", "qc_compression_ratio",
+    "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
 ]
 
 

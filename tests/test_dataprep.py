@@ -1440,3 +1440,32 @@ def test_blocklist_filter_word_boundaries(spark):
     # empty policy list: everything passes, schema stable
     clean = blocklist_filter(docs, [])
     assert clean.filter("blocked").count() == 0
+
+
+def test_winnow_guarantee_and_moss_composition(spark):
+    """Winnowing's coverage guarantee: docs sharing a substring of
+    length >= k+w-1 share at least one fingerprint; unrelated docs
+    share none; and feeding fingerprints to fork_candidates ranks the
+    plagiarized pair first (the MOSS pipeline)."""
+    from bern2_spark.dataprep.codeqc import (fork_candidates,
+                                             winnow_fingerprints)
+    shared = "def compute_checksum(buffer, seed):"  # 35 chars >= k+w-1
+    rows = [
+        (1, f"AAA {shared} return 1 zzzz"),
+        (2, f"BBBBBB {shared} different tail qqq"),
+        (3, "totally unrelated content with other words xyz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    fps = winnow_fingerprints(df, id_col="doc_id", k=8, w=4)
+    per = {}
+    for r in fps.collect():
+        per.setdefault(r.doc_id, set()).add(r.fp)
+    assert per[1] & per[2], "shared substring must share a fingerprint"
+    assert not (per[1] & per[3]) or len(per[1] & per[3]) < 3
+    sim = fork_candidates(
+        fps.withColumn("doc_id", F.col("doc_id").cast("string")),
+        repo_col="doc_id", hash_col="fp", tau=0.0,
+        max_hash_degree=100)
+    ranked = sorted(((r.jaccard, (r.repo_a, r.repo_b))
+                     for r in sim.collect()), reverse=True)
+    assert ranked and ranked[0][1] == ("1", "2")
