@@ -361,3 +361,31 @@ def pack_sequences_bucketed(docs, token_col: str, budget: int,
                         F.pmod(F.col("_start"),
                                F.lit(int(budget))).cast("long"))
             .drop("_start"))
+
+
+def rendezvous_shards(docs, n_shards: int, id_col: str = "doc_id"):
+    """Rendezvous (highest-random-weight) sharding (Thaler & Ravishankar
+    1998): each doc goes to the shard with the highest keyed hash
+    weight.  Unlike ``pmod(hash, n)`` sharding, growing the shard
+    count from S to S+1 remaps only ~1/(S+1) of the corpus (only docs
+    whose NEW shard wins the argmax move) — the property that makes
+    incremental corpus resharding cheap, test-asserted.
+
+    One argmax over a generated S-element array per row — scan-fused,
+    zero shuffle, and engine-portable (the 13-hex md5 integer), so
+    the assignment hash-matches any ANSI twin.  S is a plan literal;
+    for S beyond a few thousand use a two-level ring instead."""
+    from bern2_spark.dataprep.sketch import _HEX_DIGITS
+
+    did = F.col(id_col).cast("string")
+
+    def weight(s: int):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{s}:"), did)), 1, _HEX_DIGITS),
+            16, 10).cast("long")
+
+    pairs = F.array(*[
+        F.struct(weight(s).alias("w"), F.lit(s).alias("s"))
+        for s in range(n_shards)])
+    best = F.array_max(pairs)  # struct compare: weight first, ties by s
+    return docs.select(id_col, best["s"].cast("bigint").alias("shard"))

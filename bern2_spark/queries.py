@@ -4411,6 +4411,39 @@ def code_fork_detection(spark, sf_dir):
         track_persisted=_persist_generation("code_fork_detection"))
 
 
+# ---------------------------------------------- rendezvous sharding
+
+def _hrw_oracle(n_shards: int = 8) -> str:
+    from bern2_spark.dataprep.sketch import cms_hex_terms_sql
+    terms = cms_hex_terms_sql("hx")
+    return f"""
+WITH w AS (
+  SELECT doc_id, s.s,
+         md5(CAST(s.s AS VARCHAR) || ':'
+             || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents,
+       unnest(generate_series(0, {n_shards - 1})) s(s)),
+i AS (SELECT doc_id, s, CAST({terms} AS BIGINT) AS wt FROM w),
+r AS (SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY wt DESC, s DESC) AS rn
+      FROM i)
+SELECT doc_id, CAST(s AS BIGINT) AS shard FROM r WHERE rn = 1
+"""
+
+
+@q("mix_rendezvous_shards", _hrw_oracle())
+def mix_rendezvous_shards(spark, sf_dir):
+    """Rendezvous/HRW sharding: stable doc->shard assignment where
+    growing the shard count remaps only ~1/(S+1) of the corpus (the
+    minimal-remap law test-asserted in tests/test_dataprep.py) —
+    pmod sharding remaps almost everything.  One scan-fused argmax
+    per row, engine-portable hash
+    (dataprep/mixing.py:rendezvous_shards)."""
+    from bern2_spark.dataprep.mixing import rendezvous_shards
+    return rendezvous_shards(_docs(spark, sf_dir), n_shards=8)
+
+
 # ------------------------------------------------ sequence packing
 
 @q("mix_pack_sequences", """
@@ -4714,6 +4747,7 @@ _SWEEP_FIRST = [
     "code_curated_corpus", "events_funnel", "events_retention",
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
     "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
+    "mix_rendezvous_shards",
 ]
 
 

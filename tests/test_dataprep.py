@@ -1469,3 +1469,22 @@ def test_winnow_guarantee_and_moss_composition(spark):
     ranked = sorted(((r.jaccard, (r.repo_a, r.repo_b))
                      for r in sim.collect()), reverse=True)
     assert ranked and ranked[0][1] == ("1", "2")
+
+
+def test_rendezvous_minimal_remap(spark):
+    from bern2_spark.dataprep.mixing import rendezvous_shards
+    docs = spark.createDataFrame([(i,) for i in range(2000)],
+                                 ["doc_id"])
+    s8 = {r.doc_id: r.shard
+          for r in rendezvous_shards(docs, 8).collect()}
+    s9 = {r.doc_id: r.shard
+          for r in rendezvous_shards(docs, 9).collect()}
+    moved = sum(1 for i in s8 if s8[i] != s9[i])
+    # HRW law: only docs won by the NEW shard move — every move lands
+    # on shard 8, and the moved fraction is ~1/9 (pmod would remap ~8/9)
+    assert all(s9[i] == 8 for i in s8 if s8[i] != s9[i])
+    assert 0.05 < moved / 2000 < 0.18
+    # balanced-ish occupancy at S=8
+    from collections import Counter
+    occ = Counter(s8.values())
+    assert len(occ) == 8 and max(occ.values()) < 2 * min(occ.values())
