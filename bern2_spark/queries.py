@@ -4209,6 +4209,48 @@ def ann_recall_report(spark, sf_dir):
                  .alias("recall_at_5")))
 
 
+# ------------------------------------------------- top session paths
+
+@q("events_top_paths", """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         sum(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_idx
+  FROM (SELECT event_id, user_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events)),
+p AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, session_idx)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+""")
+def events_top_paths(spark, sf_dir):
+    """Top-20 most common within-session event-type paths (the
+    product-analytics 'user journeys' report): gap-based sessions,
+    ordered type concatenation per session, global top-k.  The path
+    builds from an in-row array_sort of (ts, event_id, type) structs
+    — no ordered-collect nondeterminism — and the top-k is
+    TakeOrderedAndProject."""
+    from bern2_spark.operators.asof import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev)
+    paths = (s.groupBy("user_id", "session_idx")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 "ts", "event_id", "event_type"))).alias("evs"))
+             .select(F.concat_ws(">", F.transform(
+                 "evs", lambda e: e["event_type"])).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path")
+            .limit(20))
+
+
 # ---------------------------------------------- bloom runtime filter
 
 @q("join_bloom_pruned", """
@@ -4747,7 +4789,7 @@ _SWEEP_FIRST = [
     "code_curated_corpus", "events_funnel", "events_retention",
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
     "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
-    "mix_rendezvous_shards",
+    "mix_rendezvous_shards", "events_top_paths",
 ]
 
 
