@@ -195,6 +195,12 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     tiny projection of the event stream."""
     from pyspark.sql.functions import broadcast
 
+    # ts is TIMESTAMP_NTZ in the fixtures (naive wall-clock), so
+    # to_date() is session-timezone-INDEPENDENT here and matches the
+    # naive-timestamp oracle on any driver session (verified against a
+    # non-UTC session); an instant-typed (TIMESTAMP_LTZ) deployment
+    # would need epoch-day arithmetic instead, because to_date on an
+    # instant applies the session zone
     day = F.to_date(F.col(ts_col))
     active = events.select(user_col, day.alias("_day")).distinct()
     first = (active.groupBy(user_col)
