@@ -1,0 +1,209 @@
+"""Code-entity knowledge-graph extraction — the north rule's literal
+shape, re-expressed over the source-code-repository table
+``(repo, path, commit, lang, content)``.
+
+This is the code-corpus twin of the biomedical flagship and reuses its
+stage grammar one-for-one:
+
+==================  =============================  =======================
+flagship stage      biomedical (pipeline.py)       code (this module)
+==================  =============================  =======================
+mention detection   multi-TYPE BIO tagger          multi-LANGUAGE import /
+                    (gene/disease/drug/...)        declaration regex
+                                                   battery (python / java /
+                                                   c / go / rust), one
+                                                   constant-pattern
+                                                   ``regexp_extract_all``
+                                                   per language dispatched
+                                                   by the ``lang`` column
+entity linking      sieve normalize -> CUI         root-package
+                                                   normalization
+                                                   (``a.b.c`` -> ``a``,
+                                                   ``x.h`` -> ``x``,
+                                                   ``m::n`` -> ``m``)
+canonicalize        groupBy (surface, type, CUI)   groupBy
+                                                   (repo, pred, entity)
+materialize         (doc, has_<type>, CUI)         (subj, pred, obj,
+                    triples                        n_mentions, n_files)
+==================  =============================  =======================
+
+The mention-detection analogy is structural, not cosmetic: BERN2 runs
+one tagger per entity TYPE over every document
+(/root/reference/multi_ner/main.py:702-801 fans the same text through
+dmis-lab per-type heads); this module runs one anchored regex per
+LANGUAGE over every file, dispatched by ``lang`` exactly as the
+reference dispatches normalizers by entity type
+(/root/reference/bern2.py routes mentions per type).
+
+100-TB posture
+--------------
+* ``extract_imports`` / ``extract_defs``: constant-pattern
+  ``regexp_extract_all`` under a ``lang`` CASE — every pattern is
+  foldable, so the whole battery stays inside whole-stage codegen and
+  fuses with the content scan; zero UDFs, zero exchanges.  The explode
+  is row-local (a file's own import list) and never reorders data.
+* ``code_triples``: ONE shuffle — the groupBy on
+  ``(repo, pred, entity)``.  Map-side partial aggregation collapses a
+  repo's repeated imports before the exchange, so the shuffled volume
+  is bounded by |repos| x |distinct packages|, not by file count.  A
+  mono-repo importing one hot package from 10^9 files still ships one
+  partial row per map task (AQE skew-join territory only if a single
+  repo's DISTINCT package set is itself huge).
+* ``scan_secrets``: chained constant-pattern ``regexp_replace`` /
+  ``regexp_extract_all`` column exprs (gitleaks/detect-secrets-style
+  public patterns), fully codegen; the sha256 of the redacted content
+  gives a per-row invariant the north rule can verify cheaply at any
+  scale.
+* At 10^12 files every operator here is scan-dominated; only the
+  triple groupBy exchanges rows, and those rows are ~40-byte
+  aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-language battery: (import-regex, declaration-regex, root-pkg
+# separator kind).  Patterns are anchored per line ((?m)) and identical
+# strings are used by the DuckDB oracles — both engines compile them
+# with their own engine (Java regex / RE2); every construct used here
+# ((?m), \w, character classes) means the same thing in both.
+LANG_BATTERY: dict[str, tuple[str, str, str]] = {
+    "python": (r"(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)$",
+               r"(?m)^def (\w+)\(", "dot"),
+    "java":   (r"(?m)^import ([A-Za-z_][A-Za-z0-9_.]*);$",
+               r"(?m)^void (\w+)\(", "dot"),
+    "c":      (r"(?m)^#include <([A-Za-z_][A-Za-z0-9_./]*)>$",
+               r"(?m)^int (\w+)\(", "header"),
+    "go":     (r"(?m)^import \"([^\"]+)\"$",
+               r"(?m)^func (\w+)\(", "slash"),
+    "rust":   (r"(?m)^use ([A-Za-z_][A-Za-z0-9_:]*);$",
+               r"(?m)^fn (\w+)\(", "colons"),
+}
+
+# Public secret-detection patterns (the detect-secrets / gitleaks
+# rule shapes: AWS access-key id, PEM private-key header, generic
+# quoted api-key assignment).
+SECRET_PATTERNS: dict[str, str] = {
+    "aws": r"AKIA[0-9A-Z]{16}",
+    "privkey": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "apikey": r"(?i)api[_-]?key\s*[:=]\s*[\"'][^\"']{8,}[\"']",
+}
+
+
+def _root_pkg(module: Column, kind: str) -> Column:
+    """Entity linking for a module reference: normalize to the root
+    package that names the dependency (the code analog of the sieve's
+    surface -> CUI step)."""
+    if kind == "dot":
+        return F.element_at(F.split(module, r"\."), 1)
+    if kind == "header":  # strip trailing .h, then first path segment
+        return F.element_at(
+            F.split(F.regexp_replace(module, r"\.h$", ""), "/"), 1)
+    if kind == "slash":
+        return F.element_at(F.split(module, "/"), 1)
+    if kind == "colons":
+        return F.element_at(F.split(module, "::"), 1)
+    raise ValueError(f"unknown root-pkg kind: {kind}")
+
+
+def _dispatch(lang: Column, content: Column, which: int) -> Column:
+    """CASE over the per-language battery; every regexp_extract_all
+    pattern is a foldable literal so codegen keeps the whole battery
+    JVM-side.  Unknown languages yield an empty array (no mentions)."""
+    expr = F.array().cast("array<string>")
+    for name, pats in LANG_BATTERY.items():
+        expr = F.when(lang == name,
+                      F.regexp_extract_all(content, F.lit(pats[which]), 1)
+                      ).otherwise(expr)
+    return expr
+
+
+def extract_imports(df: DataFrame,
+                    lang_col: str = "lang",
+                    content_col: str = "content") -> DataFrame:
+    """One row per import mention: adds ``module`` (the literal
+    reference) and ``root_pkg`` (the linked entity).  Files without
+    imports produce no rows (explode, not explode_outer — matching
+    SQL ``unnest`` semantics)."""
+    lang = F.col(lang_col)
+    out = df.withColumn(
+        "module", F.explode(_dispatch(lang, F.col(content_col), 0)))
+    root = F.lit(None).cast("string")
+    for name, (_, _, kind) in LANG_BATTERY.items():
+        root = F.when(lang == name,
+                      _root_pkg(F.col("module"), kind)).otherwise(root)
+    return out.withColumn("root_pkg", root).drop(content_col)
+
+
+def extract_defs(df: DataFrame,
+                 lang_col: str = "lang",
+                 content_col: str = "content") -> DataFrame:
+    """One row per top-level function declaration: adds ``fn_name``."""
+    out = df.withColumn(
+        "fn_name",
+        F.explode(_dispatch(F.col(lang_col), F.col(content_col), 1)))
+    return out.drop(content_col)
+
+
+def code_triples(imports: DataFrame, defs: DataFrame) -> DataFrame:
+    """Canonicalize + materialize: (subj, pred, obj, n_mentions,
+    n_files) with subj='repo:<repo>', pred in {imports, declares},
+    obj='pkg:<root>' / 'fn:<name>'.  One shuffle (the groupBy); the
+    union is plan-level only."""
+    imp = (imports
+           .groupBy("repo", F.col("root_pkg").alias("entity"))
+           .agg(F.count("*").alias("n_mentions"),
+                F.countDistinct("path").alias("n_files"))
+           .select(F.concat(F.lit("repo:"), "repo").alias("subj"),
+                   F.lit("imports").alias("pred"),
+                   F.concat(F.lit("pkg:"), "entity").alias("obj"),
+                   "n_mentions", "n_files"))
+    dec = (defs
+           .groupBy("repo", F.col("fn_name").alias("entity"))
+           .agg(F.count("*").alias("n_mentions"),
+                F.countDistinct("path").alias("n_files"))
+           .select(F.concat(F.lit("repo:"), "repo").alias("subj"),
+                   F.lit("declares").alias("pred"),
+                   F.concat(F.lit("fn:"), "entity").alias("obj"),
+                   "n_mentions", "n_files"))
+    return imp.unionByName(dec)
+
+
+def scan_secrets(df: DataFrame,
+                 content_col: str = "content") -> DataFrame:
+    """Per-file secret counts + the sha256 of the redacted content.
+
+    Adds ``n_aws``, ``n_privkey``, ``n_apikey``, ``any_secret``, and
+    ``redacted_sha`` (sha256 hex of the content with every match
+    replaced by ``[SECRET]``, applied aws -> privkey -> apikey in that
+    fixed order so the hash is engine-portable).  The hash doubles as
+    the north rule's per-row content invariant over the SCRUBBED
+    corpus — two engines that redact identically agree on every row.
+    """
+    c = F.col(content_col)
+    counts = {k: F.size(F.regexp_extract_all(c, F.lit(p), 0))
+              for k, p in SECRET_PATTERNS.items()}
+    red = c
+    for k in ("aws", "privkey", "apikey"):  # fixed order
+        red = F.regexp_replace(red, SECRET_PATTERNS[k], "[SECRET]")
+    out = df
+    for k, cnt in counts.items():
+        out = out.withColumn(f"n_{k}", cnt.cast("bigint"))
+    return (out
+            .withColumn("any_secret",
+                        (F.col("n_aws") + F.col("n_privkey")
+                         + F.col("n_apikey")) > 0)
+            .withColumn("redacted_sha", F.sha2(red, 256)))
+
+
+def dependency_edges(imports: DataFrame) -> DataFrame:
+    """Distinct repo -> package edges (src='repo:<r>', dst='pkg:<p>')
+    — the graph-materialize handoff consumed by operators/graph.py
+    (pagerank / degree / k-hop run unchanged over this edge list).
+    One shuffle (the distinct)."""
+    return (imports
+            .select(F.concat(F.lit("repo:"), "repo").alias("src"),
+                    F.concat(F.lit("pkg:"), "root_pkg").alias("dst"))
+            .distinct())
