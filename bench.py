@@ -41,6 +41,9 @@ HEADLINE = [
     "code_stack_filters",
     "code_fork_detection",
     "qc_curation_funnel",
+    # composed code-KG pipeline: curate -> extract -> link -> triples
+    # (added r5 session 4) — the north rule's sentence as one plan
+    "kg_code_pipeline",
 ]
 
 

@@ -4868,7 +4868,7 @@ def _code_src(spark, sf_dir):
         F.concat(*pieces, F.col("content")).alias("content"), "doc_id")
 
 
-def _code_imports_cte() -> str:
+def _code_imports_cte(from_: str = "src") -> str:
     """ext/im CTEs: the multi-language import battery + root-package
     linking, using the SAME pattern strings as dataprep/codekg.py."""
     from bern2_spark.dataprep.codekg import LANG_BATTERY
@@ -4884,14 +4884,14 @@ def _code_imports_cte() -> str:
     return (""",
 ext AS (SELECT doc_id, repo, path, lang,
         CASE lang """ + whens + """ ELSE CAST([] AS VARCHAR[]) END AS mods
-        FROM src),
+        FROM """ + from_ + """),
 im0 AS (SELECT doc_id, repo, path, lang, unnest(mods) AS module
         FROM ext),
 im AS (SELECT doc_id, repo, path, lang, module, """ + root
             + """ AS root_pkg FROM im0)""")
 
 
-def _code_defs_cte() -> str:
+def _code_defs_cte(from_: str = "src") -> str:
     from bern2_spark.dataprep.codekg import LANG_BATTERY
     whens = " ".join(
         f"WHEN '{fam}' THEN regexp_extract_all(content, '{pats[1]}', 1)"
@@ -4899,9 +4899,28 @@ def _code_defs_cte() -> str:
     return (""",
 dex AS (SELECT doc_id, repo, path, lang,
         CASE lang """ + whens + """ ELSE CAST([] AS VARCHAR[]) END AS fns
-        FROM src),
+        FROM """ + from_ + """),
 dfs AS (SELECT doc_id, repo, path, lang, unnest(fns) AS fn_name
         FROM dex)""")
+
+
+# The Stack-filter keep predicate on the UNROUNDED features — the same
+# expression code_stack_filters' oracle uses, applied to the injected
+# src view for the composed pipeline below.
+_CODE_PASSES_SQL = """,
+cur AS (SELECT * FROM src WHERE
+  coalesce(list_max(list_transform(string_split(content, chr(10)),
+                                   x -> length(x))), 0) <= 1000
+  AND CAST(coalesce(list_sum(list_transform(string_split(content,
+                                                         chr(10)),
+                                            x -> length(x))), 0)
+           AS DOUBLE)
+      / greatest(len(string_split(content, chr(10))), 1) <= 100
+  AND CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+           AS DOUBLE)
+      / greatest(length(content), 1) >= 0.25
+  AND NOT regexp_matches(content,
+          '(?i)auto-?generated|do not edit|generated by'))"""
 
 
 @q("code_import_mentions",
@@ -4971,6 +4990,42 @@ def code_dep_pagerank(spark, sf_dir):
     edges = dependency_edges(extract_imports(_code_src(spark, sf_dir)))
     return pagerank(edges, src_col="src", dst_col="dst",
                     iterations=5, damping=0.85)
+
+
+@q("kg_code_pipeline",
+   "WITH " + _CODE_SRC_BODY + _CODE_PASSES_SQL
+   + _code_imports_cte(from_="cur") + _code_defs_cte(from_="cur") + """,
+it AS (SELECT 'repo:' || repo AS subj, 'imports' AS pred,
+              'pkg:' || root_pkg AS obj,
+              CAST(count(*) AS BIGINT) AS n_mentions,
+              CAST(count(DISTINCT path) AS BIGINT) AS n_files
+       FROM im GROUP BY repo, root_pkg),
+dt AS (SELECT 'repo:' || repo AS subj, 'declares' AS pred,
+              'fn:' || fn_name AS obj,
+              CAST(count(*) AS BIGINT) AS n_mentions,
+              CAST(count(DISTINCT path) AS BIGINT) AS n_files
+       FROM dfs GROUP BY repo, fn_name)
+SELECT * FROM it UNION ALL SELECT * FROM dt
+ORDER BY subj, pred, obj
+""")
+def kg_code_pipeline(spark, sf_dir):
+    """The composed code-KG pipeline — the north rule's sentence as
+    one plan: curate (The Stack quality gates, ~19% keep on this
+    fixture) -> extract (multi-language battery) -> link (root
+    package) -> canonicalize -> materialize triples.  The curation
+    predicate and extraction fuse into ONE codegen'd scan stage per
+    branch; the triple aggregations are the only exchanges (two per
+    branch — the count-distinct's partial/final pair).  Secret
+    scrubbing (scan_secrets) composes orthogonally before extraction
+    when redaction is required — omitted here because redacted and raw
+    content yield identical triples by construction."""
+    from bern2_spark.dataprep.codekg import (code_triples, extract_defs,
+                                             extract_imports)
+    from bern2_spark.dataprep.codeqc import stack_quality_features
+    feat = stack_quality_features(_code_src(spark, sf_dir))
+    cur = feat.filter("passes").select(
+        "repo", "path", "commit_sha", "lang", "content", "doc_id")
+    return code_triples(extract_imports(cur), extract_defs(cur))
 
 
 def _secret_scan_sql() -> str:
