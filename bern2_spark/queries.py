@@ -5100,14 +5100,21 @@ _SWEEP_FIRST = [
     # session-3 additions (r5): code-corpus QC, C4, heavy hitters,
     # per-group sampling, triples upsert
     "code_stack_filters", "code_license_spot", "code_repo_stats",
-    "qc_heavy_hitters", "qc_cms_heavy_hitters",
+    "qc_heavy_hitters",
     "mix_reservoir_sample", "kg_triples_upsert",
     "code_fork_detection", "qc_curation_funnel",
+    # session-4: the composed code-KG pipeline (curate -> extract ->
+    # link -> canonicalize -> materialize) is the north rule's literal
+    # sentence — it takes the window slot that previously went to
+    # qc_cms_heavy_hitters, whose family keeps a driver row through
+    # its exact twin qc_heavy_hitters (same surface, same fixture)
+    "kg_code_pipeline",
     # positions 51+: past the driver's 50-query window this round —
     # qc_c4_rules is the least discriminative on the fixture corpus
     # (word soup has no line punctuation, so only n_words varies);
     # pack/negsample landed after the window filled.  All three keep
     # local DuckDB-oracle coverage in tests/test_entry.py regardless.
+    "qc_cms_heavy_hitters",
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
     "code_curated_corpus", "events_funnel", "events_retention",
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
