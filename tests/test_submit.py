@@ -67,3 +67,41 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     m2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert m2["resumed"] is True and m2["triples"] == m1["triples"]
+
+
+def test_submit_code_pipeline_in_process(spark, tmp_path, capsys):
+    """--pipeline code over a (repo, path, commit, lang, content)
+    parquet: curate -> extract -> link -> triples through the same
+    checkpointed sink + --resume contract.  In-process (main() attaches
+    to the running session via getOrCreate); the launcher/zip path is
+    proven once by the subprocess test above and is pipeline-agnostic."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import submit_job
+
+    inp = str(tmp_path / "code.parquet")
+    spark.createDataFrame(
+        [("r1", "a.py", "c1", "python", "import os\ndef main():\n"),
+         ("r1", "b.py", "c2", "python", "import os\nimport sys\n"),
+         # fails the quality gate (>1000-char line): must be curated out
+         ("r2", "c.py", "c3", "python", "import dropped\n" + "x" * 2000)],
+        ["repo", "path", "commit", "lang", "content"]
+    ).write.parquet(inp)
+    out_dir = str(tmp_path / "sink")
+
+    assert submit_job.main(["--input", inp, "--output", out_dir,
+                            "--pipeline", "code"]) == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["resumed"] is False and m1["triples"] == 3  # os, sys, main
+
+    from bern2_spark.sources.sink import CheckpointedSink
+    sink = CheckpointedSink(out_dir)
+    rows = {(r.subj, r.pred, r.obj)
+            for r in sink.read_stage(spark, "triples").collect()}
+    assert rows == {("repo:r1", "imports", "pkg:os"),
+                    ("repo:r1", "imports", "pkg:sys"),
+                    ("repo:r1", "declares", "fn:main")}
+
+    assert submit_job.main(["--input", inp, "--output", out_dir,
+                            "--pipeline", "code", "--resume"]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["resumed"] is True and m2["triples"] == 3

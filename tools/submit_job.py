@@ -4,7 +4,12 @@
     spark-submit --master <cluster> \
         --py-files /tmp/bern2_spark_pyfiles.zip \
         tools/submit_job.py --input <docs parquet> --output <dir> \
-        [--resume]
+        [--resume] [--pipeline bio|code]
+
+``--pipeline code`` runs the code-KG construction instead (curate ->
+import/def extraction -> root-package linking -> (repo, pred, entity)
+triples, dataprep/codekg.py) over the same
+(repo, path, commit, lang, content) input shape.
 
 Reads the documents table, runs the full KG pipeline (preprocess ->
 tag -> mutations -> sieve normalize -> neural fallback -> canonicalize),
@@ -40,6 +45,11 @@ def main(argv=None) -> int:
                     help="sink base dir (snapshots + manifests)")
     ap.add_argument("--resume", action="store_true",
                     help="skip stages already committed in the manifest")
+    ap.add_argument("--pipeline", choices=["bio", "code"], default="bio",
+                    help="bio: BERN2-style NER+normalize over content; "
+                         "code: curate -> import/def extraction -> "
+                         "root-package linking -> (repo, pred, entity) "
+                         "triples (dataprep/codekg.py)")
     args = ap.parse_args(argv)
 
     # spark-submit owns the session: no master/conf set here beyond
@@ -76,8 +86,18 @@ def main(argv=None) -> int:
             F.sha2(F.col("doc_id").cast("string"), 256).alias("commit"),
             F.col("lang"),
             F.col("text").alias("content"))
-    res = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark)
-    sink.write_stage(res.triples, "triples", partition_by=["pred"])
+    if args.pipeline == "code":
+        from bern2_spark.dataprep.codekg import (code_triples,
+                                                 extract_defs,
+                                                 extract_imports)
+        from bern2_spark.dataprep.codeqc import stack_quality_features
+        cur = (stack_quality_features(docs).filter("passes")
+               .select(*docs.columns))
+        triples = code_triples(extract_imports(cur), extract_defs(cur))
+    else:
+        res = run_pipeline(docs, corpus.DRIVER_VOCAB_LEXICON, spark)
+        triples = res.triples
+    sink.write_stage(triples, "triples", partition_by=["pred"])
     n = sink.read_stage(spark, "triples").count()
     print(json.dumps({"resumed": False, "triples": n,
                       "sec": round(time.time() - t0, 2)}))
