@@ -182,6 +182,44 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--scale-leg-code" in sys.argv:
+        # one fresh-process code-KG leg: same protocol as --scale-leg
+        # (per-core memory, small warm-up, steal gate + telemetry per
+        # timed region), measuring the composed code pipeline and the
+        # zero-shuffle extraction control
+        cpus = int(sys.argv[sys.argv.index("--scale-leg-code") + 1])
+        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "8"))
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM",
+                              f"{max(8, 2 * cpus)}g")
+        spark = _session(cpus, pretouch=True)
+        warm = _scale_code_corpus(spark, sf_dir, 1).repartition(
+            spark.sparkContext.defaultParallelism).persist()
+        warm.count()
+        _run_code_scaled(spark, warm)
+        warm.unpersist()
+        docs = _scale_code_corpus(spark, sf_dir, replicas).repartition(
+            spark.sparkContext.defaultParallelism).persist()
+        docs.count()
+        load0 = _wait_quiet()
+        ticks = _cpu_ticks()
+        ext_sec, n_mentions = _run_extract_scaled(spark, docs)
+        ext_cpu = _region_cpu(ticks, ext_sec)
+        _wait_quiet()
+        ticks = _cpu_ticks()
+        sec, triples = _run_code_scaled(spark, docs)
+        pipe_cpu = _region_cpu(ticks, sec)
+        print(json.dumps({
+            "cpus": cpus, "code_pipeline_sec": round(sec, 2),
+            "extract_sec": round(ext_sec, 2), "triples": triples,
+            "mentions": n_mentions,
+            "pipe_busy_core_s": pipe_cpu["busy_core_s"],
+            "pipe_steal_pct": pipe_cpu["steal_pct"],
+            "ext_busy_core_s": ext_cpu["busy_core_s"],
+            "ext_steal_pct": ext_cpu["steal_pct"],
+            "loadavg_before": load0, "loadavg_after": _loadavg()}))
+        spark.stop()
+        return
+
     if "--scale" in sys.argv:
         scale_report(sf_dir)
         return
@@ -435,6 +473,75 @@ def _run_tag_scaled(spark, sf_dir: str, replicas: int,
         pre = _fan_out_narrow_scan(preprocess(docs), spark)
     t0 = time.perf_counter()
     n = extract_mentions(pre, corpus.DRIVER_VOCAB_LEXICON).count()
+    return time.perf_counter() - t0, n
+
+
+def _scale_code_corpus(spark, sf_dir: str, replicas: int):
+    """Code-shaped twin of _scale_corpus for the code-KG scaling legs:
+    lang remapped to the programming-language families the extraction
+    battery dispatches on, plus deterministically injected import /
+    declaration lines (hash-scheduled off the commit id) so extraction
+    and the triple aggregation carry representative match density
+    rather than an all-miss scan."""
+    from pyspark.sql import functions as F
+    base = _scale_corpus(spark, sf_dir, replicas)
+    did = F.abs(F.xxhash64("commit"))
+    fam = F.lit("text")
+    for nat, pl in (("en", "python"), ("de", "java"), ("zh", "c"),
+                    ("fr", "go"), ("es", "rust")):
+        fam = F.when(F.col("lang") == nat, F.lit(pl)).otherwise(fam)
+    mod = (did % 24).cast("string")
+    imp = (F.when(fam == "python",
+                  F.concat(F.lit("import pkg"), mod, F.lit("\n")))
+           .when(fam == "java",
+                 F.concat(F.lit("import pkg"), mod, F.lit(".core;\n")))
+           .when(fam == "c",
+                 F.concat(F.lit("#include <pkg"), mod, F.lit(".h>\n")))
+           .when(fam == "go",
+                 F.concat(F.lit('import "pkg'), mod, F.lit('"\n')))
+           .when(fam == "rust",
+                 F.concat(F.lit("use pkg"), mod, F.lit("::core;\n")))
+           .otherwise(F.lit("")))
+    fn = (did % 50).cast("string")
+    dfn = (F.when(fam == "python",
+                  F.concat(F.lit("def fn_"), fn, F.lit("():\n")))
+           .when(fam == "java",
+                 F.concat(F.lit("void fn_"), fn, F.lit("() {\n")))
+           .when(fam == "c",
+                 F.concat(F.lit("int fn_"), fn, F.lit("() {\n")))
+           .when(fam == "go",
+                 F.concat(F.lit("func fn_"), fn, F.lit("() {\n")))
+           .when(fam == "rust",
+                 F.concat(F.lit("fn fn_"), fn, F.lit("() {\n")))
+           .otherwise(F.lit("")))
+    content = F.concat(
+        F.when(did % 3 > 0, imp).otherwise(F.lit("")),
+        F.when(did % 2 == 0, dfn).otherwise(F.lit("")),
+        F.col("content"))
+    return base.select("repo", "path", "commit", fam.alias("lang"),
+                       content.alias("content"))
+
+
+def _run_code_scaled(spark, docs) -> tuple[float, int]:
+    """The composed code-KG pipeline (curate -> extract -> link ->
+    triples) over a materialized code corpus."""
+    from bern2_spark.dataprep.codekg import (code_triples, extract_defs,
+                                             extract_imports)
+    from bern2_spark.dataprep.codeqc import stack_quality_features
+    t0 = time.perf_counter()
+    cur = (stack_quality_features(docs).filter("passes")
+           .select("repo", "path", "lang", "content"))
+    n = code_triples(extract_imports(cur), extract_defs(cur)).count()
+    return time.perf_counter() - t0, n
+
+
+def _run_extract_scaled(spark, docs) -> tuple[float, int]:
+    """Import extraction alone: codegen-fused scan, zero exchanges —
+    the pure parallel-section control for the code legs (same role as
+    the tag stage in the bio legs)."""
+    from bern2_spark.dataprep.codekg import extract_imports
+    t0 = time.perf_counter()
+    n = extract_imports(docs).count()
     return time.perf_counter() - t0, n
 
 
