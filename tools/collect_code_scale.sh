@@ -11,7 +11,7 @@ export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
 export SPARK_GRAFT_SCALE_REPLICAS=${SPARK_GRAFT_SCALE_REPLICAS:-8}
 
 echo "=== code-scale collection start $(date -u +%H:%M:%S) ===" >> "$LOG"
-for round in 0 1; do
+for round in 0 1 2; do
   for cpus in 4 16; do
     echo "--- leg round=$round cpus=$cpus start $(date -u +%H:%M:%S)" >> "$LOG"
     taskset -c 0-$((cpus - 1)) python3 bench.py --scale-leg-code "$cpus" \
