@@ -5079,9 +5079,12 @@ def code_secret_scan(spark, sf_dir):
 # sweep covers them; together with prior rounds' artifacts every
 # registered query then has at least one driver-verified row.
 _SWEEP_FIRST = [
-    # flagship queries lead every sweep window: they are the
-    # north-rule surface and must never rotate out of the hard signal
-    "kg_pipeline_triples", "kg_pubannotation",
+    # the flagship leads every sweep window: it is the north-rule
+    # surface and must never rotate out of the hard signal.
+    # kg_pubannotation (driver-green in r4) gives its final-round slot
+    # to code_secret_scan — the north rule's per-row content-sha256
+    # invariant, which the composed kg_code_pipeline does NOT exercise
+    "kg_pipeline_triples", "code_secret_scan",
     "dedup_canonical_keep", "split_stratified", "split_leakage_safe",
     "qc_contamination", "qc_decontaminated", "mix_token_budget_exact",
     "mix_token_budget_hash", "qc_repetition", "qc_pii_scrub",
@@ -5095,7 +5098,12 @@ _SWEEP_FIRST = [
     "ann_ivf_streamed",  # new in r5 — needs its first driver row
     "lex_build_cellosaurus", "lex_build_cellontology",  # new in r5
     "ann_ivf_pq", "ann_ivf_pq_rerank", "qc_kmv_distinct",
-    "mix_pps_sample", "dedup_prefix_jaccard", "qc_kmv_streamed",
+    "mix_pps_sample", "dedup_prefix_jaccard",
+    # code_dep_pagerank takes qc_kmv_streamed's slot (exact twin
+    # qc_kmv_distinct keeps the family's driver row — same surface,
+    # same fixture): the dependency-graph rollup is not reachable
+    # through the composed kg_code_pipeline's plan
+    "code_dep_pagerank",
     "qc_length_quantiles",  # new r5
     # session-3 additions (r5): code-corpus QC, C4, heavy hitters,
     # per-group sampling, triples upsert
@@ -5114,6 +5122,7 @@ _SWEEP_FIRST = [
     # (word soup has no line punctuation, so only n_words varies);
     # pack/negsample landed after the window filled.  All three keep
     # local DuckDB-oracle coverage in tests/test_entry.py regardless.
+    "kg_pubannotation", "qc_kmv_streamed",
     "qc_cms_heavy_hitters",
     "qc_c4_rules", "mix_pack_sequences", "kg_negative_samples",
     "code_curated_corpus", "events_funnel", "events_retention",
