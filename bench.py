@@ -200,6 +200,16 @@ def main() -> None:
         docs = _scale_code_corpus(spark, sf_dir, replicas).repartition(
             spark.sparkContext.defaultParallelism).persist()
         docs.count()
+        # steady-state variant: run the full-scale job once UNTIMED so
+        # the timed region measures the engine, not first-touch page
+        # faults on a ballooned hypervisor (the same warm-then-measure
+        # principle the headline bench uses; the decay mode it removes
+        # is documented in BENCH/BASELINE.md).  Off by default — the
+        # cold protocol stays the primary artifact.
+        fullwarm = os.environ.get("SPARK_GRAFT_SCALE_FULLWARM") == "1"
+        if fullwarm:
+            _run_extract_scaled(spark, docs)
+            _run_code_scaled(spark, docs)
         load0 = _wait_quiet()
         ticks = _cpu_ticks()
         ext_sec, n_mentions = _run_extract_scaled(spark, docs)
@@ -216,6 +226,7 @@ def main() -> None:
             "pipe_steal_pct": pipe_cpu["steal_pct"],
             "ext_busy_core_s": ext_cpu["busy_core_s"],
             "ext_steal_pct": ext_cpu["steal_pct"],
+            "fullwarm": fullwarm,
             "loadavg_before": load0, "loadavg_after": _loadavg()}))
         spark.stop()
         return
