@@ -198,6 +198,32 @@ def scan_secrets(df: DataFrame,
             .withColumn("redacted_sha", F.sha2(red, 256)))
 
 
+def shared_package_graph(imports: DataFrame, tau: float = 0.0,
+                         max_pkg_degree: int = 1000,
+                         track_persisted: list | None = None) -> DataFrame:
+    """Bipartite projection of the repo-package membership graph onto
+    repos: weighted ``(repo_a, repo_b, shared, jaccard)`` edges between
+    repos that import the same root packages — the KG-materialize step
+    that turns entity-linked import mentions into a repo-similarity
+    graph (the code twin of the entity co-occurrence edges in
+    operators/cooccur.py, where the shared document is replaced by the
+    shared linked entity).
+
+    This IS fork detection with the file-content-hash axis swapped for
+    the package axis, so it reuses codeqc.fork_candidates verbatim
+    rather than re-deriving the plan: same hub cap (a package imported
+    by more than ``max_pkg_degree`` repos is ecosystem-wide
+    infrastructure — stdlib, numpy — and carries no similarity signal;
+    dropping it FIRST bounds the projection fan-out at cap^2 per
+    package), same groupBy-then-C(d,2) in-row pair expansion (no
+    self-join ever runs), same 8-byte xxhash64 repo-id discipline for
+    everything that shuffles in volume."""
+    from bern2_spark.dataprep.codeqc import fork_candidates
+    mem = imports.select("repo", F.col("root_pkg").alias("h"))
+    return fork_candidates(mem, tau=tau, max_hash_degree=max_pkg_degree,
+                           track_persisted=track_persisted)
+
+
 def dependency_edges(imports: DataFrame) -> DataFrame:
     """Distinct repo -> package edges (src='repo:<r>', dst='pkg:<p>')
     — the graph-materialize handoff consumed by operators/graph.py

@@ -5067,6 +5067,42 @@ def code_secret_scan(spark, sf_dir):
         "any_secret", "redacted_sha")
 
 
+@q("kg_shared_pkg_graph",
+   "WITH " + _CODE_SRC_BODY + _code_imports_cte() + """,
+mem AS (SELECT DISTINCT repo, root_pkg AS pkg FROM im),
+deg AS (SELECT pkg, count(*) AS d FROM mem GROUP BY pkg),
+kept AS (SELECT m.repo, m.pkg FROM mem m JOIN deg USING (pkg)
+         WHERE deg.d <= 8),
+sz AS (SELECT repo, count(*) AS n FROM kept GROUP BY repo),
+p AS (SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.pkg = b.pkg AND a.repo < b.repo
+      GROUP BY 1, 2)
+SELECT repo_a, repo_b, shared,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+           AS jaccard
+FROM p JOIN sz sa ON sa.repo = p.repo_a
+       JOIN sz sb ON sb.repo = p.repo_b
+""")
+def kg_shared_pkg_graph(spark, sf_dir):
+    """Repo-similarity graph by bipartite projection: repos become
+    neighbors when they import the same (entity-linked) root packages,
+    weighted by Jaccard over their package sets — the KG-materialize
+    step downstream of the import battery, feeding the same graph
+    operators as the dependency edges.  The hub cap (8 on the fixture,
+    where package in-degree spans 5-10 repos, so the cap demonstrably
+    drops the boilerplate half) is the scale control: an
+    ecosystem-wide package shared by 10^5 repos would otherwise emit
+    C(10^5, 2) pairs.  Operator: dataprep/codekg.py:
+    shared_package_graph, a documented reuse of
+    codeqc.fork_candidates (same plan, different axis)."""
+    from bern2_spark.dataprep.codekg import (extract_imports,
+                                             shared_package_graph)
+    imp = extract_imports(_code_src(spark, sf_dir))
+    return shared_package_graph(
+        imp, tau=0.0, max_pkg_degree=8,
+        track_persisted=_persist_generation("kg_shared_pkg_graph"))
+
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -5129,6 +5165,7 @@ _SWEEP_FIRST = [
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
     "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
     "mix_rendezvous_shards", "events_top_paths",
+    "kg_shared_pkg_graph",
 ]
 
 

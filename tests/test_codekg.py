@@ -125,3 +125,29 @@ def test_battery_stays_jvm_side(code_df):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "*(1)" in plan  # whole-stage-codegen stage marker
+
+
+def test_shared_package_graph_projection(spark):
+    """Bipartite projection with hub capping: brute-force expectation
+    on a handcrafted membership, and the capped package contributes no
+    pairs."""
+    from bern2_spark.dataprep.codekg import shared_package_graph
+    files = [
+        # hub: every repo imports os (degree 3 > cap 2) -> dropped
+        ("r1", "a.py", "python", "import os\nimport numpy\nimport flask\n"),
+        ("r2", "b.py", "python", "import os\nimport numpy\n"),
+        ("r3", "c.py", "python", "import os\nimport flask\nimport numpy\n"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    imp = extract_imports(df)
+    got = {(r.repo_a, r.repo_b): (r.shared, r.jaccard)
+           for r in shared_package_graph(imp, max_pkg_degree=2).collect()}
+    # kept packages: numpy {r1,r2,r3}? no — numpy degree 3 too.
+    # degrees: os=3, numpy=3, flask=2 -> only flask survives cap 2.
+    assert got == {("r1", "r3"): (1, 1.0)}
+    # without the cap, all three packages project
+    full = {(r.repo_a, r.repo_b): (r.shared, r.jaccard)
+            for r in shared_package_graph(imp, max_pkg_degree=10).collect()}
+    assert full == {("r1", "r2"): (2, round(2 / 3, 6)),
+                    ("r1", "r3"): (3, 1.0),
+                    ("r2", "r3"): (2, round(2 / 3, 6))}
