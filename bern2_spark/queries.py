@@ -5067,6 +5067,38 @@ def code_secret_scan(spark, sf_dir):
         "any_secret", "redacted_sha")
 
 
+@q("kg_code_streamed", None)
+def kg_code_streamed(spark, sf_dir):
+    """End-to-end STREAMED code-KG construction: the code corpus
+    arrives as a 4-file json stream (maxFilesPerTrigger=1 -> 4 real
+    micro-batches), each batch runs curate -> extract -> link and
+    persists PARTIAL per-(repo, entity) triples (idempotent batch-dir
+    overwrites), and the query answers from the merge-on-read sum
+    (streaming/kg.py:stream_code_kg).  Shares kg_code_pipeline's
+    oracle: because every file arrives exactly once, the summed
+    partials must equal the batch pipeline over the union — the
+    stream==batch equivalence is hash-checked by the driver, not
+    asserted.  JSON round-trips the string columns exactly, so the
+    extraction battery sees byte-identical content."""
+    import os as _os
+    import tempfile
+
+    from bern2_spark.streaming.kg import read_code_triples, stream_code_kg
+    src = _code_src(spark, sf_dir).select(
+        "repo", "path", "commit_sha", "lang", "content")
+    base = tempfile.mkdtemp(prefix="bern2_code_kg_streamed_")
+    in_dir = _os.path.join(base, "in")
+    out_dir = _os.path.join(base, "out")
+    src.repartition(4).write.mode("overwrite").json(in_dir)
+    stream_code_kg(spark, in_dir, out_dir,
+                   schema=("repo string, path string, commit_sha string,"
+                           " lang string, content string"))
+    return read_code_triples(spark, out_dir)
+
+
+ORACLES["kg_code_streamed"] = ORACLES["kg_code_pipeline"]
+
+
 @q("kg_shared_pkg_graph",
    "WITH " + _CODE_SRC_BODY + _code_imports_cte() + """,
 mem AS (SELECT DISTINCT repo, root_pkg AS pkg FROM im),
@@ -5165,7 +5197,7 @@ _SWEEP_FIRST = [
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
     "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
     "mix_rendezvous_shards", "events_top_paths",
-    "kg_shared_pkg_graph",
+    "kg_shared_pkg_graph", "kg_code_streamed",
 ]
 
 

@@ -78,3 +78,59 @@ def read_stream_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     base = os.path.join(out_dir, "triples")
     return (spark.read.option("basePath", base)
             .parquet(os.path.join(base, "batch=*")))
+
+
+def stream_code_kg(spark: SparkSession, input_dir: str, out_dir: str,
+                   schema) -> None:
+    """Streaming CODE-entity KG construction: (repo, path, ..., lang,
+    content) files arrive continuously; each micro-batch is curated
+    (the Stack-quality gate), mention-detected (the multi-language
+    import/declaration battery), entity-linked, and written as PARTIAL
+    per-(repo, entity) triples under ``code_triples/batch=<id>``
+    (overwrite = replay-idempotent, the module convention).
+
+    Unlike the bio pipeline above — per-document independent, so
+    streamed triples union directly — code triples AGGREGATE across a
+    repo's files, which can straddle micro-batches.  The store is
+    therefore merge-on-read (the streaming/incremental.py convention):
+    each batch persists its partial ``n_mentions``/``n_files`` counts
+    and ``read_code_triples`` sums them.  merged == batch-recompute
+    holds because every file arrives exactly once: ``n_mentions`` is a
+    plain count, and ``n_files`` (count of distinct paths) splits
+    losslessly across batches with disjoint path sets
+    (tests/test_streaming.py asserts the law on a straddling repo)."""
+    from bern2_spark.dataprep.codekg import (code_triples, extract_defs,
+                                             extract_imports)
+    from bern2_spark.dataprep.codeqc import stack_quality_features
+    triples_dir = os.path.join(out_dir, "code_triples")
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = (stack_quality_features(batch_df)
+               .filter("passes").select(*batch_df.columns))
+        t = code_triples(extract_imports(cur), extract_defs(cur))
+        (t.write.mode("overwrite").format("parquet")
+         .save(os.path.join(triples_dir, f"batch={batch_id}")))
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1")   # force multi-batch
+         .json(input_dir)
+         .writeStream.foreachBatch(process_batch)
+         .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def read_code_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge-on-read over the partial per-batch code triples: one
+    groupBy on the triple key sums the partials; only ~50-byte
+    aggregate rows are ever read or shuffled, never content."""
+    from pyspark.sql import functions as F
+    base = os.path.join(out_dir, "code_triples")
+    part = (spark.read.option("basePath", base)
+            .parquet(os.path.join(base, "batch=*")))
+    return (part.groupBy("subj", "pred", "obj")
+            .agg(F.sum("n_mentions").alias("n_mentions"),
+                 F.sum("n_files").alias("n_files")))

@@ -490,3 +490,55 @@ def test_stream_kg_triples_matches_batch_and_replays(spark, tmp_path):
                    read_stream_triples(spark, out)
                    .filter("batch = 1").drop("batch").collect())
     assert after == before
+
+
+def test_stream_code_kg_merges_to_batch(spark, tmp_path):
+    """Code triples aggregate per (repo, entity) and a repo's files can
+    straddle micro-batches — the merge-on-read sum must equal the batch
+    pipeline over the union, and replaying a batch must rewrite
+    identical partials."""
+    import json as _json
+    import os
+
+    from bern2_spark.dataprep.codekg import (code_triples, extract_defs,
+                                             extract_imports)
+    from bern2_spark.streaming.kg import read_code_triples, stream_code_kg
+
+    cols = ["repo", "path", "commit_sha", "lang", "content"]
+    # r1 straddles batches 0 and 1 with the SAME import (numpy): the
+    # partial n_mentions/n_files must sum, not collide
+    batches = [
+        [("r1", "a.py", "c1", "python", "import numpy\nimport flask\n"),
+         ("r2", "b.py", "c2", "python", "import numpy\ndef go():\n")],
+        [("r1", "c.py", "c3", "python", "import numpy\ndef run():\n")],
+        [("r3", "d.go", "c4", "go", 'import "acme/x"\nfunc H() {\n')],
+    ]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    for i, rows in enumerate(batches):
+        p = os.path.join(inp, f"b{i}.json")
+        with open(p, "w") as f:
+            for row in rows:
+                f.write(_json.dumps(dict(zip(cols, row))) + "\n")
+        os.utime(p, (1000000 + i, 1000000 + i))
+    schema = ", ".join(f"{c} string" for c in cols)
+    stream_code_kg(spark, inp, out, schema)
+    got = sorted(tuple(r) for r in read_code_triples(spark, out).collect())
+
+    union = spark.createDataFrame(sum(batches, []), cols)
+    want = sorted(tuple(r) for r in code_triples(
+        extract_imports(union), extract_defs(union)).collect())
+    assert got == want and len(want) > 0
+    # the straddling repo really did split: r1 imports numpy in 2 files
+    assert ("repo:r1", "imports", "pkg:numpy", 2, 2) in got
+
+    # replay batch 1 by hand: identical partials rewritten
+    part_dir = os.path.join(out, "code_triples", "batch=1")
+    before = sorted(tuple(r) for r in
+                    spark.read.parquet(part_dir).collect())
+    b1 = spark.createDataFrame(batches[1], cols)
+    (code_triples(extract_imports(b1), extract_defs(b1))
+     .write.mode("overwrite").format("parquet").save(part_dir))
+    after = sorted(tuple(r) for r in
+                   spark.read.parquet(part_dir).collect())
+    assert after == before
