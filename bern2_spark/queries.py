@@ -5099,8 +5099,8 @@ def kg_code_streamed(spark, sf_dir):
 ORACLES["kg_code_streamed"] = ORACLES["kg_code_pipeline"]
 
 
-@q("kg_shared_pkg_graph",
-   "WITH " + _CODE_SRC_BODY + _code_imports_cte() + """,
+_SHARED_PKG_SQL = (
+    "WITH " + _CODE_SRC_BODY + _code_imports_cte() + """,
 mem AS (SELECT DISTINCT repo, root_pkg AS pkg FROM im),
 deg AS (SELECT pkg, count(*) AS d FROM mem GROUP BY pkg),
 kept AS (SELECT m.repo, m.pkg FROM mem m JOIN deg USING (pkg)
@@ -5115,6 +5115,9 @@ SELECT repo_a, repo_b, shared,
 FROM p JOIN sz sa ON sa.repo = p.repo_a
        JOIN sz sb ON sb.repo = p.repo_b
 """)
+
+
+@q("kg_shared_pkg_graph", _SHARED_PKG_SQL)
 def kg_shared_pkg_graph(spark, sf_dir):
     """Repo-similarity graph by bipartite projection: repos become
     neighbors when they import the same (entity-linked) root packages,
@@ -5133,6 +5136,43 @@ def kg_shared_pkg_graph(spark, sf_dir):
     return shared_package_graph(
         imp, tau=0.0, max_pkg_degree=8,
         track_persisted=_persist_generation("kg_shared_pkg_graph"))
+
+
+@q("kg_repo_communities", """
+WITH RECURSIVE proj AS (""" + _SHARED_PKG_SQL + """),
+e0 AS (SELECT repo_a, repo_b FROM proj WHERE jaccard >= 0.5),
+edges AS (SELECT repo_a AS a, repo_b AS b FROM e0
+          UNION SELECT repo_b, repo_a FROM e0),
+reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b)
+SELECT node AS repo, min(comp) AS community
+FROM reach GROUP BY node
+""")
+def kg_repo_communities(spark, sf_dir):
+    """Repo community detection: connected components over the
+    similarity-thresholded (jaccard >= 0.5) bipartite-projection
+    edges — the canonicalization step that rolls the repo-similarity
+    graph up into entity clusters (fork families, vendored-stack
+    cohorts).  Pure composition of two verified operators:
+    shared_package_graph edges feed the unchanged
+    dataprep/cluster.py components loop (min-label hooking + pointer
+    jumping, O(log n) rounds, lineage truncated per round — label
+    comparisons are lexicographic on the string repo ids, same
+    min-label semantics).  The DuckDB twin is the recursive
+    min-reachable CTE, a genuinely different formulation, so the hash
+    match validates the fixed point, not the iteration."""
+    from bern2_spark.dataprep.cluster import connected_components
+    from bern2_spark.dataprep.codekg import (extract_imports,
+                                             shared_package_graph)
+    imp = extract_imports(_code_src(spark, sf_dir))
+    edges = shared_package_graph(
+        imp, tau=0.5, max_pkg_degree=8,
+        track_persisted=_persist_generation("kg_repo_communities"))
+    cc = connected_components(edges, src_col="repo_a", dst_col="repo_b")
+    return cc.select(F.col("doc_id").alias("repo"),
+                     F.col("component").alias("community"))
 
 
 # --------------------------------------------------------------------------
@@ -5197,7 +5237,7 @@ _SWEEP_FIRST = [
     "join_bloom_pruned", "ann_recall_report", "kg_triples_diff",
     "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
     "mix_rendezvous_shards", "events_top_paths",
-    "kg_shared_pkg_graph", "kg_code_streamed",
+    "kg_shared_pkg_graph", "kg_code_streamed", "kg_repo_communities",
 ]
 
 
