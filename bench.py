@@ -44,6 +44,9 @@ HEADLINE = [
     # composed code-KG pipeline: curate -> extract -> link -> triples
     # (added r5 session 4) — the north rule's sentence as one plan
     "kg_code_pipeline",
+    # repo-similarity projection (added r5 final session; ~2 s at
+    # sf0.1 — totals are not comparable to 19-query artifacts)
+    "kg_shared_pkg_graph",
 ]
 
 
