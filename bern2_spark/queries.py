@@ -3980,6 +3980,51 @@ def code_license_spot(spark, sf_dir):
         "doc_id", "repo", "license", "permissive")
 
 
+@q("kg_repo_license", _CODE_CTE + r""",
+spot AS (
+  SELECT repo,
+         nullif(coalesce(
+           nullif(regexp_extract(content,
+                    'SPDX-License-Identifier:\s*([A-Za-z0-9.\-]+)', 1),
+                  ''),
+           CASE WHEN contains(content, 'MIT License') THEN 'MIT'
+                WHEN contains(content, 'Apache License')
+                     THEN 'Apache-2.0'
+                WHEN contains(content, 'GNU General Public License')
+                     THEN 'GPL-3.0-only'
+                WHEN contains(content, 'BSD 3-Clause')
+                     THEN 'BSD-3-Clause'
+           END), '') AS license
+  FROM code),
+per AS (SELECT repo, license, count(*) AS n_files FROM spot
+        WHERE license IS NOT NULL GROUP BY 1, 2),
+ranked AS (
+  SELECT repo, license, n_files,
+         sum(n_files) OVER (PARTITION BY repo) AS n_licensed,
+         row_number() OVER (PARTITION BY repo ORDER BY
+           CASE license WHEN 'GPL-3.0-only' THEN 4
+                WHEN 'Apache-2.0' THEN 3 WHEN 'BSD-3-Clause' THEN 2
+                WHEN 'MIT' THEN 1 ELSE 5 END DESC,
+           license ASC) AS rn
+  FROM per)
+SELECT repo, license, n_files, n_licensed,
+       license IN ('MIT', 'Apache-2.0', 'BSD-3-Clause') AS permissive
+FROM ranked WHERE rn = 1
+""")
+def kg_repo_license(spark, sf_dir):
+    """Repo-level license resolution: the per-file SPDX/header spots
+    roll up to ONE governing license per repo under the conservative
+    compliance rule (most restrictive present governs; unknown SPDX
+    ids outrank everything known) — the entity-linking step that
+    turns file-level license mentions into the (repo, licensed_under,
+    license) KG fact The Stack's compliance gate consumes.  One
+    map-side-combined groupBy to <= |repos| x |licenses| rows, then a
+    window over that tiny aggregate; content never shuffles
+    (dataprep/codeqc.py:resolve_repo_license)."""
+    from bern2_spark.dataprep.codeqc import resolve_repo_license
+    return resolve_repo_license(_code(spark, sf_dir))
+
+
 @q("code_repo_stats", _CODE_CTE + """
 , h AS (
   SELECT repo, lang, length(content) AS n_bytes,
@@ -5238,6 +5283,7 @@ _SWEEP_FIRST = [
     "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
     "mix_rendezvous_shards", "events_top_paths",
     "kg_shared_pkg_graph", "kg_code_streamed", "kg_repo_communities",
+    "kg_repo_license",
 ]
 
 

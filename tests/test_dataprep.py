@@ -1488,3 +1488,30 @@ def test_rendezvous_minimal_remap(spark):
     from collections import Counter
     occ = Counter(s8.values())
     assert len(occ) == 8 and max(occ.values()) < 2 * min(occ.values())
+
+
+def test_resolve_repo_license_conservative_rule(spark):
+    """Most restrictive license present governs; unknown SPDX ids
+    outrank known ones; unlicensed repos produce no row."""
+    from bern2_spark.dataprep.codeqc import resolve_repo_license
+    rows = [
+        # r1: MIT + GPL -> GPL governs, not permissive
+        ("r1", "a", "SPDX-License-Identifier: MIT\ncode\n"),
+        ("r1", "b", "GNU General Public License v3\ncode\n"),
+        ("r1", "c", "MIT License\ncode\n"),
+        # r2: unknown SPDX id outranks Apache
+        ("r2", "d", "SPDX-License-Identifier: Zlib\ncode\n"),
+        ("r2", "e", "Apache License\ncode\n"),
+        # r3: pure permissive
+        ("r3", "f", "SPDX-License-Identifier: BSD-3-Clause\n"),
+        # r4: no license -> absent
+        ("r4", "g", "just code\n"),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "content"])
+    got = {r.repo: (r.license, r.n_files, r.n_licensed, r.permissive)
+           for r in resolve_repo_license(df).collect()}
+    assert got == {
+        "r1": ("GPL-3.0-only", 1, 3, False),
+        "r2": ("Zlib", 1, 2, False),
+        "r3": ("BSD-3-Clause", 1, 1, True),
+    }
