@@ -1,0 +1,69 @@
+"""Multi-granularity time rollup — the hypertable continuous-aggregate
+shape (hour + day + ... grains of the same measures in one pass).
+
+The naive formulation scans the fact table once PER grain (``GROUP BY
+date_trunc('hour', ts)`` then again for day, week, ...), or uses
+GROUPING SETS, which still shuffles every input row once per grouping
+set.  Both are wrong at 100 TB: the event table is the big thing, and
+it should be read and shuffled exactly once.
+
+This operator aggregates at the FINEST grain only (the single full
+shuffle over the fact table), then derives every coarser grain by
+re-aggregating the finest-grain result — valid because the measures
+are reaggregable (counts and integer-micro sums are associative;
+min/max too).  The hourly aggregate is ~10^5 smaller than the raw
+events, so the day/week re-aggregations are effectively free — the
+same materialization hierarchy TimescaleDB continuous aggregates and
+Druid rollup segments use.
+
+Measures are summed as exact integer micros (``round(value*1e6)`` cast
+long) so results are independent of float summation order — hashable
+against a DuckDB oracle and stable across partitionings.
+
+Reference scope note: BERN2 has no time dimension at all; this is part
+of the engine's analytics extension surface (SURVEY §2.12), sharing the
+events table with the as-of/sessionize/funnel family.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# coarse -> fine; a requested grain set must be a contiguous suffix
+# check is per-pair: each coarser grain re-truncates the next finer one
+_GRAIN_ORDER = ["year", "month", "week", "day", "hour", "minute"]
+
+
+def rollup_timegrains(df: DataFrame, ts_col: str, dims: List[str],
+                      value_col: str,
+                      grains: Sequence[str] = ("hour", "day"),
+                      ) -> DataFrame:
+    """Counts + exact integer-micro sums of ``value_col`` per ``dims``
+    at every grain in ``grains``, computed with ONE shuffle over
+    ``df``.  Output: ``grain`` (string), dims..., ``win_start``
+    (timestamp, bucket start), ``n_events`` (long), ``value_micros``
+    (long).  Coarser grains re-aggregate the finest grain's result."""
+    grains = sorted(set(grains), key=_GRAIN_ORDER.index, reverse=True)
+    finest = grains[0]
+    cur = (df.groupBy(*dims,
+                      F.date_trunc(finest, F.col(ts_col))
+                      .alias("win_start"))
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.round(F.col(value_col) * 1000000).cast("bigint"))
+                .cast("bigint").alias("value_micros"))
+           .withColumn("grain", F.lit(finest)))
+    out = cur
+    for g in grains[1:]:
+        cur = (cur.groupBy(*dims,
+                           F.date_trunc(g, F.col("win_start"))
+                           .alias("win_start"))
+               .agg(F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("value_micros").cast("bigint")
+                    .alias("value_micros"))
+               .withColumn("grain", F.lit(g)))
+        out = out.unionByName(cur)
+    return out.select("grain", *dims, "win_start", "n_events",
+                      "value_micros")

@@ -5220,6 +5220,82 @@ def kg_repo_communities(spark, sf_dir):
                      F.col("component").alias("community"))
 
 
+# ------------------------------------------- range join / time rollup
+
+
+@q("events_interval_join", """
+WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS lo_us,
+                  epoch_us(ts) + 7200000000 AS hi_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click')
+SELECT c.user_id, c.click_id, c.click_us, p.purchase_id,
+       p.lo_us AS win_lo_us
+FROM c JOIN p ON c.user_id = p.user_id
+             AND c.click_us >= p.lo_us AND c.click_us < p.hi_us
+""")
+def events_interval_join(spark, sf_dir):
+    """Bucketized interval (range) join (operators/rangejoin.py):
+    every click joined to the same user's 2-hour post-purchase
+    windows containing it.  The oracle is the straight theta join
+    DuckDB can afford at sf scale; the Spark plan is the
+    bucket-explode equi-join that replaces the
+    BroadcastNestedLoopJoin Spark would otherwise pick — shuffle
+    hash-partitioned on (user_id, bucket), expansion bounded at 2
+    interval copies (W = interval length).  Timestamps compared as
+    epoch micros (NTZ-safe, see events_asof_attribution)."""
+    from bern2_spark.operators.rangejoin import interval_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def us(c):
+        return F.expr(f"timestampdiff(MICROSECOND, "
+                      f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")
+
+    two_h = 7_200_000_000  # 2 hours of micros; also the bucket width
+    points = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        us("ts").alias("click_us"))
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        us("ts").alias("win_lo_us"),
+        (us("ts") + F.lit(two_h)).alias("_hi_us"))
+    out = interval_join(points, intervals, ["user_id"], "click_us",
+                        "win_lo_us", "_hi_us", bucket_width=two_h)
+    return out.select("user_id", "click_id", "click_us",
+                      "purchase_id", "win_lo_us")
+
+
+@q("events_rollup_multigrain", """
+SELECT 'hour' AS grain, event_type,
+       epoch_us(date_trunc('hour', ts)) AS win_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_micros
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', event_type, epoch_us(date_trunc('day', ts)),
+       count(*),
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+FROM events GROUP BY 2, 3
+""")
+def events_rollup_multigrain(spark, sf_dir):
+    """Hypertable-style multi-grain rollup (operators/rollup.py):
+    hour AND day aggregates of the same measures with ONE shuffle
+    over the events table — the day grain re-aggregates the hourly
+    result (reaggregable integer-micro sums), the continuous-aggregate
+    hierarchy TimescaleDB/Druid use.  The oracle computes each grain
+    independently from raw events (two direct scans), so the hash
+    match validates the re-aggregation identity, not the plan."""
+    from bern2_spark.operators.rollup import rollup_timegrains
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rollup_timegrains(ev, "ts", ["event_type"], "value",
+                            grains=("hour", "day"))
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', win_start)")
+    return out.select("grain", "event_type", us.alias("win_us"),
+                      "n_events", "value_micros")
+
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -5283,7 +5359,7 @@ _SWEEP_FIRST = [
     "qc_oov_rate", "qc_compression_ratio", "code_winnow_fingerprints",
     "mix_rendezvous_shards", "events_top_paths",
     "kg_shared_pkg_graph", "kg_code_streamed", "kg_repo_communities",
-    "kg_repo_license",
+    "kg_repo_license", "events_interval_join", "events_rollup_multigrain",
 ]
 
 
