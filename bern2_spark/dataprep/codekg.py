@@ -82,6 +82,20 @@ LANG_BATTERY: dict[str, tuple[str, str, str]] = {
                r"(?m)^fn (\w+)\(", "colons"),
 }
 
+# Call-site battery: one anchored pattern per language capturing the
+# callee name of an indented bare call statement (the cross-language
+# statement shape `    name(...);?` — C-family statements carry the
+# trailing semicolon, python/go do not).  Same engine-portable
+# construct set as LANG_BATTERY ((?m), [ \t], \w) so the DuckDB twins
+# compile the identical strings.
+CALL_BATTERY: dict[str, str] = {
+    "python": r"(?m)^[ \t]+(\w+)\(\)$",
+    "java":   r"(?m)^[ \t]+(\w+)\(\);$",
+    "c":      r"(?m)^[ \t]+(\w+)\(\);$",
+    "go":     r"(?m)^[ \t]+(\w+)\(\)$",
+    "rust":   r"(?m)^[ \t]+(\w+)\(\);$",
+}
+
 # Public secret-detection patterns (the detect-secrets / gitleaks
 # rule shapes: AWS access-key id, PEM private-key header, generic
 # quoted api-key assignment).
@@ -145,6 +159,53 @@ def extract_defs(df: DataFrame,
         "fn_name",
         F.explode(_dispatch(F.col(lang_col), F.col(content_col), 1)))
     return out.drop(content_col)
+
+
+def extract_calls(df: DataFrame,
+                  lang_col: str = "lang",
+                  content_col: str = "content") -> DataFrame:
+    """One row per call-site mention: adds ``callee`` (the called
+    function's name).  Same scan-fused constant-pattern shape as the
+    import/def batteries — zero UDFs, zero exchanges, row-local
+    explode."""
+    lang = F.col(lang_col)
+    expr = F.array().cast("array<string>")
+    for name, pat in CALL_BATTERY.items():
+        expr = F.when(lang == name,
+                      F.regexp_extract_all(F.col(content_col),
+                                           F.lit(pat), 1)
+                      ).otherwise(expr)
+    return df.withColumn("callee", F.explode(expr)).drop(content_col)
+
+
+def call_edges(calls: DataFrame, defs: DataFrame) -> DataFrame:
+    """Call-graph materialize: link each repo's call sites to the
+    corpus-wide declaration table and emit
+    ``(subj='repo:<repo>', pred='calls', obj='fn:<callee>', n_sites,
+    n_def_repos)`` — ``n_def_repos`` counts how many repos declare the
+    callee (0 = unresolved: a call into code outside the corpus).
+
+    Scale shape: BOTH join sides are pre-aggregated before they meet —
+    call sites collapse to (repo, callee, n_sites) with map-side
+    combine, declarations collapse to one (callee, n_def_repos) row
+    per name — so the link join fans nothing out and a hub callee name
+    (``main``, ``init``, declared in millions of repos) is ONE row on
+    the build side regardless of its degree; there is no d^2 anywhere
+    to cap.  Three shuffles total (two aggs + the join; AQE broadcasts
+    the name table when it is small).  This is the code twin of the
+    biomedical mention->CUI link: the declaration table plays the
+    lexicon, unresolved calls play CUI-less mentions."""
+    cs = (calls.groupBy("repo", "callee")
+          .agg(F.count("*").alias("n_sites")))
+    dd = (defs.groupBy(F.col("fn_name").alias("callee"))
+          .agg(F.countDistinct("repo").alias("n_def_repos")))
+    return (cs.join(dd, "callee", "left")
+            .select(F.concat(F.lit("repo:"), "repo").alias("subj"),
+                    F.lit("calls").alias("pred"),
+                    F.concat(F.lit("fn:"), "callee").alias("obj"),
+                    "n_sites",
+                    F.coalesce("n_def_repos",
+                               F.lit(0)).alias("n_def_repos")))
 
 
 def code_triples(imports: DataFrame, defs: DataFrame) -> DataFrame:

@@ -401,3 +401,68 @@ def blocklist_filter(docs: DataFrame, blocklist,
     hits = F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
     return (docs.withColumn("blocklist_hits", hits)
             .withColumn("blocked", hits > 0))
+
+
+def lm_cross_entropy(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", bucket_hex: int = 3,
+                     smoothing: float = 1.0, round_to: int | None = 9,
+                     track_persisted: list | None = None) -> DataFrame:
+    """Per-doc cross-entropy under a hashed-bigram LM estimated from
+    the corpus itself — the CCNet/KenLM-style perplexity quality
+    signal (Wenzek et al. 2020): fluent text full of common
+    continuations scores low, gibberish and boilerplate-soup score
+    high (perplexity = exp of the returned ``lm_xent``).
+
+    The model is add-``smoothing`` conditional probability in hashed
+    space: p(w2|w1) ~= (c[bucket(w1 w2)] + s) / (c[bucket(w1)] + s*V)
+    with V = 16**``bucket_hex`` buckets (md5-hex prefixes, the same
+    engine-portable keys as DSIR's importance weights — this operator
+    is the absolute-likelihood half of that ratio).  Hashing makes the
+    normalization approximate (bigram buckets are not nested under
+    prefix buckets) — standard hashed-LM trade, same as DSIR's.
+    Docs with <2 tokens score 0.
+
+    Scale shape (the importance_weights posture): the exploded
+    (doc, bigram-bucket, prefix-bucket) table is the only volume; both
+    count tables collapse to at most V rows via map-side combine and
+    join back BROADCAST, so scoring is narrow and the corpus text
+    never shuffles.  The exploded table has two consumers (counting
+    and scoring) — pass ``track_persisted`` for generation-scoped
+    release, else it is rescanned (documented-cheap: the scan is the
+    tokenizer, all codegen)."""
+    from pyspark import StorageLevel
+    from pyspark.sql.functions import broadcast
+
+    from bern2_spark.dataprep.dedup import word_bigrams
+
+    n_buckets = 16 ** bucket_hex
+    s = float(smoothing)
+    feats = (docs
+             .select(id_col,
+                     F.explode(word_bigrams(F.col(text_col)))
+                     .alias("_gram"))
+             .select(id_col,
+                     F.substring(F.md5("_gram"), 1,
+                                 bucket_hex).alias("_bb"),
+                     F.substring(
+                         F.md5(F.element_at(F.split("_gram", " "), 1)),
+                         1, bucket_hex).alias("_pb")))
+    if track_persisted is not None:
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+        track_persisted.append(feats)
+    bc = feats.groupBy("_bb").agg(F.count("*").alias("_cb"))
+    pc = feats.groupBy("_pb").agg(F.count("*").alias("_cp"))
+    nll = F.log((F.col("_cp") + F.lit(s * n_buckets))
+                / (F.col("_cb") + F.lit(s)))
+    scores = (feats
+              .join(broadcast(bc), "_bb")
+              .join(broadcast(pc), "_pb")
+              .groupBy(id_col).agg(F.avg(nll).alias("_x")))
+    out = (docs.select(id_col)
+           .join(scores, id_col, "left")
+           .select(id_col,
+                   F.coalesce("_x", F.lit(0.0)).alias("lm_xent")))
+    if round_to is not None:
+        out = out.select(id_col,
+                         F.round("lm_xent", round_to).alias("lm_xent"))
+    return out

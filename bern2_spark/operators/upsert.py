@@ -96,3 +96,54 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     return (j.withColumn("op", op)
             .filter(F.col("op").isNotNull())
             .select(*keys, *out_vals, "op"))
+
+
+def scd2_history(feed: DataFrame, keys: List[str], ts_col: str = "ts",
+                 tiebreak: Optional[List[str]] = None) -> DataFrame:
+    """SCD type-2 dimension build: turn a change feed
+    ``(keys..., value columns..., ts)`` into validity-interval version
+    rows ``(keys..., values..., valid_from, valid_to, is_current)``.
+
+    Consecutive feed rows whose value columns are unchanged collapse
+    into one version (run-length collapse — a heartbeat feed that
+    re-emits the same attribute every minute still yields one row per
+    actual change); ``valid_to`` is the next version's ``valid_from``
+    (half-open ``[from, to)`` intervals, NULL ``valid_to`` marks the
+    current version).  ``tiebreak`` columns order same-timestamp rows
+    within a key deterministically (e.g. an event id); they are NOT
+    change-detected and are dropped from the output.  Without a
+    tiebreak the value columns themselves break ties.
+
+    Spark-first shape: ONE shuffle on the key, one sort, two stacked
+    windows over it — ``lag`` of the value struct finds change points,
+    a filter drops the unchanged runs, then ``lead(ts)`` over the
+    SURVIVORS closes each interval.  The filter between the windows
+    preserves both partitioning and order, so the second window adds
+    no exchange and no sort (same stacked-window discipline as
+    operators/asof.py:sessionize).  Skew: a single key with 10^9
+    changes concentrates one partition — sessions/dimension keys
+    rarely do, and the window never materializes the partition (both
+    lag and lead are bounded frames).  Null-safe change detection via
+    ``eqNullSafe`` on the value struct, so NULL->'x' transitions are
+    real versions.  Temp columns are underscore-prefixed like the
+    upsert's; inputs with ``_prev_vals``/``_rn`` columns must rename
+    first."""
+    tb = tiebreak if tiebreak is not None else None
+    value_cols = [c for c in feed.columns
+                  if c not in keys and c != ts_col
+                  and c not in (tb or [])]
+    if tb is None:
+        tb = value_cols
+    order = [F.asc(ts_col)] + [F.asc(c) for c in tb]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    vals = F.struct(*[F.col(c) for c in value_cols])
+    changed = (feed
+               .withColumn("_prev_vals", F.lag(vals).over(w))
+               .filter(F.col("_prev_vals").isNull()
+                       | ~F.col("_prev_vals").eqNullSafe(vals)))
+    return (changed
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select(*keys, *value_cols,
+                    "valid_from", "valid_to", "is_current"))

@@ -5296,6 +5296,191 @@ def events_rollup_multigrain(spark, sf_dir):
                       "n_events", "value_micros")
 
 
+# ------------------------------------------------ call-graph KG edges
+
+# csrc: the code-source view with deterministic call-site lines
+# injected on top (same byte-identical twin-injection discipline as
+# src itself).  Per doc: (doc_id % 4) call statements into the shared
+# fn_0..fn_49 declaration namespace, plus an UNRESOLVED ext_* call on
+# a doc_id % 9 schedule (no repo ever declares ext_*, exercising the
+# CUI-less analog of the link join).
+_CODE_CALL_TMPL = {
+    "python": ("    fn_", "()"), "java": ("    fn_", "();"),
+    "c": ("    fn_", "();"), "go": ("    fn_", "()"),
+    "rust": ("    fn_", "();"),
+}
+_CODE_EXTCALL_TMPL = {
+    "python": ("    ext_", "()"), "java": ("    ext_", "();"),
+    "c": ("    ext_", "();"), "go": ("    ext_", "()"),
+    "rust": ("    ext_", "();"),
+}
+
+
+def _code_calls_body() -> str:
+    calls = []
+    for j in (0, 1):
+        tok = f"CAST((doc_id*13 + {j}*7) % 50 AS VARCHAR)"
+        calls.append(f"(CASE WHEN doc_id % 4 > {j} THEN "
+                     + _tmpl_case_sql(_CODE_CALL_TMPL, tok)
+                     + " ELSE '' END)")
+    ext = ("(CASE WHEN doc_id % 9 = 2 THEN "
+           + _tmpl_case_sql(_CODE_EXTCALL_TMPL,
+                            "CAST(doc_id % 7 AS VARCHAR)")
+           + " ELSE '' END)")
+    return (_CODE_SRC_BODY + """,
+csrc AS (SELECT repo, path, commit_sha, doc_id, lang,
+        """ + calls[0] + " || " + calls[1] + " || " + ext
+            + """ || content AS content
+        FROM src)""")
+
+
+_CODE_CALLS_BODY = _code_calls_body()
+
+
+def _code_calls_src(spark, sf_dir):
+    """Spark twin of the csrc CTE — byte-identical injected calls."""
+    s = _code_src(spark, sf_dir)
+    did = F.col("doc_id")
+
+    def tmpl_case(tmpl, token):
+        col = F.lit("")
+        for pl, (pre, suf) in tmpl.items():
+            col = F.when(F.col("lang") == pl,
+                         F.concat(F.lit(pre), token, F.lit(suf + "\n"))
+                         ).otherwise(col)
+        return col
+
+    pieces = []
+    for j in (0, 1):
+        tok = ((did * 13 + j * 7) % 50).cast("string")
+        pieces.append(F.when(did % 4 > j,
+                             tmpl_case(_CODE_CALL_TMPL, tok))
+                      .otherwise(F.lit("")))
+    pieces.append(F.when(did % 9 == 2,
+                         tmpl_case(_CODE_EXTCALL_TMPL,
+                                   (did % 7).cast("string")))
+                  .otherwise(F.lit("")))
+    return s.withColumn("content",
+                        F.concat(*pieces, F.col("content")))
+
+
+def _code_calls_cte(from_: str = "csrc") -> str:
+    """cl CTE: the per-language call-site battery, same pattern
+    strings as dataprep/codekg.py:CALL_BATTERY."""
+    from bern2_spark.dataprep.codekg import CALL_BATTERY
+    whens = " ".join(
+        f"WHEN '{fam}' THEN regexp_extract_all(content, '{pat}', 1)"
+        for fam, pat in CALL_BATTERY.items())
+    return (""",
+cex AS (SELECT doc_id, repo, path, lang,
+        CASE lang """ + whens + """ ELSE CAST([] AS VARCHAR[]) END AS cls
+        FROM """ + from_ + """),
+cl AS (SELECT doc_id, repo, path, lang, unnest(cls) AS callee
+       FROM cex)""")
+
+
+@q("kg_call_edges",
+   "WITH " + _CODE_CALLS_BODY + _code_calls_cte()
+   + _code_defs_cte(from_="csrc") + """,
+ca AS (SELECT repo, callee, CAST(count(*) AS BIGINT) AS n_sites
+       FROM cl GROUP BY 1, 2),
+dn AS (SELECT fn_name AS callee,
+              CAST(count(DISTINCT repo) AS BIGINT) AS n_def_repos
+       FROM dfs GROUP BY 1)
+SELECT 'repo:' || ca.repo AS subj, 'calls' AS pred,
+       'fn:' || ca.callee AS obj, ca.n_sites,
+       CAST(coalesce(dn.n_def_repos, 0) AS BIGINT) AS n_def_repos
+FROM ca LEFT JOIN dn USING (callee)
+""")
+def kg_call_edges(spark, sf_dir):
+    """Call-graph KG materialize: call-site mentions extracted per
+    language (dataprep/codekg.py:extract_calls), linked against the
+    corpus-wide declaration table, emitted as (repo, calls, fn)
+    triples with resolution counts — n_def_repos = 0 marks calls into
+    code outside the corpus (the CUI-less analog).  Both link-join
+    sides pre-aggregated, so hub callee names never fan out
+    (dataprep/codekg.py:call_edges)."""
+    from bern2_spark.dataprep.codekg import (call_edges, extract_calls,
+                                             extract_defs)
+    src = _code_calls_src(spark, sf_dir)
+    return call_edges(extract_calls(src), extract_defs(src))
+
+
+# ------------------------------------------------------ SCD2 history
+
+@q("events_scd2", """
+WITH c AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+ch AS (SELECT user_id, event_type, ts, event_id FROM c
+       WHERE prev IS DISTINCT FROM event_type),
+v AS (SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               AS valid_to_us
+      FROM ch)
+SELECT user_id, event_type, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM v
+""")
+def events_scd2(spark, sf_dir):
+    """SCD type-2 dimension build (operators/upsert.py:scd2_history):
+    each user's event_type stream collapsed to change-point version
+    rows with half-open validity intervals — the warehouse-classic
+    twin of the type-1 upsert/diff pair above it.  One shuffle, one
+    sort, two stacked windows; intervals emitted as epoch micros for
+    engine-stable hashing (the events family convention)."""
+    from bern2_spark.operators.upsert import scd2_history
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "event_type", "ts", "event_id"))
+    out = scd2_history(ev, keys=["user_id"], ts_col="ts",
+                       tiebreak=["event_id"])
+    us = lambda c: F.expr(  # noqa: E731 — NTZ-safe epoch micros
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")
+    return out.select("user_id", "event_type",
+                      us("valid_from").alias("valid_from_us"),
+                      us("valid_to").alias("valid_to_us"),
+                      "is_current")
+
+
+# ------------------------------------------- hashed-bigram LM quality
+
+@q("qc_lm_xent", f"""
+WITH bl AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+           ELSE [] END AS bgs
+  FROM (SELECT doc_id, {_DSIR_TOKS} AS toks FROM documents)),
+f AS (SELECT doc_id, substr(md5(b.g), 1, 3) AS bb,
+             substr(md5(string_split(b.g, ' ')[1]), 1, 3) AS pb
+      FROM bl, unnest(bgs) AS b(g)),
+bc AS (SELECT bb, count(*) AS cb FROM f GROUP BY 1),
+pc AS (SELECT pb, count(*) AS cp FROM f GROUP BY 1),
+sc AS (SELECT f.doc_id,
+              avg(ln((pc.cp + CAST(4096.0 AS DOUBLE))
+                     / (bc.cb + CAST(1.0 AS DOUBLE)))) AS x
+       FROM f JOIN bc USING (bb) JOIN pc USING (pb)
+       GROUP BY 1)
+SELECT d.doc_id, round(coalesce(sc.x, 0.0), 9) AS lm_xent
+FROM documents d LEFT JOIN sc USING (doc_id)
+""")
+def qc_lm_xent(spark, sf_dir):
+    """Per-doc cross-entropy under a corpus-estimated hashed-bigram LM
+    (dataprep/textqc.py:lm_cross_entropy — the CCNet/KenLM perplexity
+    quality signal; DSIR's absolute-likelihood half).  The oracle
+    recomputes both bucket-count tables and the conditional from the
+    same corpus with the same md5-prefix keys."""
+    from bern2_spark.dataprep.textqc import lm_cross_entropy
+    return lm_cross_entropy(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        track_persisted=_persist_generation("qc_lm_xent"))
+
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -5360,6 +5545,7 @@ _SWEEP_FIRST = [
     "mix_rendezvous_shards", "events_top_paths",
     "kg_shared_pkg_graph", "kg_code_streamed", "kg_repo_communities",
     "kg_repo_license", "events_interval_join", "events_rollup_multigrain",
+    "kg_call_edges", "events_scd2", "qc_lm_xent",
 ]
 
 

@@ -151,3 +151,54 @@ def test_shared_package_graph_projection(spark):
     assert full == {("r1", "r2"): (2, round(2 / 3, 6)),
                     ("r1", "r3"): (3, 1.0),
                     ("r2", "r3"): (2, round(2 / 3, 6))}
+
+
+CALL_FILES = [
+    # python: two resolved calls + one top-level distractor (no
+    # indent -> not a statement inside a body) + call-with-args
+    # distractor (the battery only claims the zero-arg statement form)
+    ("r1", "a.py", "python",
+     "def main():\n    helper()\n    helper()\n    other(1)\n"
+     "toplevel()\ndef helper():\n    pass\n"),
+    # java: semicolon form; the no-semicolon line must NOT match
+    ("r1", "b.java", "java",
+     "void run() {\n    helper();\n    nosemi()\n}\n"),
+    # rust: calls an fn declared only in r2 -> cross-repo resolution
+    ("r1", "c.rs", "rust", "fn local() {\n    remote();\n}\n"),
+    ("r2", "d.rs", "rust", "fn remote() {\n}\n"),
+    # go: unresolved call (no repo declares orphan)
+    ("r2", "e.go", "go", "func Handle() {\n\torphan()\n}\n"),
+    ("r3", "f.txt", "text", "    helper()\n"),  # unknown lang
+]
+
+
+def test_extract_calls_battery(spark):
+    from bern2_spark.dataprep.codekg import extract_calls
+    df = spark.createDataFrame(CALL_FILES,
+                               ["repo", "path", "lang", "content"])
+    got = {(r.repo, r.path, r.callee)
+           for r in extract_calls(df).collect()}
+    assert got == {("r1", "a.py", "helper"), ("r1", "a.py", "helper"),
+                   ("r1", "b.java", "helper"),
+                   ("r1", "c.rs", "remote"), ("r2", "e.go", "orphan")}
+    # multiplicity: helper() twice in a.py
+    n = (extract_calls(df)
+         .filter((F.col("path") == "a.py")
+                 & (F.col("callee") == "helper")).count())
+    assert n == 2
+
+
+def test_call_edges_link_and_unresolved(spark):
+    from bern2_spark.dataprep.codekg import (call_edges, extract_calls,
+                                             extract_defs)
+    df = spark.createDataFrame(CALL_FILES,
+                               ["repo", "path", "lang", "content"])
+    edges = {(r.subj, r.obj): (r.n_sites, r.n_def_repos)
+             for r in call_edges(extract_calls(df),
+                                 extract_defs(df)).collect()}
+    # helper declared in r1 only (python def); remote declared in r2
+    assert edges[("repo:r1", "fn:helper")] == (3, 1)  # 2 py + 1 java
+    assert edges[("repo:r1", "fn:remote")] == (1, 1)  # cross-repo link
+    assert edges[("repo:r2", "fn:orphan")] == (1, 0)  # unresolved
+    assert ("repo:r1", "fn:other") not in edges       # args form skipped
+    assert ("repo:r1", "fn:toplevel") not in edges    # top-level skipped

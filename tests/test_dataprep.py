@@ -1515,3 +1515,69 @@ def test_resolve_repo_license_conservative_rule(spark):
         "r2": ("Zlib", 1, 2, False),
         "r3": ("BSD-3-Clause", 1, 1, True),
     }
+
+
+def test_scd2_history_semantics(spark):
+    """Run collapse, half-open intervals, current flag, NULL-value
+    transitions, and tiebreak-column exclusion from change detection."""
+    import datetime as dt
+    from bern2_spark.operators.upsert import scd2_history
+    T = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: a, a (heartbeat, collapses), b, b, a again
+        (1, "a", T(1), 10), (1, "a", T(2), 11), (1, "b", T(3), 12),
+        (1, "b", T(4), 13), (1, "a", T(5), 14),
+        # user 2: NULL -> x is a real version change
+        (2, None, T(1), 20), (2, "x", T(2), 21),
+    ]
+    feed = spark.createDataFrame(
+        rows, ["user_id", "seg", "ts", "event_id"])
+    out = scd2_history(feed, keys=["user_id"], ts_col="ts",
+                       tiebreak=["event_id"])
+    assert out.columns == ["user_id", "seg", "valid_from", "valid_to",
+                           "is_current"]  # tiebreak dropped
+    got = sorted(
+        ((r.user_id, r.seg, r.valid_from.second,
+          r.valid_to.second if r.valid_to else None, r.is_current)
+         for r in out.collect()),
+        key=lambda t: (t[0], str(t[1]), t[2]))
+    assert got == [
+        (1, "a", 1, 3, False),   # heartbeat at t=2 collapsed
+        (1, "a", 5, None, True),  # re-entry is a NEW version
+        (1, "b", 3, 5, False),
+        (2, None, 1, 2, False),
+        (2, "x", 2, None, True),
+    ]
+    # exactly one current version per key
+    cur = (out.filter("is_current").groupBy("user_id").count()
+           .collect())
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_stacked_windows_single_exchange(spark):
+    """The filter between lag and lead preserves partitioning + order:
+    the whole plan carries ONE Exchange and ONE Sort."""
+    import datetime as dt
+    from bern2_spark.operators.upsert import scd2_history
+    feed = spark.createDataFrame(
+        [(1, "a", dt.datetime(2026, 1, 1), 1)],
+        ["user_id", "seg", "ts", "event_id"])
+    plan = scd2_history(feed, keys=["user_id"], ts_col="ts",
+                        tiebreak=["event_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
+
+
+def test_lm_cross_entropy_ordering(spark):
+    """Docs made of the corpus's common bigram score lower
+    cross-entropy than docs of rare bigrams; <2-token docs score 0."""
+    from bern2_spark.dataprep.textqc import lm_cross_entropy
+    rows = ([(i, "the cat sat") for i in range(10)]
+            + [(100, "zq xv plo"), (101, "word")])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.lm_xent for r in lm_cross_entropy(docs).collect()}
+    assert got[101] == 0.0                # <2 tokens
+    assert got[0] == got[9]               # identical docs, same score
+    assert got[0] < got[100]              # common beats rare
+    assert all(v >= 0 for v in got.values())  # -ln p is nonnegative
