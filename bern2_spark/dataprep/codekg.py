@@ -96,6 +96,22 @@ CALL_BATTERY: dict[str, str] = {
     "rust":   r"(?m)^[ \t]+(\w+)\(\);$",
 }
 
+# Manifest battery: version-PINNED dependency declarations, dispatched
+# by the manifest FILENAME (a different axis than the lang-dispatched
+# source batteries — ecosystems declare dependencies in well-known
+# files, which is how The Stack and dependency-graph products mine
+# them).  Group 1 = package name, group 2 = pinned version; the two
+# regexp_extract_all calls over the same pattern yield equal-length
+# arrays by construction, zipped positionally.
+MANIFEST_BATTERY: dict[str, str] = {
+    "requirements.txt":
+        r"(?m)^([A-Za-z_][A-Za-z0-9_.\-]*)==([0-9][0-9A-Za-z.\-]*)$",
+    "go.mod":
+        r"(?m)^require ([A-Za-z0-9_./\-]+) v([0-9][0-9A-Za-z.\-]*)$",
+    "Cargo.toml":
+        r'(?m)^([A-Za-z_][A-Za-z0-9_\-]*) = "([0-9][0-9A-Za-z.\-]*)"$',
+}
+
 # Public secret-detection patterns (the detect-secrets / gitleaks
 # rule shapes: AWS access-key id, PEM private-key header, generic
 # quoted api-key assignment).
@@ -206,6 +222,55 @@ def call_edges(calls: DataFrame, defs: DataFrame) -> DataFrame:
                     "n_sites",
                     F.coalesce("n_def_repos",
                                F.lit(0)).alias("n_def_repos")))
+
+
+def extract_manifest_deps(df: DataFrame,
+                          path_col: str = "path",
+                          content_col: str = "content") -> DataFrame:
+    """One row per version-pinned dependency declaration found in a
+    recognized manifest file: adds ``dep_name`` and ``dep_version``.
+    Dispatch is by the path's basename (MANIFEST_BATTERY keys); files
+    that are not manifests produce no rows.
+
+    Scale shape: the basename CASE and both constant-pattern
+    ``regexp_extract_all`` calls are scan-fused column exprs; the two
+    equal-length capture arrays zip in-row (``arrays_zip``) before one
+    row-local explode — zero UDFs, zero exchanges, and non-manifest
+    files (the overwhelming majority of a code corpus) short-circuit
+    to an empty array inside the same codegen stage."""
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    empty = F.array().cast("array<string>")
+    names, vers = empty, empty
+    for fname, pat in MANIFEST_BATTERY.items():
+        c = F.col(content_col)
+        names = F.when(base == fname,
+                       F.regexp_extract_all(c, F.lit(pat), 1)
+                       ).otherwise(names)
+        vers = F.when(base == fname,
+                      F.regexp_extract_all(c, F.lit(pat), 2)
+                      ).otherwise(vers)
+    return (df.withColumn("_dep", F.explode(F.arrays_zip(
+                names.alias("n"), vers.alias("v"))))
+            .withColumn("dep_name", F.col("_dep.n"))
+            .withColumn("dep_version", F.col("_dep.v"))
+            .drop("_dep", content_col))
+
+
+def manifest_triples(deps: DataFrame) -> DataFrame:
+    """Canonicalize + materialize the manifest mentions:
+    ``(subj='repo:<repo>', pred='depends_on',
+    obj='pkg:<name>@<version>', dep_name, dep_version, n_files)`` —
+    the version-qualified edge the plain ``imports`` triple cannot
+    carry.  One map-side-combined groupBy; shuffled rows are bounded
+    by |repos| x |pinned deps|, never file count."""
+    return (deps
+            .groupBy("repo", "dep_name", "dep_version")
+            .agg(F.countDistinct("path").alias("n_files"))
+            .select(F.concat(F.lit("repo:"), "repo").alias("subj"),
+                    F.lit("depends_on").alias("pred"),
+                    F.concat(F.lit("pkg:"), "dep_name", F.lit("@"),
+                             "dep_version").alias("obj"),
+                    "dep_name", "dep_version", "n_files"))
 
 
 def code_triples(imports: DataFrame, defs: DataFrame) -> DataFrame:

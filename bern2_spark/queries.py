@@ -5406,6 +5406,98 @@ def kg_call_edges(spark, sf_dir):
     return call_edges(extract_calls(src), extract_defs(src))
 
 
+# --------------------------------------- manifest dependency triples
+
+# msrc: manifest files synthesized from the code view (same twin
+# injection discipline): docs on a doc_id % 4 schedule become one of
+# the three recognized manifests, with two version-pinned declarations
+# over the SAME 24-package namespace as the import battery (so the
+# version-qualified edges link to the same pkg entities).
+
+
+def _manifest_body() -> str:
+    def pin(j: int) -> str:
+        t = f"CAST((doc_id*19 + {j}*11) % 24 AS VARCHAR)"
+        v = (f"CAST((doc_id + {j}) % 5 AS VARCHAR) || '.' || "
+             f"CAST((doc_id*3 + {j}) % 10 AS VARCHAR) || '.0'")
+        return (f"(CASE doc_id % 3 "
+                f"WHEN 0 THEN 'pkg' || {t} || '==' || {v} "
+                f"WHEN 1 THEN 'require pkg' || {t} || ' v' || {v} "
+                f"ELSE 'pkg' || {t} || ' = \"' || {v} || '\"' END "
+                f"|| chr(10))")
+    return (_CODE_CTE_BODY + """,
+msrc AS (SELECT repo,
+    CASE doc_id % 3 WHEN 0 THEN 'm/requirements.txt'
+         WHEN 1 THEN 'm/go.mod' ELSE 'm/Cargo.toml' END AS path,
+    doc_id, """ + pin(0) + " || " + pin(1) + """ || content AS content
+  FROM code WHERE doc_id % 4 = 1)""")
+
+
+def _manifest_cte(from_: str = "msrc") -> str:
+    from bern2_spark.dataprep.codekg import MANIFEST_BATTERY
+    def whens(grp: int) -> str:
+        return " ".join(
+            f"WHEN '{fname}' THEN "
+            f"regexp_extract_all(content, '{pat}', {grp})"
+            for fname, pat in MANIFEST_BATTERY.items())
+    return (""",
+mex AS (SELECT repo, path,
+        CASE string_split(path, '/')[-1] """ + whens(1) + """
+             ELSE CAST([] AS VARCHAR[]) END AS dn,
+        CASE string_split(path, '/')[-1] """ + whens(2) + """
+             ELSE CAST([] AS VARCHAR[]) END AS dv
+        FROM """ + from_ + """),
+md AS (SELECT repo, path, unnest(dn) AS dep_name,
+              unnest(dv) AS dep_version FROM mex)""")
+
+
+def _manifest_src(spark, sf_dir):
+    """Spark twin of the msrc CTE — byte-identical injected pins."""
+    c = _code(spark, sf_dir).filter(F.col("doc_id") % 4 == 1)
+    did = F.col("doc_id")
+    kind = did % 3
+
+    def pin(j):
+        t = ((did * 19 + j * 11) % 24).cast("string")
+        v = F.concat(((did + j) % 5).cast("string"), F.lit("."),
+                     ((did * 3 + j) % 10).cast("string"), F.lit(".0"))
+        return F.concat(
+            F.when(kind == 0, F.concat(F.lit("pkg"), t, F.lit("=="), v))
+             .when(kind == 1,
+                   F.concat(F.lit("require pkg"), t, F.lit(" v"), v))
+             .otherwise(F.concat(F.lit("pkg"), t, F.lit(' = "'), v,
+                                 F.lit('"'))),
+            F.lit("\n"))
+
+    path = (F.when(kind == 0, F.lit("m/requirements.txt"))
+             .when(kind == 1, F.lit("m/go.mod"))
+             .otherwise(F.lit("m/Cargo.toml")))
+    return c.select("repo", path.alias("path"), "doc_id",
+                    F.concat(pin(0), pin(1),
+                             F.col("content")).alias("content"))
+
+
+@q("kg_manifest_deps",
+   "WITH " + _manifest_body() + _manifest_cte() + """
+SELECT 'repo:' || repo AS subj, 'depends_on' AS pred,
+       'pkg:' || dep_name || '@' || dep_version AS obj,
+       dep_name, dep_version,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_files
+FROM md GROUP BY repo, dep_name, dep_version
+""")
+def kg_manifest_deps(spark, sf_dir):
+    """Version-qualified dependency triples mined from manifest files
+    (dataprep/codekg.py:extract_manifest_deps — dispatch by manifest
+    FILENAME, the axis the lang-dispatched import battery cannot see;
+    manifest_triples materializes (repo, depends_on, pkg@version)
+    with file provenance).  Everything up to the single groupBy is
+    one codegen'd scan stage."""
+    from bern2_spark.dataprep.codekg import (extract_manifest_deps,
+                                             manifest_triples)
+    return manifest_triples(
+        extract_manifest_deps(_manifest_src(spark, sf_dir)))
+
+
 # ------------------------------------------------------ SCD2 history
 
 @q("events_scd2", """
@@ -5545,7 +5637,7 @@ _SWEEP_FIRST = [
     "mix_rendezvous_shards", "events_top_paths",
     "kg_shared_pkg_graph", "kg_code_streamed", "kg_repo_communities",
     "kg_repo_license", "events_interval_join", "events_rollup_multigrain",
-    "kg_call_edges", "events_scd2", "qc_lm_xent",
+    "kg_call_edges", "events_scd2", "qc_lm_xent", "kg_manifest_deps",
 ]
 
 

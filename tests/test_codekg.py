@@ -202,3 +202,41 @@ def test_call_edges_link_and_unresolved(spark):
     assert edges[("repo:r2", "fn:orphan")] == (1, 0)  # unresolved
     assert ("repo:r1", "fn:other") not in edges       # args form skipped
     assert ("repo:r1", "fn:toplevel") not in edges    # top-level skipped
+
+
+MANIFEST_FILES = [
+    ("r1", "requirements.txt", "text",
+     "numpy==1.26.4\nflask==3.0.0\nnot pinned\nloose>=1.0\n"),
+    ("r1", "sub/dir/go.mod", "text",
+     "module m\nrequire github.com/acme/x v1.2.3\n"),
+    ("r2", "Cargo.toml", "text",
+     '[dependencies]\nserde = "1.0.197"\nname = "not-a-version"\n'),
+    # same name, different manifest kind in r2 -> distinct pins
+    ("r2", "requirements.txt", "text", "serde==9.9.9\n"),
+    ("r3", "README.md", "text", "numpy==1.26.4\n"),  # not a manifest
+]
+
+
+def test_extract_manifest_deps_dispatch(spark):
+    from bern2_spark.dataprep.codekg import extract_manifest_deps
+    df = spark.createDataFrame(MANIFEST_FILES,
+                               ["repo", "path", "lang", "content"])
+    got = {(r.repo, r.dep_name, r.dep_version)
+           for r in extract_manifest_deps(df).collect()}
+    assert got == {("r1", "numpy", "1.26.4"), ("r1", "flask", "3.0.0"),
+                   ("r1", "github.com/acme/x", "1.2.3"),
+                   ("r2", "serde", "1.0.197"), ("r2", "serde", "9.9.9")}
+    # loose/unpinned specs and non-manifest files contribute nothing
+
+
+def test_manifest_triples_shape(spark):
+    from bern2_spark.dataprep.codekg import (extract_manifest_deps,
+                                             manifest_triples)
+    df = spark.createDataFrame(MANIFEST_FILES,
+                               ["repo", "path", "lang", "content"])
+    t = {(r.subj, r.obj): r.n_files
+         for r in manifest_triples(extract_manifest_deps(df)).collect()}
+    assert t[("repo:r1", "pkg:numpy@1.26.4")] == 1
+    assert t[("repo:r2", "pkg:serde@1.0.197")] == 1
+    assert t[("repo:r2", "pkg:serde@9.9.9")] == 1  # version-qualified
+    assert all(r.startswith("repo:") for r, _ in t)
