@@ -350,6 +350,36 @@ def shared_package_graph(imports: DataFrame, tau: float = 0.0,
                            track_persisted=track_persisted)
 
 
+def file_import_edges(imports: DataFrame, files: DataFrame,
+                      path_col: str = "path") -> DataFrame:
+    """Intra-repo FILE-level dependency edges: resolve each python
+    import mention to the repo file that provides the module
+    (``a.b.c`` -> ``a/b/c.py``) and keep only edges whose provider
+    actually exists in the same repo — the file-granular graph under
+    the repo-granular ``dependency_edges`` (imports of modules no repo
+    file provides are external deps, already covered by root-package
+    linking).  Per-language provider conventions differ; python's
+    module-path bijection is implemented, other ecosystems dispatch
+    the same way the batteries do.
+
+    Output: distinct ``(repo, src_path, dst_path)``.  Scale shape:
+    the resolution is a string transform fused into the scan; the
+    existence check is ONE left-semi join co-partitioned on
+    (repo, path) — provider side is the file listing (path column
+    only, content never touches this plan); self-imports dropped."""
+    cand = (imports.filter(F.col("lang") == "python")
+            .select("repo", F.col(path_col).alias("src_path"),
+                    F.concat(F.regexp_replace("module", r"\.", "/"),
+                             F.lit(".py")).alias("dst_path")))
+    provider = (files.select("repo",
+                             F.col(path_col).alias("dst_path"))
+                .distinct())
+    return (cand.join(provider, ["repo", "dst_path"], "left_semi")
+            .filter(F.col("src_path") != F.col("dst_path"))
+            .select("repo", "src_path", "dst_path")
+            .distinct())
+
+
 def dependency_edges(imports: DataFrame) -> DataFrame:
     """Distinct repo -> package edges (src='repo:<r>', dst='pkg:<p>')
     — the graph-materialize handoff consumed by operators/graph.py

@@ -255,3 +255,36 @@ def negative_samples(triples, entities, k: int = 2,
            .withColumn("collision",
                        F.col("neg_obj") == F.col("true_obj")))
     return out
+
+
+def trim_to_cycles(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst", rounds: int = 5) -> DataFrame:
+    """Iteratively trim the digraph down to its cycle-bearing core:
+    each round drops every edge whose source never appears as a
+    destination (in-degree 0) or whose destination never appears as a
+    source (out-degree 0) — acyclic chains and trees peel away, and
+    what survives ``rounds`` rounds is exactly the edges reachable
+    from AND leading back to a cycle through chains shorter than
+    ``rounds`` (the standard trimming prelude of SCC algorithms, e.g.
+    Hong et al. 2013; a fixed round count keeps the fixed point
+    hash-checkable the same way the unrolled PageRank oracle does —
+    pick rounds >= the longest dangling chain to certify the exact
+    cycle core).
+
+    Scale shape: one round = two semi-joins keyed on a node id —
+    co-partitioned shuffles of (src, dst) pairs only, nothing wider;
+    ``localCheckpoint`` per round keeps the plan flat in the round
+    count (the module's iteration discipline).  Convergence is
+    typically after the longest chain, far before ``rounds`` on real
+    dependency graphs."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().localCheckpoint(eager=True))
+    for _ in range(rounds):
+        has_in = e.select(F.col("dst").alias("src")).distinct()
+        has_out = e.select(F.col("src").alias("dst")).distinct()
+        e = (e.join(has_in, "src", "left_semi")
+             .join(has_out, "dst", "left_semi")
+             .select("src", "dst")
+             .localCheckpoint(eager=True))
+    return e

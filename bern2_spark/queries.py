@@ -5498,6 +5498,94 @@ def kg_manifest_deps(spark, sf_dir):
         extract_manifest_deps(_manifest_src(spark, sf_dir)))
 
 
+# ------------------------------------- file-dependency cycle detection
+
+# psrc: python files synthesized from the code view.  The fixture's
+# repo axis is source = src(doc_id % 20), so anything varying WITHIN a
+# repo must key on t = doc_id // 20 (doc_id % k is constant per repo
+# for any k dividing 20).  t % 3 < 2 -> ring file m<t%2>.py importing
+# its partner (a genuine m0 <-> m1 import cycle in every repo with
+# both parities, complete even at sf0.001); t % 3 = 2 -> dangling
+# chain file c<t>.py importing into the ring but never imported —
+# exactly the shape trimming peels: chains drop, the cycle survives.
+
+_PSRC_BODY = _CODE_CTE_BODY + """,
+psrc AS (SELECT repo,
+    CASE WHEN (doc_id // 20) % 3 < 2
+         THEN 'p/m' || CAST((doc_id // 20) % 2 AS VARCHAR) || '.py'
+         ELSE 'p/c' || CAST(doc_id // 20 AS VARCHAR) || '.py' END
+      AS path,
+    doc_id, 'python' AS lang,
+    CASE WHEN (doc_id // 20) % 3 < 2
+         THEN 'import p.m' || CAST(((doc_id // 20) + 1) % 2 AS VARCHAR)
+         ELSE 'import p.m' || CAST((doc_id // 20) % 2 AS VARCHAR) END
+      || chr(10) || content AS content
+  FROM code)"""
+
+
+def _psrc(spark, sf_dir):
+    """Spark twin of the psrc CTE — byte-identical injected imports."""
+    c = _code(spark, sf_dir)
+    t = F.floor(F.col("doc_id") / 20)
+    ring = t % 3 < 2
+    path = (F.when(ring, F.concat(F.lit("p/m"),
+                                  (t % 2).cast("string"),
+                                  F.lit(".py")))
+             .otherwise(F.concat(F.lit("p/c"), t.cast("string"),
+                                 F.lit(".py"))))
+    imp = (F.when(ring, F.concat(F.lit("import p.m"),
+                                 ((t + 1) % 2).cast("string")))
+            .otherwise(F.concat(F.lit("import p.m"),
+                                (t % 2).cast("string"))))
+    return c.select("repo", path.alias("path"), "doc_id",
+                    F.lit("python").alias("lang"),
+                    F.concat(imp, F.lit("\n"),
+                             F.col("content")).alias("content"))
+
+
+def _trim_unrolled_sql(rounds: int) -> str:
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"e{i} AS (SELECT * FROM e{p} "
+            f"WHERE src IN (SELECT dst FROM e{p}) "
+            f"AND dst IN (SELECT src FROM e{p}))")
+    return ",\n".join(steps) + f"\nSELECT src, dst FROM e{rounds}"
+
+
+@q("kg_import_cycles",
+   "WITH " + _PSRC_BODY + _code_imports_cte(from_="psrc") + """,
+prov AS (SELECT DISTINCT repo, path FROM psrc),
+fe AS (SELECT DISTINCT im.repo, im.path AS src_path,
+              replace(im.module, '.', '/') || '.py' AS dst_path
+       FROM im JOIN prov
+         ON prov.repo = im.repo
+        AND prov.path = replace(im.module, '.', '/') || '.py'
+       WHERE im.path <> replace(im.module, '.', '/') || '.py'),
+e0 AS (SELECT repo || '#' || src_path AS src,
+              repo || '#' || dst_path AS dst FROM fe),
+""" + _trim_unrolled_sql(5))
+def kg_import_cycles(spark, sf_dir):
+    """Import-cycle detection over the intra-repo file-dependency
+    graph: python imports resolved to provider files
+    (dataprep/codekg.py:file_import_edges), nodes namespaced per repo,
+    then 5 rounds of in/out-degree trimming
+    (operators/graph.py:trim_to_cycles) peel dangling chains — the
+    surviving edges are the cycle core.  The oracle unrolls the same
+    5 rounds as chained CTEs, so the hash validates the fixed point
+    (the graph-family discipline)."""
+    from bern2_spark.dataprep.codekg import (extract_imports,
+                                             file_import_edges)
+    from bern2_spark.operators.graph import trim_to_cycles
+    src = _psrc(spark, sf_dir)
+    fe = file_import_edges(extract_imports(src), src)
+    edges = fe.select(
+        F.concat("repo", F.lit("#"), "src_path").alias("src"),
+        F.concat("repo", F.lit("#"), "dst_path").alias("dst"))
+    return trim_to_cycles(edges, rounds=5)
+
+
 # ------------------------------------------------------ SCD2 history
 
 @q("events_scd2", """
@@ -5638,6 +5726,7 @@ _SWEEP_FIRST = [
     "kg_shared_pkg_graph", "kg_code_streamed", "kg_repo_communities",
     "kg_repo_license", "events_interval_join", "events_rollup_multigrain",
     "kg_call_edges", "events_scd2", "qc_lm_xent", "kg_manifest_deps",
+    "kg_import_cycles",
 ]
 
 

@@ -240,3 +240,41 @@ def test_manifest_triples_shape(spark):
     assert t[("repo:r2", "pkg:serde@1.0.197")] == 1
     assert t[("repo:r2", "pkg:serde@9.9.9")] == 1  # version-qualified
     assert all(r.startswith("repo:") for r, _ in t)
+
+
+def test_file_import_edges_resolution(spark):
+    from bern2_spark.dataprep.codekg import (extract_imports,
+                                             file_import_edges)
+    files = [
+        ("r1", "a/b.py", "python", "import a.c\nimport ext.lib\n"),
+        ("r1", "a/c.py", "python", "import a.b\n"),
+        ("r1", "a/self.py", "python", "import a.self\n"),  # self-loop
+        # same module name in ANOTHER repo must not resolve across
+        ("r2", "z.py", "python", "import a.b\n"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    got = {(r.repo, r.src_path, r.dst_path)
+           for r in file_import_edges(extract_imports(df), df).collect()}
+    assert got == {("r1", "a/b.py", "a/c.py"),
+                   ("r1", "a/c.py", "a/b.py")}
+    # ext.lib (no provider), self-import, and cross-repo all dropped
+
+
+def test_trim_to_cycles_keeps_only_cycle_core(spark):
+    from bern2_spark.operators.graph import trim_to_cycles
+    edges = [
+        # 3-cycle
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        # chain INTO the cycle (out-only tail) and OUT of it
+        ("x", "a"), ("y", "x"), ("c", "z"),
+        # isolated acyclic pair
+        ("p", "q"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.src, r.dst) for r in trim_to_cycles(df, rounds=3).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("c", "a")}
+    # rounds too small to finish the 2-deep chain: y->x drops round 1,
+    # x->a drops round 2 -> rounds=1 keeps x->a
+    got1 = {(r.src, r.dst)
+            for r in trim_to_cycles(df, rounds=1).collect()}
+    assert ("x", "a") in got1 and ("y", "x") not in got1
