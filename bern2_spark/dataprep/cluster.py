@@ -47,7 +47,7 @@ so every language/source keeps the target proportions independently.
 
 from typing import Optional, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,6 +157,33 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
             .filter(F.col("component").isNull()
                     | (F.col("component") == F.col(id_col)))
             .drop("component"))
+
+
+def dedup_keep_best(docs: DataFrame, pairs: DataFrame,
+                    score_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Filter ``docs`` to the HIGHEST-``score_col`` member of each
+    duplicate cluster (ties break to min id; unpaired docs pass
+    through untouched) — the production variant of
+    ``dedup_keep_canonical``: when near-duplicates differ (truncated
+    mirror vs full article, stripped vs intact formatting), min-id
+    keeps an arbitrary copy while argmax-quality keeps the one worth
+    training on (the keep-longest / keep-best-quality rule of C4 and
+    The Stack's dedup stages).
+
+    Scale shape: same as keep-canonical plus ONE window — the
+    component join (left, component table is |paired docs| rows, far
+    smaller than the corpus) and a row_number per cluster label; the
+    window partitions on coalesce(component, id), so the unpaired
+    majority forms singleton partitions that never concentrate."""
+    comp = connected_components(pairs)
+    j = docs.join(comp.withColumnRenamed("doc_id", id_col), id_col,
+                  "left")
+    grp = F.coalesce(F.col("component"), F.col(id_col))
+    w = Window.partitionBy(grp).orderBy(F.desc(score_col),
+                                        F.asc(id_col))
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "component"))
 
 
 def leakage_safe_split(docs: DataFrame, pairs: DataFrame,

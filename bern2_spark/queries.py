@@ -2480,6 +2480,42 @@ def dedup_components(spark, sf_dir):
     return connected_components(_cc_pairs(spark, sf_dir))
 
 
+@q("dedup_quality_keep", f"""
+WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node AS doc_id, min(comp) AS component
+         FROM reach GROUP BY node),
+j AS (SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+r AS (SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM j)
+SELECT doc_id, n_chars FROM r WHERE rn = 1
+""")
+def dedup_quality_keep(spark, sf_dir):
+    """Quality-aware cluster dedup (dataprep/cluster.py:
+    dedup_keep_best): the survivor of each duplicate cluster is the
+    argmax-n_chars member (tie min doc_id), not the arbitrary min-id —
+    the keep-longest rule production dedup stages apply.  Same
+    component labels as dedup_components; the oracle restates the
+    fixed point with the recursive min-reachable CTE + one window."""
+    from bern2_spark.dataprep.cluster import dedup_keep_best
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return dedup_keep_best(docs, _cc_pairs(spark, sf_dir),
+                           score_col="n_chars")
+
+
 def _cc_pairs(spark, sf_dir):
     """The Spark twin of _CC_PAIRS_SQL."""
     d = _docs(spark, sf_dir).select("doc_id")
@@ -5726,7 +5762,7 @@ _SWEEP_FIRST = [
     "kg_shared_pkg_graph", "kg_code_streamed", "kg_repo_communities",
     "kg_repo_license", "events_interval_join", "events_rollup_multigrain",
     "kg_call_edges", "events_scd2", "qc_lm_xent", "kg_manifest_deps",
-    "kg_import_cycles",
+    "kg_import_cycles", "dedup_quality_keep",
 ]
 
 

@@ -1581,3 +1581,21 @@ def test_lm_cross_entropy_ordering(spark):
     assert got[0] == got[9]               # identical docs, same score
     assert got[0] < got[100]              # common beats rare
     assert all(v >= 0 for v in got.values())  # -ln p is nonnegative
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Argmax-score survivor per cluster, min-id tie-break, unpaired
+    pass-through — and the survivor set genuinely differs from
+    keep-canonical when quality disagrees with id order."""
+    from bern2_spark.dataprep.cluster import (dedup_keep_best,
+                                              dedup_keep_canonical)
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)],  # {1,2,3} cluster, 7 solo
+        ["doc_id", "score"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    best = {r.doc_id for r in
+            dedup_keep_best(docs, pairs, score_col="score").collect()}
+    assert best == {2, 7}  # 2 beats 3 on tie-break, beats 1 on score
+    canon = {r.doc_id for r in
+             dedup_keep_canonical(docs, pairs).collect()}
+    assert canon == {1, 7}  # min-id keeps the low-quality copy
