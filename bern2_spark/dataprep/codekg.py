@@ -273,6 +273,89 @@ def manifest_triples(deps: DataFrame) -> DataFrame:
                     "dep_name", "dep_version", "n_files"))
 
 
+def dep_conflicts(deps: DataFrame) -> DataFrame:
+    """Diamond-dependency detection over the mined manifest pins: a
+    repo whose manifests pin the SAME package at MORE THAN ONE version
+    (the conflict dependency-graph products like Dependabot and
+    deps.dev surface; in a monorepo it is the classic diamond).
+
+    Input: ``extract_manifest_deps`` rows.  Output one row per
+    conflicted ``(repo, dep_name)`` with the distinct-version count,
+    how many manifest files pin it, and the sorted version list
+    (comma-joined — a scalar column so every engine hashes it
+    identically).
+
+    Scale shape: ONE map-side-combined groupBy on (repo, dep_name) —
+    the same bound as ``manifest_triples`` (|repos| x |pinned deps|
+    rows, never file count); the collect_set is bounded by the number
+    of distinct versions a single repo pins for a single package,
+    which is small by construction of the conflict itself."""
+    return (deps
+            .groupBy("repo", "dep_name")
+            .agg(F.countDistinct("dep_version").alias("n_versions"),
+                 F.countDistinct("path").alias("n_manifests"),
+                 F.concat_ws(
+                     ",", F.sort_array(F.collect_set("dep_version"))
+                 ).alias("versions_csv"))
+            .filter(F.col("n_versions") > 1))
+
+
+def test_source_edges(files: DataFrame,
+                      path_col: str = "path") -> DataFrame:
+    """Test->source KG edges by the dominant path convention: a file
+    whose basename is ``test_<stem>.<ext>`` (or ``<stem>_test.<ext>``,
+    the go convention) covers the same-repo, same-extension source
+    file whose basename is ``<stem>.<ext>`` — the `tests_` edge a code
+    KG needs for test-to-code traceability (and a training-data
+    pipeline needs to pair implementations with their tests).
+
+    Output: distinct ``(repo, test_path, src_path, stem)``.
+
+    Scale shape: stem/ext derivation is string transforms fused into
+    the path scan (content is never read — this operator runs on the
+    file LISTING); the link is ONE equi-join co-partitioned on
+    (repo, stem, ext).  Both sides are filtered before the exchange
+    (test-shaped basenames left, non-test basenames right), so the
+    join input is a fraction of the listing; a hub stem ("utils")
+    fans out only within a single repo's partition."""
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    ext = F.regexp_extract(base, r"\.([A-Za-z0-9]+)$", 1)
+    noext = F.regexp_replace(base, r"\.[A-Za-z0-9]+$", "")
+    is_test = noext.startswith("test_") | noext.endswith("_test")
+    stem = F.regexp_replace(
+        F.regexp_replace(noext, r"^test_", ""), r"_test$", "")
+    labeled = files.select(
+        "repo", F.col(path_col).alias("p"), ext.alias("ext"),
+        is_test.alias("is_test"), stem.alias("stem"))
+    tests = (labeled.filter("is_test")
+             .select("repo", F.col("p").alias("test_path"),
+                     "stem", "ext"))
+    srcs = (labeled.filter(~F.col("is_test"))
+            .filter(F.col("stem") != "")
+            .select("repo", F.col("p").alias("src_path"),
+                    "stem", "ext"))
+    return (tests.join(srcs, ["repo", "stem", "ext"])
+            .select("repo", "test_path", "src_path", "stem")
+            .distinct())
+
+
+def api_usage(calls: DataFrame, defs: DataFrame) -> DataFrame:
+    """Corpus-wide external-API popularity: call sites whose callee no
+    repo in the corpus declares (the CUI-less mentions of the code KG)
+    rolled up to ``(callee, n_repos, n_sites)`` — the table API-mining
+    studies rank migrations and deprecations by.
+
+    Scale shape: reuses ``call_edges``'s pre-aggregated link (both
+    sides collapse before the join, no d^2 anywhere), then ONE more
+    map-side-combined groupBy on the callee name — output is bounded
+    by |distinct external names|, never call-site count."""
+    edges = call_edges(calls, defs).filter(F.col("n_def_repos") == 0)
+    return (edges
+            .groupBy(F.regexp_replace("obj", "^fn:", "").alias("callee"))
+            .agg(F.countDistinct("subj").alias("n_repos"),
+                 F.sum("n_sites").alias("n_sites")))
+
+
 def code_triples(imports: DataFrame, defs: DataFrame) -> DataFrame:
     """Canonicalize + materialize: (subj, pred, obj, n_mentions,
     n_files) with subj='repo:<repo>', pred in {imports, declares},

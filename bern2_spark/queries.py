@@ -5697,6 +5697,169 @@ def qc_lm_xent(spark, sf_dir):
         track_persisted=_persist_generation("qc_lm_xent"))
 
 
+# ------------------------------------------- manifest version conflicts
+
+def _conflict_body() -> str:
+    # The base manifest fixture can never self-conflict (token
+    # collisions within a repo force version equality through the
+    # mod-120 lattice), so conflicts are injected explicitly: every
+    # doc_id%8==1 repo gains a SECOND manifest file re-pinning pin(0)'s
+    # package token at a version whose minor component is bumped +2
+    # (mod 10) — guaranteed to differ from the base pin.
+    t = "CAST((doc_id*19) % 24 AS VARCHAR)"
+    v2 = ("CAST(doc_id % 5 AS VARCHAR) || '.' || "
+          "CAST((doc_id*3 + 2) % 10 AS VARCHAR) || '.0'")
+    line = (f"(CASE doc_id % 3 "
+            f"WHEN 0 THEN 'pkg' || {t} || '==' || {v2} "
+            f"WHEN 1 THEN 'require pkg' || {t} || ' v' || {v2} "
+            f"ELSE 'pkg' || {t} || ' = \"' || {v2} || '\"' END "
+            f"|| chr(10))")
+    return (_manifest_body() + f""",
+m2 AS (SELECT repo,
+    CASE doc_id % 3 WHEN 0 THEN 'm2/requirements.txt'
+         WHEN 1 THEN 'm2/go.mod' ELSE 'm2/Cargo.toml' END AS path,
+    doc_id, {line} AS content
+  FROM code WHERE doc_id % 8 = 1),
+cmsrc AS (SELECT repo, path, doc_id, content FROM msrc
+          UNION ALL SELECT repo, path, doc_id, content FROM m2)""")
+
+
+def _conflict_src(spark, sf_dir):
+    """Spark twin of the cmsrc CTE — base manifests plus the injected
+    second-file re-pins."""
+    base = _manifest_src(spark, sf_dir)
+    c = _code(spark, sf_dir).filter(F.col("doc_id") % 8 == 1)
+    did = F.col("doc_id")
+    kind = did % 3
+    t = ((did * 19) % 24).cast("string")
+    v2 = F.concat((did % 5).cast("string"), F.lit("."),
+                  ((did * 3 + 2) % 10).cast("string"), F.lit(".0"))
+    line = F.concat(
+        F.when(kind == 0, F.concat(F.lit("pkg"), t, F.lit("=="), v2))
+         .when(kind == 1,
+               F.concat(F.lit("require pkg"), t, F.lit(" v"), v2))
+         .otherwise(F.concat(F.lit("pkg"), t, F.lit(' = "'), v2,
+                             F.lit('"'))),
+        F.lit("\n"))
+    path = (F.when(kind == 0, F.lit("m2/requirements.txt"))
+             .when(kind == 1, F.lit("m2/go.mod"))
+             .otherwise(F.lit("m2/Cargo.toml")))
+    m2 = c.select("repo", path.alias("path"), "doc_id",
+                  line.alias("content"))
+    return base.select("repo", "path", "doc_id", "content") \
+               .unionByName(m2)
+
+
+@q("kg_dep_conflicts",
+   "WITH " + _conflict_body() + _manifest_cte(from_="cmsrc") + """
+SELECT repo, dep_name,
+       CAST(count(DISTINCT dep_version) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_manifests,
+       array_to_string(list_sort(list(DISTINCT dep_version)), ',')
+           AS versions_csv
+FROM md GROUP BY repo, dep_name
+HAVING count(DISTINCT dep_version) > 1
+""")
+def kg_dep_conflicts(spark, sf_dir):
+    """Diamond-dependency detection (dataprep/codekg.py:dep_conflicts):
+    repos whose manifests pin the SAME package at MORE THAN ONE
+    version, with the sorted version list comma-joined into a scalar
+    for engine-stable hashing.  The fixture unions the kg_manifest_deps
+    view with injected second-manifest re-pins (see _conflict_body) so
+    the detector has guaranteed true positives AND the base pins as
+    true negatives; one map-side-combined groupBy."""
+    from bern2_spark.dataprep.codekg import (dep_conflicts,
+                                             extract_manifest_deps)
+    return dep_conflicts(
+        extract_manifest_deps(_conflict_src(spark, sf_dir)))
+
+
+# --------------------------------------------- structural complexity QC
+
+def _cx_sql_body() -> str:
+    block = ("(CASE WHEN doc_id % 5 = 0 THEN "
+             "'if x:' || chr(10) || '    for y in xs:' || chr(10) || "
+             "'        while q:' || chr(10) || "
+             "'            pass' || chr(10) ELSE '' END)")
+    return (_CODE_SRC_BODY + """,
+cxsrc AS (SELECT repo, path, doc_id, lang,
+          """ + block + " || content AS content FROM src)")
+
+
+def _cx_src(spark, sf_dir):
+    """Spark twin of the cxsrc CTE: the injected-code view plus a
+    nested branch block on the doc_id%5 schedule, so complexity has
+    true positives (indent depth 12, 3 branch keywords) to find."""
+    s = _code_src(spark, sf_dir)
+    block = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("if x:\n    for y in xs:\n        while q:\n"
+              "            pass\n")).otherwise(F.lit(""))
+    return s.select("repo", "path", "doc_id", "lang",
+                    F.concat(block, F.col("content")).alias("content"))
+
+
+def _qc_complexity_sql() -> str:
+    from bern2_spark.dataprep.codeqc import _BRANCH_RE
+    nb = ("list_filter(string_split(content, chr(10)), "
+          "x -> trim(x) <> '')")
+    return ("WITH " + _cx_sql_body() + f"""
+SELECT doc_id, repo, path,
+       CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(regexp_extract_all(content, '{_BRANCH_RE}'))
+            AS BIGINT) AS n_branches,
+       round(CASE WHEN len({nb}) > 0
+             THEN CAST(len(regexp_extract_all(content, '{_BRANCH_RE}'))
+                       AS DOUBLE) / len({nb})
+             ELSE 0.0 END, 6) AS branch_density,
+       CAST(coalesce(list_max(list_transform({nb},
+                x -> length(regexp_extract(x, '^[ \\t]*')))), 0)
+            AS BIGINT) AS max_indent
+FROM cxsrc
+""")
+
+
+@q("qc_code_complexity", _qc_complexity_sql())
+def qc_code_complexity(spark, sf_dir):
+    """Per-file structural-complexity QC
+    (dataprep/codeqc.py:complexity_features): line-anchored branch-
+    keyword count (the cyclomatic decision points), branch density
+    over non-blank lines, and max leading-indent run (nesting proxy).
+    All scan-fused column exprs — zero exchanges at any scale."""
+    from bern2_spark.dataprep.codeqc import complexity_features
+    return complexity_features(_cx_src(spark, sf_dir)).select(
+        "doc_id", "repo", "path", "n_lines", "n_branches",
+        "branch_density", "max_indent")
+
+
+# --------------------------------------------- license-header stripping
+
+def _license_strip_sql() -> str:
+    from bern2_spark.dataprep.codeqc import LICENSE_HEADER_RE
+    pat = LICENSE_HEADER_RE.replace("'", "''")
+    return (_CODE_CTE + f"""
+SELECT doc_id, repo,
+       regexp_replace(content, '{pat}', '') <> content
+           AS had_license_header,
+       sha256(regexp_replace(content, '{pat}', '')) AS clean_sha
+FROM code
+""")
+
+
+@q("code_license_strip", _license_strip_sql())
+def code_license_strip(spark, sf_dir):
+    """License-header removal
+    (dataprep/codeqc.py:strip_license_header): anchored alternation
+    over the recognized header shapes stripped from the file start,
+    with the sha256 of the cleaned content as the per-row invariant
+    (the north rule's cheap cross-engine check, same discipline as
+    code_secret_scan's redacted_sha).  The doc_id%7 header schedule
+    of the code view supplies true positives AND negatives."""
+    from bern2_spark.dataprep.codeqc import strip_license_header
+    return strip_license_header(_code(spark, sf_dir)).select(
+        "doc_id", "repo", "had_license_header", "clean_sha")
+
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -5763,6 +5926,7 @@ _SWEEP_FIRST = [
     "kg_repo_license", "events_interval_join", "events_rollup_multigrain",
     "kg_call_edges", "events_scd2", "qc_lm_xent", "kg_manifest_deps",
     "kg_import_cycles", "dedup_quality_keep",
+    "kg_dep_conflicts", "qc_code_complexity", "code_license_strip",
 ]
 
 

@@ -278,3 +278,58 @@ def test_trim_to_cycles_keeps_only_cycle_core(spark):
     got1 = {(r.src, r.dst)
             for r in trim_to_cycles(df, rounds=1).collect()}
     assert ("x", "a") in got1 and ("y", "x") not in got1
+
+
+def test_dep_conflicts_detection(spark):
+    from bern2_spark.dataprep.codekg import (dep_conflicts,
+                                             extract_manifest_deps)
+    files = [
+        ("r1", "requirements.txt", "text",
+         "numpy==1.24.0\npandas==2.0.1\n"),
+        ("r1", "svc/requirements.txt", "text",
+         "numpy==1.26.4\n"),               # conflict with root pin
+        ("r2", "requirements.txt", "text",
+         "numpy==1.24.0\n"),               # other repo: no conflict
+        ("r1", "Cargo.toml", "text",
+         'serde = "1.0.190"\n'),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    got = {(r.repo, r.dep_name, r.n_versions, r.n_manifests,
+            r.versions_csv)
+           for r in dep_conflicts(extract_manifest_deps(df)).collect()}
+    assert got == {("r1", "numpy", 2, 2, "1.24.0,1.26.4")}
+
+
+def test_test_source_edges_conventions(spark):
+    from bern2_spark.dataprep.codekg import test_source_edges
+    files = [
+        ("r1", "tests/test_util.py", "python", ""),
+        ("r1", "src/util.py", "python", ""),        # linked
+        ("r1", "src/util.go", "go", ""),            # ext mismatch
+        ("r1", "pkg/io_test.go", "go", ""),
+        ("r1", "pkg/io.go", "go", ""),              # go convention
+        ("r2", "src/util.py", "python", ""),        # cross-repo: no
+        ("r1", "tests/test_orphan.py", "python", ""),  # no source
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    got = {(r.repo, r.test_path, r.src_path, r.stem)
+           for r in test_source_edges(df).collect()}
+    assert got == {
+        ("r1", "tests/test_util.py", "src/util.py", "util"),
+        ("r1", "pkg/io_test.go", "pkg/io.go", "io"),
+    }
+
+
+def test_api_usage_external_only(spark):
+    from bern2_spark.dataprep.codekg import api_usage
+    calls = spark.createDataFrame(
+        [("r1", "a.py", "fetch"), ("r1", "b.py", "fetch"),
+         ("r2", "c.py", "fetch"), ("r1", "a.py", "local_fn"),
+         ("r2", "c.py", "parse")],
+        ["repo", "path", "callee"])
+    defs = spark.createDataFrame(
+        [("r9", "z.py", "local_fn")], ["repo", "path", "fn_name"])
+    got = {(r.callee, r.n_repos, r.n_sites)
+           for r in api_usage(calls, defs).collect()}
+    # local_fn is declared in-corpus -> excluded; fetch: 2 repos/3 sites
+    assert got == {("fetch", 2, 3), ("parse", 1, 1)}

@@ -1599,3 +1599,45 @@ def test_dedup_keep_best_semantics(spark):
     canon = {r.doc_id for r in
              dedup_keep_canonical(docs, pairs).collect()}
     assert canon == {1, 7}  # min-id keeps the low-quality copy
+
+
+def test_complexity_features_semantics(spark):
+    """Branch keywords counted line-anchored only, nesting depth from
+    leading whitespace, blank lines excluded from density."""
+    from bern2_spark.dataprep.codeqc import complexity_features
+    nested = ("def f():\n"
+              "    if a:\n"
+              "        for b in c:\n"
+              "            x = 1\n"
+              "\n"
+              "    notif = 2\n")       # 'notif' must not count
+    flat = "x = 1\ny = 2\n"
+    df = spark.createDataFrame(
+        [(1, nested), (2, flat), (3, "")], ["doc_id", "content"])
+    got = {r.doc_id: r for r in complexity_features(df).collect()}
+    assert got[1].n_branches == 2            # if + for, not 'notif'
+    assert got[1].max_indent == 12           # deepest line
+    assert got[1].branch_density == round(2 / 5, 6)  # 5 non-blank
+    assert got[2].n_branches == 0 and got[2].max_indent == 0
+    assert got[3].n_lines == 1 and got[3].branch_density == 0.0
+
+
+def test_strip_license_header(spark):
+    """Only a LEADING recognized header is stripped; the body and
+    mid-file license mentions survive; clean_sha matches hashlib."""
+    import hashlib
+    from bern2_spark.dataprep.codeqc import strip_license_header
+    rows = [
+        (1, "SPDX-License-Identifier: MIT\nbody\n"),
+        (2, "Apache License\nVersion 2.0\nbody\n"),
+        (3, "body\nSPDX-License-Identifier: MIT\n"),  # mid-file: keep
+        (4, "plain\n"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    got = {r.doc_id: r for r in strip_license_header(df).collect()}
+    assert got[1].had_license_header and got[1].content == "body\n"
+    assert got[2].had_license_header and got[2].content == "body\n"
+    assert not got[3].had_license_header
+    assert got[3].content == rows[2][1]
+    assert not got[4].had_license_header
+    assert got[1].clean_sha == hashlib.sha256(b"body\n").hexdigest()
