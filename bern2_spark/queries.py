@@ -5697,6 +5697,95 @@ def qc_lm_xent(spark, sf_dir):
         track_persisted=_persist_generation("qc_lm_xent"))
 
 
+# ------------------------------------------------ external-API usage
+
+@q("kg_api_usage",
+   "WITH " + _CODE_CALLS_BODY + _code_calls_cte()
+   + _code_defs_cte(from_="csrc") + """
+SELECT callee, CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(*) AS BIGINT) AS n_sites
+FROM cl WHERE callee NOT IN (SELECT fn_name FROM dfs)
+GROUP BY callee
+""")
+def kg_api_usage(spark, sf_dir):
+    """Corpus-wide external-API popularity
+    (dataprep/codekg.py:api_usage): call sites whose callee no repo in
+    the corpus declares — the CUI-less mentions of the code KG —
+    rolled up to (callee, n_repos, n_sites), the ranking table API
+    migration/deprecation mining reads.  Reuses call_edges' doubly
+    pre-aggregated link (no d^2 anywhere) plus ONE map-side-combined
+    groupBy bounded by |distinct external names|."""
+    from bern2_spark.dataprep.codekg import (api_usage, extract_calls,
+                                             extract_defs)
+    src = _code_calls_src(spark, sf_dir)
+    return api_usage(extract_calls(src), extract_defs(src))
+
+
+# ------------------------------------------------- test->source edges
+
+# tsrc: a path LISTING derived from documents (content never read —
+# the operator runs on paths alone).  Within-repo variation keys on
+# t = doc_id // 20 (the psrc discipline: doc_id % k is constant per
+# repo); stem = t % 7 is coprime to the t % 3 test schedule so test
+# and source stems genuinely overlap inside every repo.
+_TSRC_BODY = """tsrc AS (
+  SELECT source AS repo, doc_id,
+         CASE WHEN (doc_id // 20) % 3 = 0
+           THEN 'tests/t' || CAST(doc_id // 20 AS VARCHAR)
+                || '/test_mod' || CAST((doc_id // 20) % 7 AS VARCHAR)
+                || '.py'
+           ELSE 'src/d' || CAST(doc_id // 20 AS VARCHAR)
+                || '/mod' || CAST((doc_id // 20) % 7 AS VARCHAR)
+                || '.py' END AS path
+  FROM documents)"""
+
+
+def _tsrc(spark, sf_dir):
+    """Spark twin of the tsrc CTE."""
+    d = _docs(spark, sf_dir)
+    t = F.floor(F.col("doc_id") / 20).cast("long")
+    stem = (t % 7).cast("string")
+    path = F.when(
+        t % 3 == 0,
+        F.concat(F.lit("tests/t"), t.cast("string"),
+                 F.lit("/test_mod"), stem, F.lit(".py"))
+    ).otherwise(
+        F.concat(F.lit("src/d"), t.cast("string"),
+                 F.lit("/mod"), stem, F.lit(".py")))
+    return d.select(F.col("source").alias("repo"), "doc_id",
+                    path.alias("path"))
+
+
+@q("kg_test_edges", "WITH " + _TSRC_BODY + r""",
+b AS (SELECT repo, path,
+             string_split(path, '/')[-1] AS base FROM tsrc),
+n AS (SELECT repo, path,
+             regexp_extract(base, '\.([A-Za-z0-9]+)$', 1) AS ext,
+             regexp_replace(base, '\.[A-Za-z0-9]+$', '') AS noext
+      FROM b),
+l AS (SELECT repo, path, ext,
+             starts_with(noext, 'test_') OR ends_with(noext, '_test')
+                 AS is_test,
+             regexp_replace(regexp_replace(noext, '^test_', ''),
+                            '_test$', '') AS stem
+      FROM n)
+SELECT DISTINCT t.repo, t.path AS test_path, s.path AS src_path,
+       t.stem
+FROM l t JOIN l s
+  ON t.repo = s.repo AND t.stem = s.stem AND t.ext = s.ext
+WHERE t.is_test AND NOT s.is_test AND s.stem <> ''
+""")
+def kg_test_edges(spark, sf_dir):
+    """Test->source traceability edges by path convention
+    (dataprep/codekg.py:test_source_edges): ``test_<stem>.<ext>`` /
+    ``<stem>_test.<ext>`` basenames linked to the same-repo,
+    same-extension ``<stem>.<ext>`` source.  Runs on the file LISTING
+    (content never read); ONE equi-join co-partitioned on
+    (repo, stem, ext) with both sides pre-filtered."""
+    from bern2_spark.dataprep.codekg import test_source_edges
+    return test_source_edges(_tsrc(spark, sf_dir))
+
+
 # ------------------------------------------- manifest version conflicts
 
 def _conflict_body() -> str:
@@ -5927,6 +6016,7 @@ _SWEEP_FIRST = [
     "kg_call_edges", "events_scd2", "qc_lm_xent", "kg_manifest_deps",
     "kg_import_cycles", "dedup_quality_keep",
     "kg_dep_conflicts", "qc_code_complexity", "code_license_strip",
+    "kg_api_usage", "kg_test_edges",
 ]
 
 
