@@ -5697,6 +5697,177 @@ def qc_lm_xent(spark, sf_dir):
         track_persisted=_persist_generation("qc_lm_xent"))
 
 
+# ------------------------------------------- docstring bitext mining
+
+def _dsrc_body() -> str:
+    # Documented function injected on the doc_id%6 schedule, one shape
+    # per language family (token k = doc_id % 30 appears in BOTH the
+    # name and the doc text, so pairs are checkable end-to-end).
+    k = "CAST(doc_id % 30 AS VARCHAR)"
+    nl = "chr(10)"
+    fn = ("CASE lang "
+          f"WHEN 'python' THEN 'def doc_fn_' || {k} || '():' || {nl}"
+          f" || '    \"\"\"Return widget ' || {k} || '.\"\"\"' || {nl} "
+          f"WHEN 'java' THEN '/** Return widget ' || {k} || ' */' ||"
+          f" {nl} || 'void doc_fn_' || {k} || '() {{' || {nl} "
+          f"WHEN 'c' THEN '/** Return widget ' || {k} || ' */' ||"
+          f" {nl} || 'int doc_fn_' || {k} || '() {{' || {nl} "
+          f"WHEN 'go' THEN '// Return widget ' || {k} || {nl} ||"
+          f" 'func doc_fn_' || {k} || '() {{' || {nl} "
+          f"WHEN 'rust' THEN '/// Return widget ' || {k} || {nl} ||"
+          f" 'fn doc_fn_' || {k} || '() {{' || {nl} "
+          "ELSE '' END").replace("{{", "{")
+    return (_CODE_CTE_BODY + "," + _CODE_FAMILY_SQL + f""",
+dsrc AS (SELECT repo, path, doc_id, lang,
+    (CASE WHEN doc_id % 6 = 0 THEN {fn} ELSE '' END) || content
+        AS content
+  FROM fam)""")
+
+
+def _dsrc(spark, sf_dir):
+    """Spark twin of the dsrc CTE — byte-identical documented fns."""
+    c = _code(spark, sf_dir)
+    did = F.col("doc_id")
+    fam = F.lit("text")
+    for nat, pl in _NAT_TO_FAMILY.items():
+        fam = F.when(F.col("lang") == nat, F.lit(pl)).otherwise(fam)
+    k = (did % 30).cast("string")
+    shapes = {
+        "python": F.concat(F.lit("def doc_fn_"), k, F.lit("():\n"),
+                           F.lit('    """Return widget '), k,
+                           F.lit('."""\n')),
+        "java": F.concat(F.lit("/** Return widget "), k,
+                         F.lit(" */\nvoid doc_fn_"), k,
+                         F.lit("() {\n")),
+        "c": F.concat(F.lit("/** Return widget "), k,
+                      F.lit(" */\nint doc_fn_"), k, F.lit("() {\n")),
+        "go": F.concat(F.lit("// Return widget "), k,
+                       F.lit("\nfunc doc_fn_"), k, F.lit("() {\n")),
+        "rust": F.concat(F.lit("/// Return widget "), k,
+                         F.lit("\nfn doc_fn_"), k, F.lit("() {\n")),
+    }
+    fn = F.lit("")
+    for pl, col in shapes.items():
+        fn = F.when(fam == pl, col).otherwise(fn)
+    inj = F.when(did % 6 == 0, fn).otherwise(F.lit(""))
+    return c.select("repo", "path", "doc_id", fam.alias("lang"),
+                    F.concat(inj, F.col("content")).alias("content"))
+
+
+def _docstring_cte(from_: str = "dsrc") -> str:
+    from bern2_spark.dataprep.codekg import DOCSTRING_BATTERY
+    def whens(which: str) -> str:
+        out = []
+        for fam, (pat, ng, dg) in DOCSTRING_BATTERY.items():
+            grp = ng if which == "n" else dg
+            out.append(f"WHEN '{fam}' THEN "
+                       f"regexp_extract_all(content, '{pat}', {grp})")
+        return " ".join(out)
+    return (""",
+dx AS (SELECT doc_id, repo, path, lang,
+       CASE lang """ + whens("n") + """
+            ELSE CAST([] AS VARCHAR[]) END AS ns,
+       CASE lang """ + whens("d") + """
+            ELSE CAST([] AS VARCHAR[]) END AS ds
+       FROM """ + from_ + """),
+dp AS (SELECT doc_id, repo, path, lang, unnest(ns) AS fn_name,
+              unnest(ds) AS docstring FROM dx)""")
+
+
+@q("kg_docstring_pairs",
+   "WITH " + _dsrc_body() + _docstring_cte() + """
+SELECT doc_id, repo, path, fn_name, docstring FROM dp
+""")
+def kg_docstring_pairs(spark, sf_dir):
+    """Code<->NL bitext mining (dataprep/codekg.py:extract_docstrings):
+    one (fn_name, docstring) pair per documented function, battery-
+    dispatched across the five language families' doc conventions
+    (python docstring, javadoc, godoc, rustdoc) — the CodeSearchNet-
+    style pair corpus code-retrieval and instruction data build from.
+    Two scan-fused regexp_extract_all per language zipped in-row; the
+    doc_id%6 schedule supplies positives, everything else negatives."""
+    from bern2_spark.dataprep.codekg import extract_docstrings
+    return extract_docstrings(_dsrc(spark, sf_dir)).select(
+        "doc_id", "repo", "path", "fn_name", "docstring")
+
+
+# --------------------------------------- function-level clone dedup
+
+def _fsrc_body() -> str:
+    # Clone bodies appended (after a guaranteed fresh line) to the
+    # python-family docs: doc_id%3==0 the canonical form, %3==1 a
+    # whitespace-mangled Type-1 variant that must normalize equal,
+    # %3==2 nothing (true negatives).  b = doc_id%8 -> 8 clone classes.
+    b = "CAST(doc_id % 8 AS VARCHAR)"
+    body = ("CASE doc_id % 3 "
+            f"WHEN 0 THEN 'def clone_fn():' || chr(10) || "
+            f"'    return ' || {b} || chr(10) "
+            f"WHEN 1 THEN 'def clone_fn():' || chr(10) || "
+            f"'        return  ' || {b} || '  # t1' || chr(10) "
+            "ELSE '' END")
+    return (_CODE_CTE_BODY + "," + _CODE_FAMILY_SQL + f""",
+fsrc AS (SELECT repo, path, doc_id, lang,
+    content || chr(10) || ({body}) AS content
+  FROM fam WHERE lang = 'python')""")
+
+
+def _fsrc(spark, sf_dir):
+    """Spark twin of the fsrc CTE."""
+    c = _code(spark, sf_dir)
+    did = F.col("doc_id")
+    fam = F.lit("text")
+    for nat, pl in _NAT_TO_FAMILY.items():
+        fam = F.when(F.col("lang") == nat, F.lit(pl)).otherwise(fam)
+    b = (did % 8).cast("string")
+    body = (F.when(did % 3 == 0,
+                   F.concat(F.lit("def clone_fn():\n    return "),
+                            b, F.lit("\n")))
+             .when(did % 3 == 1,
+                   F.concat(F.lit("def clone_fn():\n        return  "),
+                            b, F.lit("  # t1\n")))
+             .otherwise(F.lit("")))
+    return (c.select("repo", "path", "doc_id", fam.alias("lang"),
+                     F.concat(F.col("content"), F.lit("\n"),
+                              body).alias("content"))
+            .filter(F.col("lang") == "python"))
+
+
+def _clone_sql() -> str:
+    from bern2_spark.dataprep.codeqc import (FUNCTION_BLOCK_RE,
+                                             _COMMENT_RE, _WS_RUN_RE)
+    whens = " ".join(
+        f"WHEN '{fam}' THEN regexp_extract_all(content, '{pat}')"
+        for fam, pat in FUNCTION_BLOCK_RE.items())
+    return ("WITH " + _fsrc_body() + f""",
+fx AS (SELECT repo, path,
+       CASE lang {whens} ELSE CAST([] AS VARCHAR[]) END AS fns
+       FROM fsrc),
+fb AS (SELECT repo, path,
+              md5(trim(regexp_replace(regexp_replace(
+                  b.f, '{_COMMENT_RE}', '', 'g'),
+                  '{_WS_RUN_RE}', ' ', 'g'))) AS body_hash
+       FROM fx, unnest(fns) AS b(f))
+SELECT body_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(DISTINCT repo || '#' || path) AS BIGINT) AS n_files
+FROM fb GROUP BY body_hash HAVING count(*) > 1
+""")
+
+
+@q("dedup_function_clones", _clone_sql())
+def dedup_function_clones(spark, sf_dir):
+    """Function-granularity Type-1 clone detection
+    (dataprep/codeqc.py:function_clones): parser-free function blocks
+    extracted by the whole-match battery, normalized (comments out,
+    whitespace runs collapsed), md5-grouped corpus-wide — the level
+    below file-hash dedup, catching the vendored function two distinct
+    files share.  The fixture's %3==1 whitespace-mangled variants must
+    land in the same class as the %3==0 canonical forms, which is what
+    the hash check proves.  Only the 32-byte hash shuffles."""
+    from bern2_spark.dataprep.codeqc import function_clones
+    return function_clones(_fsrc(spark, sf_dir))
+
+
 # ------------------------------------------------ external-API usage
 
 @q("kg_api_usage",
@@ -6016,7 +6187,8 @@ _SWEEP_FIRST = [
     "kg_call_edges", "events_scd2", "qc_lm_xent", "kg_manifest_deps",
     "kg_import_cycles", "dedup_quality_keep",
     "kg_dep_conflicts", "qc_code_complexity", "code_license_strip",
-    "kg_api_usage", "kg_test_edges",
+    "kg_api_usage", "kg_test_edges", "kg_docstring_pairs",
+    "dedup_function_clones",
 ]
 
 

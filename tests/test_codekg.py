@@ -333,3 +333,46 @@ def test_api_usage_external_only(spark):
            for r in api_usage(calls, defs).collect()}
     # local_fn is declared in-corpus -> excluded; fetch: 2 repos/3 sites
     assert got == {("fetch", 2, 3), ("parse", 1, 1)}
+
+
+def test_extract_docstrings_battery(spark):
+    from bern2_spark.dataprep.codekg import extract_docstrings
+    files = [
+        ("r1", "a.py", "python",
+         'def get():\n    """Fetch the thing."""\n    pass\n'
+         "def bare():\n    pass\n"),          # undocumented: no row
+        ("r1", "b.java", "java",
+         "/** Runs it */\nvoid run() {\n"),
+        ("r2", "c.go", "go",
+         "// Handle serves requests\nfunc Handle() {\n"),
+        ("r2", "d.rs", "rust",
+         "/// Parses input\nfn parse() {\n"),
+        ("r2", "e.c", "c",
+         "/** Adds */\nint add() {\n"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    got = {(r.path, r.fn_name, r.docstring)
+           for r in extract_docstrings(df).collect()}
+    assert got == {
+        ("a.py", "get", "Fetch the thing."),
+        ("b.java", "run", "Runs it"),
+        ("c.go", "Handle", "Handle serves requests"),
+        ("d.rs", "parse", "Parses input"),
+        ("e.c", "add", "Adds"),
+    }
+
+
+def test_function_clones_type1(spark):
+    """Whitespace/comment variants normalize to one class; distinct
+    bodies and singletons are excluded."""
+    from bern2_spark.dataprep.codeqc import function_clones
+    files = [
+        ("r1", "a.py", "python", "def f():\n    return 1\n"),
+        ("r2", "b.py", "python",
+         "def f():\n        return  1  # noqa\n"),   # Type-1 variant
+        ("r3", "c.py", "python", "def f():\n    return 2\n"),  # solo
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    got = [(r.n_copies, r.n_repos, r.n_files)
+           for r in function_clones(df).collect()]
+    assert got == [(2, 2, 2)]
