@@ -5697,6 +5697,130 @@ def qc_lm_xent(spark, sf_dir):
         track_persisted=_persist_generation("qc_lm_xent"))
 
 
+# -------------------------------------------- repo language profile
+
+@q("code_repo_langs",
+   "WITH " + _CODE_CTE_BODY + "," + _CODE_FAMILY_SQL + """,
+a AS (SELECT repo, lang, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(length(content)) AS BIGINT) AS n_bytes
+      FROM fam GROUP BY 1, 2)
+SELECT repo, lang, n_files, n_bytes,
+       round(CAST(n_bytes AS DOUBLE)
+             / sum(n_bytes) OVER (PARTITION BY repo), 6) AS lang_frac,
+       row_number() OVER (PARTITION BY repo
+                          ORDER BY n_bytes DESC, lang) = 1
+           AS is_dominant
+FROM a
+""")
+def code_repo_langs(spark, sf_dir):
+    """GitHub-linguist-style per-repo language composition
+    (dataprep/codeqc.py:repo_language_profile): (repo, lang) file/byte
+    counts, byte fraction, dominant-language flag — the stratum key
+    language-balanced sampling reads.  One map-side-combined groupBy
+    collapses the corpus before the two repo-keyed windows."""
+    from bern2_spark.dataprep.codeqc import repo_language_profile
+    c = _code(spark, sf_dir)
+    fam = F.lit("text")
+    for nat, pl in _NAT_TO_FAMILY.items():
+        fam = F.when(F.col("lang") == nat, F.lit(pl)).otherwise(fam)
+    return repo_language_profile(
+        c.select("repo", "path", fam.alias("lang"), "content"))
+
+
+# ------------------------------------------- vendored-path profiling
+
+_VSRC_BODY = """vsrc AS (
+  SELECT source AS repo, doc_id,
+         CASE (doc_id // 20) % 5
+           WHEN 0 THEN 'vendor/lib/f' || CAST(doc_id AS VARCHAR)
+                       || '.py'
+           WHEN 1 THEN 'node_modules/p/f' || CAST(doc_id AS VARCHAR)
+                       || '.js'
+           WHEN 2 THEN 'third_party/x/f' || CAST(doc_id AS VARCHAR)
+                       || '.c'
+           ELSE 'src/f' || CAST(doc_id AS VARCHAR) || '.py' END AS path
+  FROM documents)"""
+
+
+def _vsrc(spark, sf_dir):
+    """Spark twin of the vsrc CTE (listing-only, the tsrc
+    discipline: within-repo variation keys on doc_id // 20)."""
+    d = _docs(spark, sf_dir)
+    t = F.floor(F.col("doc_id") / 20).cast("long") % 5
+    ds = F.col("doc_id").cast("string")
+    path = (F.when(t == 0, F.concat(F.lit("vendor/lib/f"), ds,
+                                    F.lit(".py")))
+             .when(t == 1, F.concat(F.lit("node_modules/p/f"), ds,
+                                    F.lit(".js")))
+             .when(t == 2, F.concat(F.lit("third_party/x/f"), ds,
+                                    F.lit(".c")))
+             .otherwise(F.concat(F.lit("src/f"), ds, F.lit(".py"))))
+    return d.select(F.col("source").alias("repo"), "doc_id",
+                    path.alias("path"))
+
+
+def _vendored_sql() -> str:
+    from bern2_spark.dataprep.codeqc import VENDORED_DIR_RE
+    return ("WITH " + _VSRC_BODY + f"""
+SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN regexp_matches(path, '{VENDORED_DIR_RE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_vendored,
+       round(CAST(sum(CASE WHEN regexp_matches(path,
+                                               '{VENDORED_DIR_RE}')
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS vendored_frac
+FROM vsrc GROUP BY repo
+""")
+
+
+@q("code_vendored_frac", _vendored_sql())
+def code_vendored_frac(spark, sf_dir):
+    """Per-repo vendored-code profile
+    (dataprep/codeqc.py:vendored_fraction): files under vendored/
+    generated directory conventions counted from the LISTING alone —
+    the pre-filter a curation run applies before paying for content.
+    One map-side-combined groupBy; the rlike is scan-fused."""
+    from bern2_spark.dataprep.codeqc import vendored_fraction
+    return vendored_fraction(_vsrc(spark, sf_dir))
+
+
+# ------------------------------------------ identifier subtoken vocab
+
+def _subtoken_sql() -> str:
+    from bern2_spark.dataprep.codeqc import _CAMEL_SPLIT_RE, _IDENT_RE
+    # Replacement syntax differs per engine ($1 in Java, \1 in RE2);
+    # the PATTERN strings are shared verbatim.
+    return ("WITH " + _CODE_SRC_BODY + f""",
+ex AS (SELECT repo, path,
+              unnest(regexp_extract_all(content, '{_IDENT_RE}'))
+                  AS ident
+       FROM src),
+sp AS (SELECT repo, path,
+              unnest(string_split_regex(
+                  lower(regexp_replace(ident, '{_CAMEL_SPLIT_RE}',
+                                       '\\1 \\2', 'g')),
+                  '[_ ]+')) AS subtoken
+       FROM ex)
+SELECT subtoken, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT repo || '#' || path) AS BIGINT) AS n_files
+FROM sp WHERE length(subtoken) >= 2
+GROUP BY subtoken HAVING count(*) >= 5
+""")
+
+
+@q("code_subtoken_vocab", _subtoken_sql())
+def code_subtoken_vocab(spark, sf_dir):
+    """Identifier-subtoken frequency table
+    (dataprep/codeqc.py:identifier_subtokens): identifiers split at
+    snake_case underscores and camelCase humps, lower-cased, counted
+    corpus-wide — the statistic code-tokenizer vocab construction
+    runs on.  All splitting is in-row; the only exchange is the
+    map-side-combined groupBy on the subtoken (wordpiece-vocab
+    discipline).  min_count=5 bounds the emitted vocab."""
+    from bern2_spark.dataprep.codeqc import identifier_subtokens
+    return identifier_subtokens(_code_src(spark, sf_dir), min_count=5)
+
+
 # ------------------------------------------- docstring bitext mining
 
 def _dsrc_body() -> str:
@@ -6188,6 +6312,7 @@ _SWEEP_FIRST = [
     "kg_import_cycles", "dedup_quality_keep",
     "kg_dep_conflicts", "qc_code_complexity", "code_license_strip",
     "kg_api_usage", "kg_test_edges", "kg_docstring_pairs",
+    "code_repo_langs", "code_vendored_frac", "code_subtoken_vocab",
     "dedup_function_clones",
 ]
 

@@ -1641,3 +1641,51 @@ def test_strip_license_header(spark):
     assert got[3].content == rows[2][1]
     assert not got[4].had_license_header
     assert got[1].clean_sha == hashlib.sha256(b"body\n").hexdigest()
+
+
+def test_repo_language_profile(spark):
+    from bern2_spark.dataprep.codeqc import repo_language_profile
+    files = [
+        ("r1", "a.py", "python", "x" * 60),
+        ("r1", "b.py", "python", "x" * 40),
+        ("r1", "c.go", "go", "x" * 100),
+        ("r2", "d.rs", "rust", "x"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    got = {(r.repo, r.lang): r
+           for r in repo_language_profile(df).collect()}
+    assert got[("r1", "python")].n_files == 2
+    assert got[("r1", "python")].lang_frac == 0.5
+    # byte tie at 100/100: lang-name tiebreak makes go dominant
+    assert got[("r1", "go")].is_dominant
+    assert not got[("r1", "python")].is_dominant
+    assert got[("r2", "rust")].is_dominant
+
+
+def test_vendored_fraction(spark):
+    from bern2_spark.dataprep.codeqc import vendored_fraction
+    files = [
+        ("r1", "vendor/x.py"), ("r1", "src/node_modules/y.js"),
+        ("r1", "src/a.py"), ("r1", "myvendor/z.py"),  # no dir match
+        ("r2", "b.py"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path"])
+    got = {r.repo: r for r in vendored_fraction(df).collect()}
+    assert got["r1"].n_vendored == 2 and got["r1"].vendored_frac == 0.5
+    assert got["r2"].n_vendored == 0
+
+
+def test_identifier_subtokens(spark):
+    from bern2_spark.dataprep.codeqc import identifier_subtokens
+    files = [
+        ("r1", "a.py", "getUserName = my_user_count + HTTPServer\n"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "content"])
+    got = {r.subtoken: r.n_occurrences
+           for r in identifier_subtokens(df).collect()}
+    # camel humps + snake splits, lower-cased; 1-char 'x' style dropped
+    assert got["user"] == 2            # getUserName + my_user_count
+    assert got["name"] == 1 and got["get"] == 1
+    assert got["count"] == 1 and got["my"] == 1
+    # HTTPServer: lowercase boundary split only -> 'httpserver' stays
+    assert "httpserver" in got
