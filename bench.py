@@ -47,6 +47,12 @@ HEADLINE = [
     # repo-similarity projection (added r5 final session; ~2 s at
     # sf0.1 — totals are not comparable to 19-query artifacts)
     "kg_shared_pkg_graph",
+    # session-6 code-corpus additions: bitext mining, function-level
+    # clone dedup, subtoken vocab (the three heaviest new plans —
+    # totals are not comparable to 20-query artifacts)
+    "kg_docstring_pairs",
+    "dedup_function_clones",
+    "code_subtoken_vocab",
 ]
 
 
