@@ -61,7 +61,7 @@ reference dispatches normalizers by entity type
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Per-language battery: (import-regex, declaration-regex, root-pkg
@@ -517,3 +517,73 @@ def dependency_edges(imports: DataFrame) -> DataFrame:
             .select(F.concat(F.lit("repo:"), "repo").alias("src"),
                     F.concat(F.lit("pkg:"), "root_pkg").alias("dst"))
             .distinct())
+
+
+def coedit_edges(commits: DataFrame,
+                 repo_col: str = "repo",
+                 commit_col: str = "commit_sha",
+                 path_col: str = "path",
+                 max_files_per_commit: int = 64) -> DataFrame:
+    """Co-change (logical-coupling) edges: two files of the same repo
+    that appear in the same commit are coupled; the edge weight is the
+    number of commits they share (Gall et al. 1998's change-coupling
+    graph, the KG layer refactoring/ownership mining reads).
+
+    Input: one row per (repo, commit, path) membership.  Output:
+    ``(repo, path_a, path_b, n_commits)`` with ``path_a < path_b``.
+
+    Scale shape: the pair generation is a self-join co-partitioned on
+    (repo, commit) — the same plan family as the sentence co-occur
+    pairer — so a commit's pairs never leave its partition.  Skew is
+    bounded BEFORE the join by the hub cap: commits touching more
+    than ``max_files_per_commit`` files (repo-wide reformat, vendored
+    import) are dropped, exactly the mega-commit exclusion the
+    co-change literature applies, making the per-commit fan-out
+    <= C(cap, 2) regardless of data skew.  The cap is a window count
+    over (repo, commit) rather than an agg + semi-join, so the ONE
+    exchange that hash-partitions memberships by (repo, commit) is
+    planned once and both self-join sides read it back as a
+    ReusedExchange — no separate size-table shuffle, no join to apply
+    the cap.  The final weight agg is map-side combined on
+    (repo, path_a, path_b)."""
+    m = (commits.select(F.col(repo_col).alias("repo"),
+                        F.col(commit_col).alias("commit_sha"),
+                        F.col(path_col).alias("path"))
+         .distinct())
+    w = Window.partitionBy("repo", "commit_sha")
+    m = (m.withColumn("_n", F.count("*").over(w))
+         .filter(F.col("_n") <= max_files_per_commit)
+         .drop("_n"))
+    a = m.select("repo", "commit_sha", F.col("path").alias("path_a"))
+    b = m.select("repo", "commit_sha", F.col("path").alias("path_b"))
+    return (a.join(b, ["repo", "commit_sha"])
+            .filter(F.col("path_a") < F.col("path_b"))
+            .groupBy("repo", "path_a", "path_b")
+            .agg(F.count("*").alias("n_commits")))
+
+
+def triple_confidence(imports: DataFrame,
+                      halflife: float = 4.0) -> DataFrame:
+    """Evidence-weighted triple scoring — the knowledge-fusion stage
+    (Dong et al. 2014's Knowledge Vault shape): every extractor hit
+    for (repo, imports_pkg, package) is evidence; the triple's
+    confidence saturates with the number of INDEPENDENT witnesses
+    (distinct files), ``1 - exp(-n_files / halflife)``, so one stray
+    mention scores ~0.22 while a package imported across five files
+    scores ~0.71.  Downstream KG consumers threshold on this instead
+    of the raw triple set.
+
+    Output: ``(subj, pred, obj, n_mentions, n_files, confidence)``.
+    One map-side-combined groupBy on (repo, root_pkg); the exp/round
+    is a codegen'd column expr.  Bounded by |distinct (repo, pkg)|."""
+    return (imports
+            .groupBy(F.col("repo"), F.col("root_pkg"))
+            .agg(F.count("*").alias("n_mentions"),
+                 F.countDistinct("path").alias("n_files"))
+            .select(F.concat(F.lit("repo:"), "repo").alias("subj"),
+                    F.lit("imports_pkg").alias("pred"),
+                    F.concat(F.lit("pkg:"), "root_pkg").alias("obj"),
+                    "n_mentions", "n_files",
+                    F.round(1.0 - F.exp(-F.col("n_files")
+                                        / F.lit(halflife)),
+                            6).alias("confidence")))

@@ -288,3 +288,47 @@ def trim_to_cycles(edges: DataFrame, src_col: str = "src",
              .select("src", "dst")
              .localCheckpoint(eager=True))
     return e
+
+
+def transitive_closure(edges: DataFrame,
+                       src_col: str = "src",
+                       dst_col: str = "dst",
+                       max_rounds: int = 16) -> DataFrame:
+    """Full reachability closure over a DAG edge list — the ontology
+    materialization step (every ancestor of every node, the is-a
+    closure MeSH/GO-style hierarchies ship pre-expanded so lookups
+    are one equi-join instead of a runtime walk).
+
+    Path-doubling (Valiant): after round r the relation holds every
+    pair connected by a path of length <= 2^r, so a hierarchy of
+    depth d closes in ceil(log2 d) self-joins — 50 levels in 6
+    rounds, vs 50 frontier iterations for the naive chase.  Each
+    round is one co-partitioned self-join on the midpoint column
+    plus a distinct on the (src, dst) pair; ``localCheckpoint``
+    truncates the self-referential lineage exactly as the
+    connected-components loop does (dataprep/cluster.py).  The loop
+    exits on the first round that adds no pair (count compared on
+    8-byte pair counts, not materialized rows).
+
+    Output: ``(src, dst)`` — src reaches dst by >= 1 edge."""
+    r = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    n = r.count()
+    for _ in range(max_rounds):
+        mid = r.select(F.col("src").alias("_m"),
+                       F.col("dst").alias("dst"))
+        two = (r.select("src", F.col("dst").alias("_m"))
+               .join(mid, "_m")
+               .select("src", "dst"))
+        r = (r.unionByName(two)
+             .filter(F.col("src") != F.col("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))
+        m = r.count()
+        if m == n:
+            break
+        n = m
+    return r

@@ -6244,6 +6244,242 @@ def code_license_strip(spark, sf_dir):
         "doc_id", "repo", "had_license_header", "clean_sha")
 
 
+# ------------------------------------------------- co-change (logical coupling)
+
+def _commits_body() -> str:
+    # Commit-membership fixture: repos are sources (doc_id%20), files
+    # are the repo-local t = doc_id//20 sequence, and each file is a
+    # member of (a) a fine commit grouping 3 consecutive repo files,
+    # (b) a coarse commit grouping 6 — so adjacent files co-occur in
+    # TWO commits (weight 2) and mid-range pairs in one — plus (c) a
+    # repo-wide 'mega' commit on even-residue repos (>= 25 files at
+    # every SF) that exceeds the query's 16-file hub cap, so the
+    # mega-commit exclusion is exercised in the hash-checked data at
+    # every sweep SF, not just in tests.
+    t = "CAST(doc_id // 20 AS VARCHAR)"
+    p = f"'src/f' || {t} || '.py'"
+    return (f"""cm AS (
+  SELECT source AS repo, {p} AS path,
+         'c' || CAST((doc_id // 20) // 3 AS VARCHAR) AS commit_sha
+  FROM documents
+  UNION ALL
+  SELECT source AS repo, {p} AS path,
+         'd' || CAST((doc_id // 20) // 6 AS VARCHAR) AS commit_sha
+  FROM documents
+  UNION ALL
+  SELECT source AS repo, {p} AS path, 'mega' AS commit_sha
+  FROM documents WHERE doc_id % 2 = 0)""")
+
+
+def _commits(spark, sf_dir):
+    """Spark twin of the cm CTE."""
+    d = _docs(spark, sf_dir)
+    t = F.floor(F.col("doc_id") / 20).cast("long")
+    path = F.concat(F.lit("src/f"), t.cast("string"), F.lit(".py"))
+    base = d.select(F.col("source").alias("repo"), path.alias("path"),
+                    F.col("doc_id"))
+    fine = base.select("repo", "path",
+                       F.concat(F.lit("c"), F.floor(t / 3).cast("long")
+                                .cast("string")).alias("commit_sha"))
+    coarse = base.select("repo", "path",
+                         F.concat(F.lit("d"), F.floor(t / 6).cast("long")
+                                  .cast("string")).alias("commit_sha"))
+    mega = (base.filter(F.col("doc_id") % 2 == 0)
+            .select("repo", "path", F.lit("mega").alias("commit_sha")))
+    return fine.unionByName(coarse).unionByName(mega)
+
+
+@q("kg_coedit_edges", "WITH " + _commits_body() + """,
+m AS (SELECT DISTINCT repo, commit_sha, path FROM cm),
+ok AS (SELECT repo, commit_sha FROM m
+       GROUP BY repo, commit_sha HAVING count(*) <= 16),
+mk AS (SELECT m.repo, m.commit_sha, m.path
+       FROM m JOIN ok USING (repo, commit_sha))
+SELECT a.repo, a.path AS path_a, b.path AS path_b,
+       CAST(count(*) AS BIGINT) AS n_commits
+FROM mk a JOIN mk b
+  ON a.repo = b.repo AND a.commit_sha = b.commit_sha
+     AND a.path < b.path
+GROUP BY a.repo, a.path, b.path
+""")
+def kg_coedit_edges(spark, sf_dir):
+    """Co-change (logical-coupling) graph
+    (dataprep/codekg.py:coedit_edges): files of one repo that ship in
+    the same commit, weighted by shared-commit count — Gall et al.'s
+    change-coupling edges, the KG layer ownership/refactoring mining
+    reads.  Self-join co-partitioned on (repo, commit) with the
+    mega-commit hub cap applied BEFORE the join, so per-commit
+    fan-out is <= C(cap,2) regardless of skew; the fixture's 'mega'
+    commit crosses the 16-file cap at every SF and must vanish from the
+    pair set, which the hash check proves."""
+    from bern2_spark.dataprep.codekg import coedit_edges
+    return coedit_edges(_commits(spark, sf_dir),
+                        max_files_per_commit=16)
+
+
+# ------------------------------------------------- Type-2 clone dedup
+
+def _t2src_body() -> str:
+    # Type-2 fixture: %3==0 the canonical function, %3==1 a RENAMED
+    # variant (different identifiers, string and numeric literals,
+    # plus a body comment) that Type-1 normalization can NOT merge but
+    # token-class hashing must; %3==2 nothing (negatives).  Structure
+    # varies by b = doc_id%8 (b extra '+ alpha' terms), giving 8
+    # distinct Type-2 classes each containing exactly 2 Type-1
+    # classes.
+    b = "doc_id % 8"
+    v0 = ("'def t2_fn(alpha):' || chr(10) || "
+          "'    s = ''aa''' || chr(10) || "
+          "'    n = 1' || chr(10) || "
+          f"'    return alpha' || repeat(' + alpha', {b}) || chr(10)")
+    v1 = ("'def t2_zz(beta):' || chr(10) || "
+          "'    s = ''bb''  # r' || chr(10) || "
+          "'    n = 27' || chr(10) || "
+          f"'    return beta' || repeat(' + beta', {b}) || chr(10)")
+    return (_CODE_CTE_BODY + "," + _CODE_FAMILY_SQL + f""",
+t2src AS (SELECT repo, path, doc_id, lang,
+    content || chr(10) || (CASE doc_id % 3
+      WHEN 0 THEN {v0} WHEN 1 THEN {v1} ELSE '' END) AS content
+  FROM fam WHERE lang = 'python')""")
+
+
+def _t2src(spark, sf_dir):
+    """Spark twin of the t2src CTE."""
+    c = _code(spark, sf_dir)
+    did = F.col("doc_id")
+    fam = F.lit("text")
+    for nat, pl in _NAT_TO_FAMILY.items():
+        fam = F.when(F.col("lang") == nat, F.lit(pl)).otherwise(fam)
+    b = (did % 8).cast("int")
+    v0 = F.concat(F.lit("def t2_fn(alpha):\n    s = 'aa'\n    n = 1\n"
+                        "    return alpha"),
+                  F.repeat(F.lit(" + alpha"), b), F.lit("\n"))
+    v1 = F.concat(F.lit("def t2_zz(beta):\n    s = 'bb'  # r\n"
+                        "    n = 27\n    return beta"),
+                  F.repeat(F.lit(" + beta"), b), F.lit("\n"))
+    body = (F.when(did % 3 == 0, v0)
+             .when(did % 3 == 1, v1)
+             .otherwise(F.lit("")))
+    return (c.select("repo", "path", "doc_id", fam.alias("lang"),
+                     F.concat(F.col("content"), F.lit("\n"),
+                              body).alias("content"))
+            .filter(F.col("lang") == "python"))
+
+
+def _t2_clone_sql() -> str:
+    from bern2_spark.dataprep.codeqc import (FUNCTION_BLOCK_RE,
+                                             T2_KEYWORDS, _COMMENT_RE,
+                                             _T2_STRING_RES,
+                                             _T2_TOKEN_RE, _WS_RUN_RE)
+    whens = " ".join(
+        f"WHEN '{fam}' THEN regexp_extract_all(content, '{pat}')"
+        for fam, pat in FUNCTION_BLOCK_RE.items())
+    sq = _T2_STRING_RES[0].replace("'", "''")
+    dq = _T2_STRING_RES[1]
+    kws = ", ".join(f"'{k}'" for k in T2_KEYWORDS)
+    return ("WITH " + _t2src_body() + f""",
+fx AS (SELECT repo, path,
+       CASE lang {whens} ELSE CAST([] AS VARCHAR[]) END AS fns
+       FROM t2src),
+fb AS (SELECT repo, path,
+       md5(trim(regexp_replace(regexp_replace(
+           b.f, '{_COMMENT_RE}', '', 'g'),
+           '{_WS_RUN_RE}', ' ', 'g'))) AS body_hash,
+       regexp_replace(regexp_replace(regexp_replace(
+           b.f, '{_COMMENT_RE}', '', 'g'),
+           '{sq}', 'S', 'g'), '{dq}', 'S', 'g') AS blinded
+       FROM fx, unnest(fns) AS b(f)),
+tk AS (SELECT repo, path, body_hash,
+       md5(array_to_string(list_transform(
+           regexp_extract_all(blinded, '{_T2_TOKEN_RE}'),
+           t -> CASE WHEN list_contains([{kws}], t) THEN t
+                     WHEN regexp_matches(t, '^[0-9]') THEN 'N'
+                     WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'ID'
+                     ELSE t END), ' ')) AS t2_hash
+       FROM fb)
+SELECT t2_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(DISTINCT repo || '#' || path) AS BIGINT) AS n_files,
+       CAST(count(DISTINCT body_hash) AS BIGINT) AS n_t1_classes
+FROM tk GROUP BY t2_hash HAVING count(*) > 1
+""")
+
+
+@q("dedup_type2_clones", _t2_clone_sql())
+def dedup_type2_clones(spark, sf_dir):
+    """Function-granularity Type-2 clone detection
+    (dataprep/codeqc.py:type2_clones): bodies identical after
+    identifier renaming and literal substitution, found by
+    token-class hashing (strings->S, numbers->N, non-keyword
+    identifiers->ID) — the SourcererCC/NiCad preprocessing shape.
+    The fixture's %3==1 renamed variants share NO Type-1 hash with
+    the %3==0 canonicals (n_t1_classes = 2 per class) yet must merge
+    here, which is exactly what the hash check proves.  All
+    normalization is scan-fused transform/regexp exprs; only the
+    32-byte t2 hash shuffles."""
+    from bern2_spark.dataprep.codeqc import type2_clones
+    return type2_clones(_t2src(spark, sf_dir))
+
+
+# ------------------------------------------------- triple confidence
+
+@q("kg_triple_confidence",
+   "WITH " + _CODE_SRC_BODY + _code_imports_cte() + """
+SELECT 'repo:' || repo AS subj, 'imports_pkg' AS pred,
+       'pkg:' || root_pkg AS obj,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_files,
+       round(1 - exp(-count(DISTINCT path) / 4.0), 6) AS confidence
+FROM im GROUP BY repo, root_pkg
+""")
+def kg_triple_confidence(spark, sf_dir):
+    """Evidence-weighted triple scoring
+    (dataprep/codekg.py:triple_confidence): the knowledge-fusion
+    stage (Knowledge Vault's shape) — every extractor hit is a
+    witness and the triple's confidence saturates with the count of
+    INDEPENDENT witnesses (distinct files), 1 - exp(-n_files/4).
+    Downstream consumers threshold on confidence instead of taking
+    the raw triple set.  One map-side-combined groupBy bounded by
+    |distinct (repo, pkg)|; the exp is a codegen'd column expr whose
+    argument is a small integer, so the 6-decimal round is stable
+    across engines."""
+    from bern2_spark.dataprep.codekg import triple_confidence
+    from bern2_spark.dataprep.codekg import extract_imports
+    return triple_confidence(extract_imports(_code_src(spark, sf_dir)))
+
+
+# ------------------------------------------------- ontology closure
+
+@q("kg_ontology_closure", """
+WITH RECURSIVE e AS (
+  SELECT CAST(p_partkey AS BIGINT) AS src,
+         CAST(p_partkey // 2 AS BIGINT) AS dst
+  FROM part WHERE p_partkey >= 2),
+anc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT a.src, e.dst FROM anc a JOIN e ON a.dst = e.src)
+SELECT src, dst FROM anc
+""")
+def kg_ontology_closure(spark, sf_dir):
+    """Transitive is-a closure (operators/graph.py:
+    transitive_closure): the ontology materialization step —
+    MeSH/GO-style hierarchies ship pre-expanded so ancestor lookups
+    are one equi-join instead of a runtime walk.  Path doubling
+    closes a depth-d hierarchy in ceil(log2 d) co-partitioned
+    self-joins (the binary p_partkey//2 hierarchy here: depth ~log2 N,
+    4 rounds at sf0.1) with localCheckpoint truncating the
+    self-referential lineage; the DuckDB twin is the recursive CTE,
+    a genuinely different evaluation strategy agreeing on the same
+    fixpoint."""
+    from bern2_spark.operators.graph import transitive_closure
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    e = (p.filter(F.col("p_partkey") >= 2)
+         .select(F.col("p_partkey").cast("long").alias("src"),
+                 F.floor(F.col("p_partkey") / 2).cast("long")
+                 .alias("dst")))
+    return transitive_closure(e)
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -6314,6 +6550,10 @@ _SWEEP_FIRST = [
     "kg_api_usage", "kg_test_edges", "kg_docstring_pairs",
     "code_repo_langs", "code_vendored_frac", "code_subtoken_vocab",
     "dedup_function_clones",
+    # session-7 additions: co-change graph, Type-2 clones, triple
+    # confidence, ontology closure
+    "kg_coedit_edges", "dedup_type2_clones", "kg_triple_confidence",
+    "kg_ontology_closure",
 ]
 
 

@@ -376,3 +376,99 @@ def test_function_clones_type1(spark):
     got = [(r.n_copies, r.n_repos, r.n_files)
            for r in function_clones(df).collect()]
     assert got == [(2, 2, 2)]
+
+
+# ------------------------------------------------ co-change edges
+
+def test_coedit_edges_weight_and_cap(spark):
+    """Pairs sharing two commits weigh 2; a commit over the hub cap
+    contributes nothing; cross-repo paths never pair."""
+    from bern2_spark.dataprep.codekg import coedit_edges
+    rows = [
+        # r1: a+b share c1 AND c2 (weight 2); b+c share c2 only
+        ("r1", "c1", "a.py"), ("r1", "c1", "b.py"),
+        ("r1", "c2", "a.py"), ("r1", "c2", "b.py"),
+        ("r1", "c2", "c.py"),
+        # mega commit: 4 files > cap=3 -> dropped entirely
+        ("r1", "m", "a.py"), ("r1", "m", "b.py"),
+        ("r1", "m", "c.py"), ("r1", "m", "d.py"),
+        # r2: same paths as r1 but its own commit space
+        ("r2", "c1", "a.py"), ("r2", "c1", "z.py"),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "commit_sha", "path"])
+    got = {(r.repo, r.path_a, r.path_b): r.n_commits
+           for r in coedit_edges(df, max_files_per_commit=3).collect()}
+    assert got == {
+        ("r1", "a.py", "b.py"): 2,
+        ("r1", "a.py", "c.py"): 1,
+        ("r1", "b.py", "c.py"): 1,
+        ("r2", "a.py", "z.py"): 1,
+    }
+
+
+def test_coedit_edges_duplicate_membership_rows(spark):
+    """A (repo, commit, path) row listed twice (merge artifact) must
+    not double the weight — the distinct guards it."""
+    from bern2_spark.dataprep.codekg import coedit_edges
+    rows = [("r", "c", "a"), ("r", "c", "a"), ("r", "c", "b")]
+    df = spark.createDataFrame(rows, ["repo", "commit_sha", "path"])
+    out = coedit_edges(df).collect()
+    assert [(r.path_a, r.path_b, r.n_commits) for r in out] == \
+        [("a", "b", 1)]
+
+
+# ------------------------------------------------ triple confidence
+
+def test_triple_confidence_saturates(spark):
+    from bern2_spark.dataprep.codekg import extract_imports, \
+        triple_confidence
+    files = [
+        ("r1", f"f{i}.py", "python", "import numpy\n") for i in range(5)
+    ] + [("r1", "g.py", "python", "import os\nimport os\n")]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    out = {r.obj: r for r in
+           triple_confidence(extract_imports(df)).collect()}
+    np_row, os_row = out["pkg:numpy"], out["pkg:os"]
+    assert (np_row.n_files, np_row.n_mentions) == (5, 5)
+    # two mentions in ONE file are one witness, not two
+    assert (os_row.n_files, os_row.n_mentions) == (1, 2)
+    assert np_row.confidence > os_row.confidence
+    import math
+    assert abs(np_row.confidence - (1 - math.exp(-5 / 4.0))) < 1e-6
+    assert np_row.subj == "repo:r1" and np_row.pred == "imports_pkg"
+
+
+# ------------------------------------------------ Type-2 clones
+
+def test_type2_clones_merge_renames(spark):
+    """Renamed identifiers + different literals merge into one Type-2
+    class that spans two Type-1 classes; a structurally different
+    body stays out."""
+    from bern2_spark.dataprep.codeqc import type2_clones
+    files = [
+        ("r1", "a.py", "python",
+         "def f(x):\n    s = 'aa'\n    return x + 1\n"),
+        ("r2", "b.py", "python",
+         "def g(y):\n    s = \"bb\"\n    return y + 999  # note\n"),
+        # different structure (two return terms) -> different class
+        ("r3", "c.py", "python",
+         "def h(z):\n    s = 'cc'\n    return z + 1 + z\n"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    out = type2_clones(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_copies, r.n_repos, r.n_files, r.n_t1_classes) == \
+        (2, 2, 2, 2)
+
+
+def test_type2_keywords_not_blinded(spark):
+    """Keyword skeleton is preserved: swapping `return` for `pass`
+    (structure change) must NOT merge even though identifiers do."""
+    from bern2_spark.dataprep.codeqc import type2_clones
+    files = [
+        ("r1", "a.py", "python", "def f(x):\n    return x\n"),
+        ("r2", "b.py", "python", "def g(y):\n    pass\n"),
+    ]
+    df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
+    assert type2_clones(df).collect() == []

@@ -136,3 +136,31 @@ def test_entity_catalog(spark):
     gene = out[("gene", "1017")]
     assert (gene.n_mentions, gene.n_docs) == (2, 2)
     assert gene.canonical_surface == "CDK2"
+
+
+# ------------------------------------------------ transitive closure
+
+def test_transitive_closure_chain(spark):
+    """A 5-node chain closes to all 10 ancestor pairs in
+    ceil(log2 4) = 2 doubling rounds."""
+    from bern2_spark.operators.graph import transitive_closure
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        ["src", "dst"])
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    want = {(x, y) for i, x in enumerate("abcde")
+            for y in "abcde"[i + 1:]}
+    assert got == want
+
+
+def test_transitive_closure_dag_and_dupes(spark):
+    """Diamond DAG: both paths to the sink yield ONE closure row;
+    duplicate input edges and self-loops are ignored."""
+    from bern2_spark.operators.graph import transitive_closure
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+         ("a", "b"), ("d", "d")],
+        ["src", "dst"])
+    got = sorted((r.src, r.dst) for r in transitive_closure(e).collect())
+    assert got == [("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "d"), ("c", "d")]
