@@ -1,0 +1,86 @@
+"""Lexical retrieval over the code corpus — BM25 ranking as a pure
+DataFrame plan.
+
+A KG-construction / training-data deployment needs retrieval long
+before it needs embeddings: curation pulls exemplars by keyword,
+decontamination teams audit "which files mention this benchmark",
+and RAG corpora are seeded by lexical search.  This module scores
+documents with Okapi BM25 (Robertson & Zaragoza 2009, the Lucene
+``k1``/``b`` variant with the +1-smoothed idf) entirely in Spark
+column expressions — no UDF, no driver-side index.
+
+100-TB posture
+--------------
+The corpus-proportional work is ONE content scan: tokenize in-row
+(``split`` + ``array_remove`` — the token array never leaves the
+row), take ``size()`` for the document length, then explode and
+IMMEDIATELY prune to the query's terms — the only rows that reach
+the (doc, term) count shuffle are query-term hits, ∝ hits not ∝
+corpus.  Document frequency is a window over that pruned table (no
+second corpus scan); N and avgdl are a scan-fused global aggregate
+broadcast back as one row; the final top-k is a
+TakeOrderedAndProject, never a full sort.  At 10^12 files a real
+deployment materializes the (term, doc, tf) table once (bucketed by
+term, sources/bucketed.py) and this plan's score/join stages run
+unchanged against it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared with the DuckDB oracle verbatim (string_split_regex twin):
+# lowercase, split on runs of anything outside [a-z0-9_] so
+# identifiers survive whole, drop empty fragments.
+TOKEN_SPLIT_RE = "[^a-z0-9_]+"
+
+
+def bm25_rank(files: DataFrame,
+              query_terms: Sequence[str],
+              content_col: str = "content",
+              id_cols: Sequence[str] = ("repo", "path"),
+              k1: float = 1.2,
+              b: float = 0.75,
+              topk: int = 10) -> DataFrame:
+    """Top-``topk`` documents for a bag-of-words query under BM25.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Returns ``(*id_cols, bm25)`` ordered by (bm25 DESC, *id_cols) —
+    the tie-break makes the selected set deterministic across
+    engines.  Query terms absent from the corpus contribute nothing
+    (their (doc, term) rows don't exist).  ``bm25`` is rounded to 6
+    places so both engines hash identically despite sum-order ulps.
+    """
+    ids = [F.col(c) for c in id_cols]
+    toks = F.array_remove(
+        F.split(F.lower(F.col(content_col)), TOKEN_SPLIT_RE), "")
+    d = (files.select(*ids, toks.alias("_toks"))
+         .withColumn("_dl", F.size("_toks")))
+    # 1-row corpus stats, broadcast back via crossJoin.
+    stats = d.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    tf = (d.select(*id_cols, "_dl", F.explode("_toks").alias("term"))
+          .filter(F.col("term").isin(list(query_terms)))
+          .groupBy(*id_cols, "_dl", "term")
+          .agg(F.count("*").alias("_tf")))
+    # df(t): tf has one row per (doc, term), so a per-term row count
+    # over the pruned table IS the document frequency — no rejoin, no
+    # second scan of the corpus subtree.
+    tf = tf.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("term")))
+    n, avgdl = F.col("_n"), F.col("_avgdl")
+    idf = F.log(F.lit(1.0)
+                + (n - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    w = (idf * F.col("_tf") * (k1 + 1.0)
+         / (F.col("_tf")
+            + k1 * (1.0 - b + b * F.col("_dl") / avgdl)))
+    return (tf.crossJoin(F.broadcast(stats))
+            .withColumn("_w", w)
+            .groupBy(*id_cols)
+            .agg(F.round(F.sum("_w"), 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), *id_cols)
+            .limit(topk))

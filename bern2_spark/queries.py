@@ -6480,6 +6480,53 @@ def kg_ontology_closure(spark, sf_dir):
                  .alias("dst")))
     return transitive_closure(e)
 
+# ------------------------------------------------- BM25 lexical search
+
+# Query terms chosen against the fixture corpus: 'apache' appears only
+# in the injected doc_id%7==1 license header (rare -> high idf),
+# 'window'/'merge' are common body vocabulary (low idf) — so the
+# ranking genuinely exercises the idf spread, not just tf.
+_BM25_TERMS = ("apache", "merge", "window")
+
+
+@q("code_bm25_search", _CODE_CTE + r""",
+tok AS (SELECT repo, path,
+               list_filter(string_split_regex(lower(content),
+                                              '[^a-z0-9_]+'),
+                           t -> t <> '') AS toks
+        FROM code),
+d AS (SELECT repo, path, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+ex AS (SELECT repo, path, dl, unnest(toks) AS term
+       FROM (SELECT repo, path, len(toks) AS dl, toks FROM tok)),
+tf AS (SELECT repo, path, dl, term, count(*) AS tf
+       FROM ex WHERE term IN ('apache', 'merge', 'window')
+       GROUP BY 1, 2, 3, 4),
+wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+sc AS (SELECT repo, path,
+              round(sum(ln(1 + ((SELECT n FROM stats) - df + 0.5)
+                               / (df + 0.5))
+                        * tf * (1.2 + 1.0)
+                        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                                       / (SELECT avgdl FROM stats)))),
+                    6) AS bm25
+       FROM wdf GROUP BY 1, 2)
+SELECT repo, path, bm25 FROM sc
+ORDER BY bm25 DESC, repo, path LIMIT 10
+""")
+def code_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term query over the code corpus
+    (dataprep/retrieval.py:bm25_rank — Robertson & Zaragoza 2009,
+    Lucene k1=1.2/b=0.75 variant).  One content scan: in-row tokenize,
+    explode pruned to query terms BEFORE the (doc, term) count
+    shuffle; df is a window over the pruned table; N/avgdl a 1-row
+    broadcast; top-k a TakeOrderedAndProject.  The oracle runs the
+    identical arithmetic with the identical (bm25 DESC, repo, path)
+    tie-break so the selected set matches exactly."""
+    from bern2_spark.dataprep.retrieval import bm25_rank
+    return bm25_rank(_code(spark, sf_dir), _BM25_TERMS, topk=10)
+
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -6554,6 +6601,8 @@ _SWEEP_FIRST = [
     # confidence, ontology closure
     "kg_coedit_edges", "dedup_type2_clones", "kg_triple_confidence",
     "kg_ontology_closure",
+    # session-8: lexical retrieval
+    "code_bm25_search",
 ]
 
 
