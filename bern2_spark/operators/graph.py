@@ -332,3 +332,48 @@ def transitive_closure(edges: DataFrame,
             break
         n = m
     return r
+
+
+def label_propagation(edges: DataFrame,
+                      src_col: str = "cui_a", dst_col: str = "cui_b",
+                      weight_col: str | None = None,
+                      iterations: int = 3) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    with a fixed iteration count — community detection that, unlike
+    the connected-components communities (dataprep/cluster.py), can
+    split a single connected blob into densely-linked groups.
+
+    Every node starts labeled with itself; each round it adopts the
+    label carrying the highest total edge weight among its neighbors'
+    current labels, ties broken by the SMALLEST label — synchronous
+    updates plus that tie-break make the result a pure function of the
+    edge list, so the DuckDB oracle unrolls the same rounds as chained
+    CTEs (the kg_pagerank discipline for iterative operators).
+
+    Per round: one co-partitioned join of the label table against the
+    degree-annotated edge list (shuffled once before the loop and
+    checkpointed), one map-side-combined (node, label) weight sum, one
+    per-node window argmax; ``localCheckpoint`` truncates the lineage
+    each round.  Weights stay integral (doc counts), so the argmax
+    compares exact longs — no float tie ambiguity across engines.
+
+    Output: ``(node, community)``."""
+    w = weight_col
+    e = symmetrize(edges, src_col, dst_col, w)
+    if w is None:
+        e = e.withColumn("weight", F.lit(1))
+    ed = e.localCheckpoint(eager=True)
+    labels = (ed.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    win = (Window.partitionBy("node")
+           .orderBy(F.desc("_s"), F.asc("label")))
+    for _ in range(iterations):
+        labels = (ed.join(labels.withColumnRenamed("node", "src"), "src")
+                  .groupBy(F.col("dst").alias("node"), "label")
+                  .agg(F.sum("weight").alias("_s"))
+                  .withColumn("_rn", F.row_number().over(win))
+                  .filter(F.col("_rn") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("label").alias("community"))

@@ -2947,6 +2947,44 @@ def _pagerank_sql(iters: int = 5, d: float = 0.85,
             + f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}")
 
 
+def _lpa_sql(iters: int = 3) -> str:
+    """Fixed-iteration synchronous label propagation as chained CTEs —
+    the SQL unrolling of operators/graph.label_propagation.  Weight
+    sums stay integral (doc counts) so the per-node argmax compares
+    exact integers; the (sum DESC, label ASC) tie-break is identical
+    in both engines."""
+    parts = [_kg_sym_cte(),
+             "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+             "l0 AS (SELECT node, node AS label FROM nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""s{i} AS (
+  SELECT sym.dst AS node, l{i - 1}.label, sum(sym.w) AS s
+  FROM sym JOIN l{i - 1} ON sym.src = l{i - 1}.node
+  GROUP BY 1, 2),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY s DESC, label) AS rn
+    FROM s{i}) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, label AS community FROM l{iters}")
+
+
+@q("kg_label_propagation", _lpa_sql())
+def kg_label_propagation(spark, sf_dir):
+    """3-round synchronous weighted label-propagation communities
+    (Raghavan et al. 2007) over the entity co-occurrence graph — the
+    density-sensitive complement to the connected-components
+    communities (kg_repo_communities).  Spark side is the checkpointed
+    join/agg/window loop (operators/graph.label_propagation); the
+    oracle unrolls the same three rounds as chained CTEs with the
+    identical integer-exact (weight-sum DESC, label ASC) argmax."""
+    from bern2_spark.operators.graph import label_propagation
+    return label_propagation(_kg_edges(spark), weight_col="n_docs",
+                             iterations=3)
+
+
 @q("kg_degree_stats", f"""
 WITH {_kg_sym_cte()}
 SELECT src AS node, count(*) AS degree,
@@ -6601,8 +6639,8 @@ _SWEEP_FIRST = [
     # confidence, ontology closure
     "kg_coedit_edges", "dedup_type2_clones", "kg_triple_confidence",
     "kg_ontology_closure",
-    # session-8: lexical retrieval
-    "code_bm25_search",
+    # session-8: lexical retrieval, LPA communities
+    "code_bm25_search", "kg_label_propagation",
 ]
 
 

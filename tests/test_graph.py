@@ -164,3 +164,46 @@ def test_transitive_closure_dag_and_dupes(spark):
     got = sorted((r.src, r.dst) for r in transitive_closure(e).collect())
     assert got == [("a", "b"), ("a", "c"), ("a", "d"),
                    ("b", "d"), ("c", "d")]
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from bern2_spark.operators.graph import label_propagation
+    # two triangles joined by ONE weak bridge: connected components
+    # would merge them; LPA's weighted majority keeps them apart
+    e = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+         ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+         ("c", "x", 1)],
+        ["cui_a", "cui_b", "n_docs"])
+    got = {r.node: r.community
+           for r in label_propagation(e, weight_col="n_docs",
+                                      iterations=3).collect()}
+    assert len(got) == 6
+    left = {got[n] for n in "abc"}
+    right = {got[n] for n in "xyz"}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_partition_invariance(spark):
+    from bern2_spark.operators.graph import label_propagation
+    e = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+         ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+         ("c", "x", 1)],
+        ["cui_a", "cui_b", "n_docs"])
+    a = sorted(map(tuple, label_propagation(
+        e, weight_col="n_docs").collect()))
+    b = sorted(map(tuple, label_propagation(
+        e.repartition(7), weight_col="n_docs").collect()))
+    assert a == b
+
+
+def test_label_propagation_unweighted_default(spark):
+    from bern2_spark.operators.graph import label_propagation
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              ["cui_a", "cui_b"])
+    rows = label_propagation(e, iterations=1).collect()
+    # 1 round, unit weights: every node adopts its smallest neighbor
+    got = {r.node: r.community for r in rows}
+    assert got == {"a": "b", "b": "a", "c": "b"}
