@@ -377,3 +377,48 @@ def label_propagation(edges: DataFrame,
                   .select("node", "label")
                   .localCheckpoint(eager=True))
     return labels.select("node", F.col("label").alias("community"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame,
+               src_col: str = "cui_a", dst_col: str = "cui_b",
+               weight_col: str | None = None,
+               round_to: int | None = 6) -> DataFrame:
+    """Per-community Newman modularity contributions (Newman 2004):
+    for community c over the symmetrized weighted graph,
+    q_c = w_in_c/2m − (w_tot_c/2m)², where w_in_c is the weight of
+    (directed-both-ways) edges inside c, w_tot_c the strength sum of
+    c's nodes, and 2m the total symmetrized weight.  Σ q_c is the
+    partition's modularity Q — the standard quality score for the
+    community operators (label_propagation, the component
+    communities).
+
+    ``labels`` is ``(node, community)``.  All sums are integral until
+    the final division, so both engines hash identically after the
+    6-place round.  Shape: two co-partitioned joins of the edge list
+    against the label table (src then dst), one map-side-combined
+    groupBy(community), a 1-row broadcast total.  Output:
+    ``(community, n_nodes, w_in, w_tot, q_contrib)``."""
+    e = symmetrize(edges, src_col, dst_col, weight_col)
+    if weight_col is None:
+        e = e.withColumn("weight", F.lit(1))
+    la = labels.select(F.col("node").alias("src"),
+                       F.col("community").alias("_ca"))
+    lb = labels.select(F.col("node").alias("dst"),
+                       F.col("community").alias("_cb"))
+    j = e.join(la, "src").join(lb, "dst")
+    pc = (j.groupBy(F.col("_ca").alias("community"))
+          .agg(F.sum("weight").alias("w_tot"),
+               F.sum(F.when(F.col("_ca") == F.col("_cb"),
+                            F.col("weight")).otherwise(F.lit(0)))
+               .alias("w_in")))
+    nn = labels.groupBy("community").agg(F.count("*").alias("n_nodes"))
+    m2 = e.agg(F.sum("weight").alias("_m2"))
+    q = (F.col("w_in") / F.col("_m2")
+         - (F.col("w_tot") / F.col("_m2"))
+           * (F.col("w_tot") / F.col("_m2")))
+    if round_to is not None:
+        q = F.round(q, round_to)
+    return (pc.join(nn, "community")
+            .crossJoin(F.broadcast(m2))
+            .select("community", "n_nodes", "w_in", "w_tot",
+                    q.alias("q_contrib")))

@@ -2953,6 +2953,11 @@ def _lpa_sql(iters: int = 3) -> str:
     sums stay integral (doc counts) so the per-node argmax compares
     exact integers; the (sum DESC, label ASC) tie-break is identical
     in both engines."""
+    return ("WITH " + ",\n".join(_lpa_parts(iters))
+            + f"\nSELECT node, label AS community FROM l{iters}")
+
+
+def _lpa_parts(iters: int = 3) -> list:
     parts = [_kg_sym_cte(),
              "nodes AS (SELECT DISTINCT src AS node FROM sym)",
              "l0 AS (SELECT node, node AS label FROM nodes)"]
@@ -2967,8 +2972,7 @@ l{i} AS (
            row_number() OVER (PARTITION BY node
                               ORDER BY s DESC, label) AS rn
     FROM s{i}) WHERE rn = 1)""")
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT node, label AS community FROM l{iters}")
+    return parts
 
 
 @q("kg_label_propagation", _lpa_sql())
@@ -2983,6 +2987,38 @@ def kg_label_propagation(spark, sf_dir):
     from bern2_spark.operators.graph import label_propagation
     return label_propagation(_kg_edges(spark), weight_col="n_docs",
                              iterations=3)
+
+
+@q("kg_modularity", "WITH " + ",\n".join(_lpa_parts(3)) + """,
+lab AS (SELECT node, label AS community FROM l3),
+tot AS (SELECT sum(w) AS m2 FROM sym),
+j AS (SELECT sym.w, a.community AS ca, b.community AS cb
+      FROM sym JOIN lab a ON sym.src = a.node
+               JOIN lab b ON sym.dst = b.node),
+pc AS (SELECT ca AS community,
+              sum(w) AS w_tot,
+              sum(CASE WHEN ca = cb THEN w ELSE 0 END) AS w_in
+       FROM j GROUP BY 1),
+nn AS (SELECT community, count(*) AS n_nodes FROM lab GROUP BY 1)
+SELECT pc.community, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(pc.w_in AS BIGINT) AS w_in,
+       CAST(pc.w_tot AS BIGINT) AS w_tot,
+       round(pc.w_in / (SELECT m2 FROM tot)
+             - (pc.w_tot / (SELECT m2 FROM tot))
+               * (pc.w_tot / (SELECT m2 FROM tot)), 6) AS q_contrib
+FROM pc JOIN nn USING (community)
+""")
+def kg_modularity(spark, sf_dir):
+    """Per-community Newman modularity contributions of the 3-round
+    LPA partition — the quality score for the community operators
+    (operators/graph.modularity over label_propagation's output).
+    All sums integral until the final division; both engines round to
+    6 places on exact-integer ratios, so the hash matches."""
+    from bern2_spark.operators.graph import (label_propagation,
+                                             modularity)
+    e = _kg_edges(spark)
+    labels = label_propagation(e, weight_col="n_docs", iterations=3)
+    return modularity(e, labels, weight_col="n_docs")
 
 
 @q("kg_degree_stats", f"""
@@ -6639,8 +6675,8 @@ _SWEEP_FIRST = [
     # confidence, ontology closure
     "kg_coedit_edges", "dedup_type2_clones", "kg_triple_confidence",
     "kg_ontology_closure",
-    # session-8: lexical retrieval, LPA communities
-    "code_bm25_search", "kg_label_propagation",
+    # session-8: lexical retrieval, LPA communities, modularity
+    "code_bm25_search", "kg_label_propagation", "kg_modularity",
 ]
 
 

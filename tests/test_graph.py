@@ -207,3 +207,32 @@ def test_label_propagation_unweighted_default(spark):
     # 1 round, unit weights: every node adopts its smallest neighbor
     got = {r.node: r.community for r in rows}
     assert got == {"a": "b", "b": "a", "c": "b"}
+
+
+def test_modularity_hand_computed(spark):
+    from bern2_spark.operators.graph import modularity
+    e = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+         ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+         ("c", "x", 1)],
+        ["cui_a", "cui_b", "n_docs"])
+    lab = spark.createDataFrame(
+        [(n, "A") for n in "abc"] + [(n, "B") for n in "xyz"],
+        ["node", "community"])
+    got = {r.community: r for r in
+           modularity(e, lab, weight_col="n_docs").collect()}
+    # 2m = 62; each triangle: w_in 30; strengths 10+10+11 = 31
+    for c in ("A", "B"):
+        assert got[c].n_nodes == 3
+        assert got[c].w_in == 30
+        assert got[c].w_tot == 31
+        assert abs(got[c].q_contrib
+                   - (30 / 62 - (31 / 62) ** 2)) < 1e-6
+    # the 2-community split beats the trivial all-in-one partition
+    one = spark.createDataFrame([(n, "all") for n in "abcxyz"],
+                                ["node", "community"])
+    q_one = sum(r.q_contrib for r in
+                modularity(e, one, weight_col="n_docs").collect())
+    q_two = sum(r.q_contrib for r in got.values())
+    assert q_two > q_one
+    assert abs(q_one) < 1e-6
