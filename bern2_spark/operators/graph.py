@@ -422,3 +422,55 @@ def modularity(edges: DataFrame, labels: DataFrame,
             .crossJoin(F.broadcast(m2))
             .select("community", "n_nodes", "w_in", "w_tot",
                     q.alias("q_contrib")))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          src_col: str = "cui_a", dst_col: str = "cui_b",
+                          iterations: int = 5, damping: float = 0.85,
+                          round_to: int | None = 9) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002): the power iteration of
+    ``pagerank`` with the teleport mass restricted to ``seeds`` —
+    entity-centric KG relevance ("what is most related to THESE
+    entities"), the standard graph-retrieval primitive behind
+    recommendation and query expansion.
+
+    ``seeds`` is a 1-column ``(node)`` DataFrame; teleport splits
+    (1−d)/|S| uniformly over it.  Nodes unreachable from the seed set
+    keep rank 0 (they stay in the output — the vector is over the
+    whole node set, like ``pagerank``).  Same plan shape per round:
+    one co-partitioned join against the once-shuffled degree-annotated
+    edge list + one map-side-combined groupBy; ``localCheckpoint``
+    truncates lineage.  The seed table is broadcast into the teleport
+    term (it is a query, not a corpus)."""
+    e = symmetrize(edges, src_col, dst_col)
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("node")).distinct() \
+              .localCheckpoint(eager=True)
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    ns = s.count()
+    if ns == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    seed_mark = F.broadcast(s.withColumn("_is_seed", F.lit(True)))
+    base = (nodes.join(seed_mark, "node", "left")
+            .select("node", F.coalesce("_is_seed", F.lit(False))
+                    .alias("_is_seed"))
+            .localCheckpoint(eager=True))
+    tele = F.when(F.col("_is_seed"), F.lit((1.0 - damping) / ns)) \
+            .otherwise(F.lit(0.0))
+    init = F.when(F.col("_is_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+    ranks = base.select("node", init.alias("rank"))
+    for _ in range(iterations):
+        inflow = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg(F.sum(F.col("rank") / F.col("_deg"))
+                       .alias("_in")))
+        ranks = (base.join(inflow, "node", "left")
+                 .select("node", "_is_seed",
+                         (tele + F.lit(damping)
+                          * F.coalesce("_in", F.lit(0.0))).alias("rank"))
+                 .localCheckpoint(eager=True))
+    out = ranks.select("node", "rank")
+    if round_to is not None:
+        out = out.select("node", F.round("rank", round_to).alias("rank"))
+    return out

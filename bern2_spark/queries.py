@@ -2989,6 +2989,53 @@ def kg_label_propagation(spark, sf_dir):
                              iterations=3)
 
 
+def _ppr_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Personalized-PageRank oracle: the _pagerank_sql unrolling with
+    teleport restricted to the 3 lexicographically-first nodes (the
+    kg_khop seed convention).  The teleport numerator is inlined via
+    repr(1.0 - d) so both engines divide the SAME double by |S|."""
+    tele = repr(1.0 - d)
+    seed = "node IN (SELECT node FROM seeds)"
+    parts = [_kg_sym_cte(),
+             "nodes AS (SELECT DISTINCT src AS node FROM sym)",
+             "seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3)",
+             "ns AS (SELECT count(*) AS n FROM seeds)",
+             "deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1)",
+             f"r0 AS (SELECT node, CASE WHEN {seed} THEN"
+             " CAST(1.0 AS DOUBLE)/(SELECT n FROM ns)"
+             " ELSE CAST(0.0 AS DOUBLE) END AS rank FROM nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.{seed}
+              THEN CAST({tele} AS DOUBLE)/(SELECT n FROM ns)
+              ELSE CAST(0.0 AS DOUBLE) END
+         + CAST({d!r} AS DOUBLE) * coalesce(s.m, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT sym.dst AS node, sum(r{i - 1}.rank / deg.d) AS m
+    FROM sym JOIN r{i - 1} ON sym.src = r{i - 1}.node
+             JOIN deg ON sym.src = deg.src
+    GROUP BY 1) s USING (node))""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}")
+
+
+@q("kg_personalized_pagerank", _ppr_sql())
+def kg_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (Haveliwala 2002) from the 3
+    lexicographically-first entities — entity-centric KG relevance,
+    the graph-retrieval primitive behind query expansion and
+    recommendation (operators/graph.personalized_pagerank).  Same
+    unrolled-CTE oracle discipline as kg_pagerank, with the teleport
+    mass restricted to the broadcast seed set."""
+    from bern2_spark.operators.graph import (personalized_pagerank,
+                                             symmetrize)
+    e = _kg_edges(spark)
+    seeds = (symmetrize(e).select(F.col("src").alias("node"))
+             .distinct().orderBy("node").limit(3))
+    return personalized_pagerank(e, seeds, iterations=5, damping=0.85)
+
+
 @q("kg_modularity", "WITH " + ",\n".join(_lpa_parts(3)) + """,
 lab AS (SELECT node, label AS community FROM l3),
 tot AS (SELECT sum(w) AS m2 FROM sym),
@@ -6675,8 +6722,10 @@ _SWEEP_FIRST = [
     # confidence, ontology closure
     "kg_coedit_edges", "dedup_type2_clones", "kg_triple_confidence",
     "kg_ontology_closure",
-    # session-8: lexical retrieval, LPA communities, modularity
+    # session-8: lexical retrieval, LPA communities, modularity,
+    # personalized pagerank
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
+    "kg_personalized_pagerank",
 ]
 
 

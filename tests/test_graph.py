@@ -236,3 +236,40 @@ def test_modularity_hand_computed(spark):
     q_two = sum(r.q_contrib for r in got.values())
     assert q_two > q_one
     assert abs(q_one) < 1e-6
+
+
+def _numpy_ppr(edge_list, seed_nodes, iters, d):
+    nodes = sorted({a for a, b, _ in edge_list}
+                   | {b for a, b, _ in edge_list})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b, _ in edge_list:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    deg = A.sum(axis=1)
+    P = A / deg[:, None]
+    e = np.zeros(n)
+    for s in seed_nodes:
+        e[idx[s]] = 1.0 / len(seed_nodes)
+    r = e.copy()
+    for _ in range(iters):
+        r = (1 - d) * e + d * (P.T @ r)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_pagerank_matches_numpy(spark, edges):
+    from bern2_spark.operators.graph import personalized_pagerank
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.rank
+           for r in personalized_pagerank(edges, seeds, iterations=5,
+                                          damping=0.85,
+                                          round_to=None).collect()}
+    want = _numpy_ppr(EDGES, ["a"], 5, 0.85)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+    # the x-y-z triangle is unreachable from seed 'a': rank exactly 0
+    assert got["x"] == got["y"] == got["z"] == 0.0
+    # every node on the seed's component holds positive mass
+    for node in "abcd":
+        assert got[node] > 0
