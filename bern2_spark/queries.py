@@ -5172,6 +5172,56 @@ def kg_code_triples(spark, sf_dir):
     return code_triples(extract_imports(src), extract_defs(src))
 
 
+def _hits_sql(iters: int = 5) -> str:
+    """Fixed-iteration L1-normalized HITS as chained CTEs — the SQL
+    unrolling of operators/graph.hits over the repo→pkg dependency
+    edges (the kg_pagerank discipline: iterative operator, plan-
+    constant iteration count, round(9) absorbs sum-order ulps)."""
+    # AS MATERIALIZED is load-bearing: every level is referenced
+    # twice (once as input, once in its normalizer subquery) — an
+    # inlining planner would otherwise re-evaluate the import
+    # extraction 2^(2*iters) times.
+    parts = [
+        _CODE_SRC_BODY + _code_imports_cte(),
+        "e AS MATERIALIZED (SELECT DISTINCT 'repo:' || repo AS src,"
+        " 'pkg:' || root_pkg AS dst FROM im)",
+        "h0 AS MATERIALIZED (SELECT src AS node, CAST(1.0 AS DOUBLE)"
+        "/(SELECT count(DISTINCT src) FROM e) AS score"
+        " FROM (SELECT DISTINCT src FROM e))"]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h{i - 1}.score) AS s
+  FROM e JOIN h{i - 1} ON e.src = h{i - 1}.node GROUP BY 1),
+a{i} AS MATERIALIZED (
+  SELECT node, s/(SELECT sum(s) FROM a{i}r) AS score FROM a{i}r),
+h{i}r AS MATERIALIZED (
+  SELECT e.src AS node, sum(a{i}.score) AS s
+  FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1),
+h{i} AS MATERIALIZED (
+  SELECT node, s/(SELECT sum(s) FROM h{i}r) AS score FROM h{i}r)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT node, round(score, 9) AS score, 'hub' AS kind FROM h{iters}
+UNION ALL
+SELECT node, round(score, 9) AS score, 'authority' AS kind
+FROM a{iters}""")
+
+
+@q("kg_dep_hits", _hits_sql())
+def kg_dep_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    repo→package dependency graph (operators/graph.hits over
+    dataprep/codekg.dependency_edges): authority = the packages the
+    ecosystem agrees on, hub = the repos with the broadest footprint
+    — directed semantics code_dep_pagerank's symmetrized walk cannot
+    express.  L1-normalized per half-step, 5 iterations, unrolled-CTE
+    oracle."""
+    from bern2_spark.dataprep.codekg import (dependency_edges,
+                                             extract_imports)
+    from bern2_spark.operators.graph import hits
+    edges = dependency_edges(extract_imports(_code_src(spark, sf_dir)))
+    return hits(edges, iterations=5)
+
+
 @q("code_dep_pagerank",
    _pagerank_sql(sym_cte=_CODE_SRC_BODY + _code_imports_cte() + """,
 ed AS (SELECT DISTINCT 'repo:' || repo AS a, 'pkg:' || root_pkg AS b
@@ -6725,7 +6775,7 @@ _SWEEP_FIRST = [
     # session-8: lexical retrieval, LPA communities, modularity,
     # personalized pagerank
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
-    "kg_personalized_pagerank",
+    "kg_personalized_pagerank", "kg_dep_hits",
 ]
 
 

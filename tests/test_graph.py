@@ -273,3 +273,33 @@ def test_personalized_pagerank_matches_numpy(spark, edges):
     # every node on the seed's component holds positive mass
     for node in "abcd":
         assert got[node] > 0
+
+
+def test_hits_matches_numpy(spark):
+    from bern2_spark.operators.graph import hits
+    E = [("r1", "p1"), ("r1", "p2"), ("r2", "p2"), ("r3", "p2"),
+         ("r3", "p3")]
+    srcs = sorted({s for s, _ in E})
+    dsts = sorted({d for _, d in E})
+    si = {s: i for i, s in enumerate(srcs)}
+    di = {d: i for i, d in enumerate(dsts)}
+    A = np.zeros((len(srcs), len(dsts)))
+    for s, d in E:
+        A[si[s], di[d]] = 1.0
+    h = np.full(len(srcs), 1.0 / len(srcs))
+    for _ in range(5):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    want = {(s, "hub"): h[si[s]] for s in srcs}
+    want.update({(d, "authority"): a[di[d]] for d in dsts})
+    e = spark.createDataFrame(E, ["src", "dst"])
+    got = {(r.node, r.kind): r.score
+           for r in hits(e, round_to=None).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # p2 (cited by all three repos) is the top authority
+    assert got[("p2", "authority")] == max(
+        v for (n, k), v in got.items() if k == "authority")
