@@ -53,6 +53,13 @@ HEADLINE = [
     "kg_docstring_pairs",
     "dedup_function_clones",
     "code_subtoken_vocab",
+    # session-8 additions: lexical retrieval + the graph-analytics
+    # tail (2.3-3.4 s each at sf0.1/local[32]; totals are not
+    # comparable to 23-query artifacts)
+    "code_bm25_search",
+    "kg_label_propagation",
+    "kg_personalized_pagerank",
+    "kg_dep_hits",
 ]
 
 
