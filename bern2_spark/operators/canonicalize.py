@@ -91,3 +91,49 @@ def entity_catalog(mentions: DataFrame,
              .agg(F.count("*").alias("n_mentions"),
                   F.countDistinct(doc_col).alias("n_docs")))
     return stats.join(canon, keys)
+
+
+def surface_variant_pairs(mentions: DataFrame,
+                          type_col: str = "ent_type",
+                          cui_col: str = "cui",
+                          surface_col: str = "mention",
+                          max_dist: int = 2,
+                          max_surfaces_per_entity: int = 64) -> DataFrame:
+    """Spelling-variant pairs among the surface forms of one linked
+    entity: distinct surfaces of the same (ent_type, cui) within
+    Levenshtein distance ``max_dist`` — the character-level
+    entity-resolution signal (typos, singular/plural, hyphenation)
+    that the token/hash dedup family cannot see, feeding surface
+    canonicalization and alias-table construction.
+
+    Scale shape: the self-join is CO-PARTITIONED on (ent_type, cui) —
+    entity identity is the blocking key, so unlike prefix blocking no
+    first-character edit is ever missed and nothing approaches n²
+    across entities.  Skew is bounded BEFORE the join by the same
+    window-count hub cap as coedit_edges (an entity with more than
+    ``max_surfaces_per_entity`` distinct surfaces — a lexicon
+    pathology — is dropped, keeping per-entity fan-out <= C(cap, 2)).
+    A |len(a)−len(b)| <= max_dist guard prunes pairs before the
+    O(|a|·|b|) distance evaluates; the distance itself is the JVM
+    built-in ``levenshtein`` (identical unit-cost semantics in
+    DuckDB), so the output is integer-exact across engines.
+
+    Output: ``(ent_type, cui, surface_a, surface_b, edit_dist)`` with
+    ``surface_a < surface_b``."""
+    s = (mentions.select(F.col(type_col).alias("ent_type"),
+                         F.col(cui_col).alias("cui"),
+                         F.col(surface_col).alias("surface"))
+         .distinct())
+    w = Window.partitionBy("ent_type", "cui")
+    s = (s.withColumn("_n", F.count("*").over(w))
+         .filter(F.col("_n") <= max_surfaces_per_entity)
+         .drop("_n"))
+    a = s.select("ent_type", "cui", F.col("surface").alias("surface_a"))
+    b = s.select("ent_type", "cui", F.col("surface").alias("surface_b"))
+    return (a.join(b, ["ent_type", "cui"])
+            .filter(F.col("surface_a") < F.col("surface_b"))
+            .filter(F.abs(F.length("surface_a") - F.length("surface_b"))
+                    <= max_dist)
+            .withColumn("edit_dist",
+                        F.levenshtein("surface_a", "surface_b"))
+            .filter(F.col("edit_dist") <= max_dist))

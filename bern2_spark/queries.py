@@ -3329,6 +3329,62 @@ def kg_entity_catalog(spark, sf_dir):
     return entity_catalog(m)
 
 
+@q("kg_surface_variants", f"""
+WITH m AS (
+  SELECT obj AS ent_type, c.cui, mention
+  FROM read_parquet('{_golden_pubann_path()}'),
+       unnest(string_split(ids, '|')) AS c(cui)
+  WHERE c.cui != ''),
+s0 AS (SELECT DISTINCT ent_type, cui, mention AS surface FROM m),
+s AS (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM s0
+    UNION ALL
+    SELECT ent_type, cui, substr(surface, 1, length(surface) - 1)
+    FROM s0 WHERE length(surface) >= 4
+    UNION ALL
+    SELECT ent_type, cui, 'x' || substr(surface, 2)
+    FROM s0 WHERE length(surface) >= 4))
+SELECT a.ent_type, a.cui,
+       a.surface AS surface_a, b.surface AS surface_b,
+       CAST(levenshtein(a.surface, b.surface) AS INT) AS edit_dist
+FROM s a JOIN s b
+  ON a.ent_type = b.ent_type AND a.cui = b.cui
+ AND a.surface < b.surface
+WHERE abs(length(a.surface) - length(b.surface)) <= 2
+  AND levenshtein(a.surface, b.surface) <= 2
+""")
+def kg_surface_variants(spark, sf_dir):
+    """Spelling-variant pairs among one entity's surface forms
+    (operators/canonicalize.surface_variant_pairs): distinct surfaces
+    of the same (ent_type, cui) within Levenshtein <= 2 — the
+    character-level entity-resolution signal the token/hash dedup
+    family cannot see.  The self-join is co-partitioned on the entity
+    key (no first-char-blocking recall loss, nothing n^2 across
+    entities) with a window hub cap and a length-difference guard
+    ahead of the O(|a||b|) distance.  Both engines inject the same
+    two deterministic typo variants (last-char drop, first-char
+    substitution) of every surface of length >= 4, so true positives
+    exist at every SF; the distance is integer-exact in both."""
+    from bern2_spark.operators.canonicalize import surface_variant_pairs
+    rows = spark.read.parquet(_golden_pubann_path())
+    s0 = (rows.select(F.col("obj").alias("ent_type"),
+                      F.explode(F.split("ids", r"\|")).alias("cui"),
+                      F.col("mention").alias("surface"))
+          .filter(F.col("cui") != "").distinct())
+    long = s0.filter(F.length("surface") >= 4)
+    injected = (s0.unionByName(
+        long.withColumn(
+            "surface", F.expr("substr(surface, 1, length(surface)-1)")))
+        .unionByName(
+            long.withColumn("surface",
+                            F.concat(F.lit("x"),
+                                     F.expr("substr(surface, 2)"))))
+        .distinct())
+    out = surface_variant_pairs(injected, surface_col="surface")
+    return out.withColumn("edit_dist", F.col("edit_dist").cast("int"))
+
+
 @q("qc_tfidf_keywords", f"""
 WITH tok AS (
   SELECT doc_id, t.token
@@ -6775,7 +6831,7 @@ _SWEEP_FIRST = [
     # session-8: lexical retrieval, LPA communities, modularity,
     # personalized pagerank
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
-    "kg_personalized_pagerank", "kg_dep_hits",
+    "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
 ]
 
 

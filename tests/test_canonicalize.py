@@ -151,3 +151,35 @@ def test_standardize_prefix_equivalent_to_regex_formulation(spark):
         _standardize_prefix_regex(F.col("cui")).alias("ref")).collect()
     bad = [(r.cui, r.fast, r.ref) for r in got if r.fast != r.ref]
     assert not bad, bad[:10]
+
+
+def test_surface_variant_pairs(spark):
+    from bern2_spark.operators.canonicalize import surface_variant_pairs
+    m = spark.createDataFrame([
+        ("disease", "D1", "color"),
+        ("disease", "D1", "colour"),
+        ("disease", "D1", "colore"),
+        ("disease", "D1", "completely different"),
+        ("disease", "D2", "color"),   # other entity: never pairs with D1
+        ("gene", "G1", "abc"),
+        ("gene", "G1", "abd"),
+    ], ["ent_type", "cui", "mention"])
+    got = {(r.ent_type, r.cui, r.surface_a, r.surface_b): r.edit_dist
+           for r in surface_variant_pairs(m).collect()}
+    assert got == {
+        ("disease", "D1", "color", "colore"): 1,
+        ("disease", "D1", "color", "colour"): 1,
+        ("disease", "D1", "colore", "colour"): 2,
+        ("gene", "G1", "abc", "abd"): 1,
+    }
+
+
+def test_surface_variant_pairs_hub_cap(spark):
+    from bern2_spark.operators.canonicalize import surface_variant_pairs
+    rows = [("x", "HUB", f"s{i:03d}") for i in range(70)]
+    rows += [("x", "OK", "aaa"), ("x", "OK", "aab")]
+    m = spark.createDataFrame(rows, ["ent_type", "cui", "mention"])
+    out = surface_variant_pairs(m, max_surfaces_per_entity=64).collect()
+    # the 70-surface pathology is dropped; the small entity survives
+    assert {(r.cui, r.surface_a, r.surface_b) for r in out} == {
+        ("OK", "aaa", "aab")}
