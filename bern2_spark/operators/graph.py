@@ -526,3 +526,40 @@ def hits(edges: DataFrame,
         out = out.select("node", F.round("score", round_to).alias("score"),
                          "kind")
     return out
+
+
+def wl_relabel(edges: DataFrame,
+               src_col: str = "cui_a", dst_col: str = "cui_b",
+               iterations: int = 2) -> DataFrame:
+    """Weisfeiler–Lehman relabeling (Weisfeiler & Lehman 1968;
+    Shervashidze et al. 2011's WL-kernel form): every node starts
+    labeled with its degree; each round the new label is the hash of
+    (own label, SORTED multiset of neighbor labels).  After k rounds
+    two nodes share a label iff their k-hop unfolding trees agree —
+    the structural-role fingerprint WL graph kernels and GNN
+    expressiveness arguments are built on, and a cheap graph-level
+    feature (the label histogram) for corpus-scale graph dedup.
+
+    Determinism: the neighbor multiset is sorted (``sort_array`` over
+    ``collect_list`` — collection order never reaches the hash) and
+    the hash is md5 over a '|'/',' serialization, identical in DuckDB,
+    so the unrolled-CTE oracle matches exactly.  Per round: one
+    co-partitioned join against the once-shuffled checkpointed edge
+    list, one groupBy collecting ~degree-sized label lists, one
+    co-partitioned self-join to re-attach the node's own label.
+    Output: ``(node, wl_label)``."""
+    e = symmetrize(edges, src_col, dst_col).localCheckpoint(eager=True)
+    labels = (e.groupBy(F.col("src").alias("node"))
+              .agg(F.count("*").cast("string").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(iterations):
+        nl = (e.join(labels.withColumnRenamed("node", "src"), "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.sort_array(F.collect_list("label")).alias("_nl")))
+        labels = (nl.join(labels, "node")
+                  .select("node",
+                          F.md5(F.concat(F.col("label"), F.lit("|"),
+                                         F.concat_ws(",", "_nl")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("label").alias("wl_label"))

@@ -3036,6 +3036,38 @@ def kg_personalized_pagerank(spark, sf_dir):
     return personalized_pagerank(e, seeds, iterations=5, damping=0.85)
 
 
+def _wl_sql(iters: int = 2) -> str:
+    """WL-relabeling oracle: unrolled rounds; AS MATERIALIZED pins
+    each doubly-referenced level (w{i} feeds both the neighbor join
+    and the own-label rejoin of round i+1)."""
+    parts = [_kg_sym_cte(),
+             "w0 AS MATERIALIZED (SELECT src AS node,"
+             " CAST(count(*) AS VARCHAR) AS label FROM sym GROUP BY 1)"]
+    for i in range(1, iters + 1):
+        parts.append(f"""n{i} AS MATERIALIZED (
+  SELECT sym.dst AS node, list_sort(list(w{i - 1}.label)) AS nl
+  FROM sym JOIN w{i - 1} ON sym.src = w{i - 1}.node GROUP BY 1),
+w{i} AS MATERIALIZED (
+  SELECT n{i}.node,
+         md5(w{i - 1}.label || '|' || array_to_string(n{i}.nl, ','))
+             AS label
+  FROM n{i} JOIN w{i - 1} ON n{i}.node = w{i - 1}.node)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, label AS wl_label FROM w{iters}")
+
+
+@q("kg_wl_labels", _wl_sql())
+def kg_wl_labels(spark, sf_dir):
+    """2-round Weisfeiler–Lehman structural-role labels over the
+    entity co-occurrence graph (operators/graph.wl_relabel): two
+    nodes share a label iff their 2-hop unfolding trees agree — the
+    WL-kernel fingerprint.  Sorted neighbor multisets + md5
+    serialization make the iterative hash engine-exact; the oracle
+    unrolls the same rounds as chained MATERIALIZED CTEs."""
+    from bern2_spark.operators.graph import wl_relabel
+    return wl_relabel(_kg_edges(spark), iterations=2)
+
+
 @q("kg_modularity", "WITH " + ",\n".join(_lpa_parts(3)) + """,
 lab AS (SELECT node, label AS community FROM l3),
 tot AS (SELECT sum(w) AS m2 FROM sym),
@@ -6832,6 +6864,7 @@ _SWEEP_FIRST = [
     # personalized pagerank
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
+    "kg_wl_labels",
 ]
 
 

@@ -303,3 +303,34 @@ def test_hits_matches_numpy(spark):
     # p2 (cited by all three repos) is the top authority
     assert got[("p2", "authority")] == max(
         v for (n, k), v in got.items() if k == "authority")
+
+
+def test_wl_relabel_structural_roles(spark, edges):
+    from bern2_spark.operators.graph import wl_relabel
+    got = {r.node: r.wl_label
+           for r in wl_relabel(edges, iterations=2).collect()}
+    assert len(got) == 7
+    # triangle members are automorphic -> identical WL labels
+    assert got["x"] == got["y"] == got["z"]
+    # path ends (a, d) are automorphic to each other, path middles
+    # (b, c) likewise, and the two orbits differ
+    assert got["a"] == got["d"]
+    assert got["b"] == got["c"]
+    assert got["a"] != got["b"]
+    # the triangle orbit differs from every path orbit
+    assert got["x"] not in (got["a"], got["b"])
+
+
+def test_wl_relabel_refines_across_rounds(spark):
+    from bern2_spark.operators.graph import wl_relabel
+    # star center vs path middle: same degree 2 at round 0 is NOT the
+    # case here — use a 4-path vs 4-cycle: all cycle nodes degree 2,
+    # path middles degree 2 too; one round separates them (neighbor
+    # degree multisets {1,2} vs {2,2})
+    path = [("p1", "p2"), ("p2", "p3"), ("p3", "p4")]
+    cyc = [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1")]
+    e = spark.createDataFrame(path + cyc, ["cui_a", "cui_b"])
+    got = {r.node: r.wl_label
+           for r in wl_relabel(e, iterations=1).collect()}
+    assert got["p2"] != got["c1"]
+    assert got["c1"] == got["c2"] == got["c3"] == got["c4"]
