@@ -563,3 +563,43 @@ def wl_relabel(edges: DataFrame,
                           .alias("label"))
                   .localCheckpoint(eager=True))
     return labels.select("node", F.col("label").alias("wl_label"))
+
+
+def adamic_adar(edges: DataFrame,
+                src_col: str = "cui_a", dst_col: str = "cui_b",
+                max_center_degree: int = 64,
+                round_to: int | None = 6) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003): for every
+    non-adjacent node pair sharing >= 1 neighbor, score
+    Σ_z 1/ln(deg(z)) over the common neighbors z — the classic
+    KG-completion / missing-edge ranking signal.
+
+    Scale shape: wedges are generated by a self-join CO-PARTITIONED
+    on the center node, with the center's degree attached as a window
+    count over the SAME partitioning — one exchange, planned once,
+    read back by both join sides (the coedit_edges discipline).  Skew
+    is bounded BEFORE the join: centers above ``max_center_degree``
+    are dropped, which is the standard truncation in link-prediction
+    at scale (a 10^6-degree hub contributes 1/ln(10^6) ≈ 0.07 per
+    wedge while costing C(10^6, 2) of them).  Existing edges are
+    removed by a left-anti join so the output ranks only candidate
+    NEW links.  Output: ``(node_a, node_b, aa_score)`` with
+    ``node_a < node_b``."""
+    e = symmetrize(edges, src_col, dst_col)
+    w = Window.partitionBy("src")
+    m = (e.withColumn("_deg", F.count("*").over(w))
+         .filter(F.col("_deg") <= max_center_degree))
+    a = m.select("src", F.col("dst").alias("node_a"), "_deg")
+    b = m.select("src", F.col("dst").alias("node_b"))
+    score = F.sum(F.lit(1.0) / F.log(F.col("_deg"))).alias("aa_score")
+    pairs = (a.join(b, "src")
+             .filter(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(score))
+    existing = e.select(F.col("src").alias("node_a"),
+                        F.col("dst").alias("node_b"))
+    out = pairs.join(existing, ["node_a", "node_b"], "left_anti")
+    if round_to is not None:
+        out = out.withColumn("aa_score",
+                             F.round("aa_score", round_to))
+    return out

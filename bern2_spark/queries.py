@@ -3036,6 +3036,33 @@ def kg_personalized_pagerank(spark, sf_dir):
     return personalized_pagerank(e, seeds, iterations=5, damping=0.85)
 
 
+@q("kg_adamic_adar", f"""
+WITH {_kg_sym_cte()},
+d AS (SELECT src, dst,
+             count(*) OVER (PARTITION BY src) AS deg FROM sym),
+m AS (SELECT * FROM d WHERE deg <= 64),
+wedge AS (SELECT a.dst AS node_a, b.dst AS node_b, a.deg
+          FROM m a JOIN m b ON a.src = b.src AND a.dst < b.dst),
+s AS (SELECT node_a, node_b,
+             round(sum(1.0 / ln(deg)), 6) AS aa_score
+      FROM wedge GROUP BY 1, 2)
+SELECT node_a, node_b, aa_score FROM s
+WHERE NOT EXISTS (SELECT 1 FROM sym
+                  WHERE sym.src = s.node_a AND sym.dst = s.node_b)
+""")
+def kg_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction over the entity co-occurrence
+    graph (operators/graph.adamic_adar): non-adjacent pairs scored by
+    Σ 1/ln(deg) over common neighbors — the classic KG-completion
+    ranking.  Wedge self-join co-partitioned on the center with the
+    degree as a window count over the same partitioning (one reused
+    exchange); hub cap 64 bounds fan-out; existing edges removed by
+    anti-join.  Each 1/ln(deg) term is the same IEEE double in both
+    engines, so round(6) hashes identically."""
+    from bern2_spark.operators.graph import adamic_adar
+    return adamic_adar(_kg_edges(spark))
+
+
 def _wl_sql(iters: int = 2) -> str:
     """WL-relabeling oracle: unrolled rounds; AS MATERIALIZED pins
     each doubly-referenced level (w{i} feeds both the neighbor join
@@ -6864,7 +6891,7 @@ _SWEEP_FIRST = [
     # personalized pagerank
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
-    "kg_wl_labels",
+    "kg_wl_labels", "kg_adamic_adar",
 ]
 
 

@@ -5,6 +5,8 @@ the same graph (same fixed iteration count and damping), not against
 hand-computed constants, so any change to either formulation that
 breaks equivalence fails loudly.
 """
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -334,3 +336,37 @@ def test_wl_relabel_refines_across_rounds(spark):
            for r in wl_relabel(e, iterations=1).collect()}
     assert got["p2"] != got["c1"]
     assert got["c1"] == got["c2"] == got["c3"] == got["c4"]
+
+
+def test_adamic_adar_hand_computed(spark):
+    from bern2_spark.operators.graph import adamic_adar
+    # square a-b-c-d-a plus diagonal chord a-c: candidate new link is
+    # b-d (common neighbors a and c, both degree 3)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        ["cui_a", "cui_b"])
+    got = {(r.node_a, r.node_b): r.aa_score
+           for r in adamic_adar(e, round_to=None).collect()}
+    # b-d is the only non-adjacent pair sharing neighbors
+    assert set(got) == {("b", "d")}
+    assert got[("b", "d")] == pytest.approx(2 / math.log(3), abs=1e-12)
+
+
+def test_adamic_adar_excludes_existing_edges(spark, edges):
+    from bern2_spark.operators.graph import adamic_adar
+    got = {(r.node_a, r.node_b) for r in adamic_adar(edges).collect()}
+    # path a-b-c-d: wedges predict a-c (via b) and b-d (via c); the
+    # triangle x-y-z is complete so contributes nothing
+    assert got == {("a", "c"), ("b", "d")}
+
+
+def test_adamic_adar_hub_cap(spark):
+    from bern2_spark.operators.graph import adamic_adar
+    star = [("hub", f"leaf{i}") for i in range(10)]
+    e = spark.createDataFrame(star + [("p", "q"), ("q", "r")],
+                              ["cui_a", "cui_b"])
+    got = {(r.node_a, r.node_b)
+           for r in adamic_adar(e, max_center_degree=5).collect()}
+    # the 10-degree hub is dropped: no leaf-leaf wedge survives, only
+    # the p-r prediction through q
+    assert got == {("p", "r")}
