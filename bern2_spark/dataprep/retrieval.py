@@ -84,3 +84,33 @@ def bm25_rank(files: DataFrame,
             .agg(F.round(F.sum("_w"), 6).alias("bm25"))
             .orderBy(F.desc("bm25"), *id_cols)
             .limit(topk))
+
+
+def rrf_fuse(rankings: Sequence[DataFrame],
+             id_cols: Sequence[str] = ("doc_id",),
+             rank_col: str = "rank",
+             k: float = 60.0,
+             topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009):
+    combine N rankers by score(d) = Σ_r 1/(k + rank_r(d)), the
+    standard hybrid-search merge (lexical BM25 + embedding cosine)
+    that needs NO score calibration — only ranks cross the ranker
+    boundary, so heterogeneous scorers fuse safely.
+
+    Each input carries ``id_cols`` + an integer ``rank_col``
+    (1-based); a document absent from a ranker's list simply
+    contributes no term, the conventional top-k-list semantics.
+    Shape: the inputs are already tiny (top-k lists), so the union +
+    groupBy shuffles O(N·topk) rows regardless of corpus size; the
+    final cut is a TakeOrderedAndProject with a deterministic
+    (score DESC, *id_cols) tie-break."""
+    scored = None
+    for r in rankings:
+        s = r.select(*id_cols,
+                     (F.lit(1.0) / (F.lit(k) + F.col(rank_col)))
+                     .alias("_c"))
+        scored = s if scored is None else scored.unionByName(s)
+    return (scored.groupBy(*id_cols)
+            .agg(F.round(F.sum("_c"), 9).alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), *id_cols)
+            .limit(topk))

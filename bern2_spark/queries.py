@@ -6813,6 +6813,77 @@ def code_bm25_search(spark, sf_dir):
     return bm25_rank(_code(spark, sf_dir), _BM25_TERMS, topk=10)
 
 
+# ------------------------------------------------- hybrid search (RRF)
+
+@q("code_hybrid_search", _CODE_CTE + r""",
+tok AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(content),
+                                              '[^a-z0-9_]+'),
+                           t -> t <> '') AS toks
+        FROM code),
+d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+ex AS (SELECT doc_id, dl, unnest(toks) AS term
+       FROM (SELECT doc_id, len(toks) AS dl, toks FROM tok)),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM ex WHERE term IN ('apache', 'merge', 'window')
+       GROUP BY 1, 2, 3),
+wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+lexs AS (SELECT doc_id,
+                round(sum(ln(1 + ((SELECT n FROM stats) - df + 0.5)
+                                 / (df + 0.5))
+                          * tf * (1.2 + 1.0)
+                          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                                         / (SELECT avgdl FROM stats)))),
+                      6) AS bm25
+         FROM wdf GROUP BY 1),
+lex AS (SELECT doc_id, rank FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC,
+                                            doc_id) AS rank
+          FROM lexs) WHERE rank <= 20),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT * FROM e WHERE vec_id = 0),
+sco AS (SELECT c.vec_id AS doc_id,
+               list_dot_product(qv.v, c.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+        FROM qv JOIN e c ON c.vec_id != qv.vec_id),
+sem AS (SELECT doc_id, rank FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY cos_raw DESC,
+                                            doc_id) AS rank
+          FROM sco) WHERE rank <= 20),
+u AS (SELECT doc_id, rank FROM lex
+      UNION ALL SELECT doc_id, rank FROM sem),
+f AS (SELECT doc_id, round(sum(1.0 / (60.0 + rank)), 9) AS rrf_score
+      FROM u GROUP BY 1)
+SELECT doc_id, rrf_score FROM f
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""")
+def code_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    k=60) of the BM25 lexical ranker and an embedding-cosine ranker
+    (dataprep/retrieval.rrf_fuse over bm25_rank +
+    similarity.brute_force_topk) — the modern search-stack merge that
+    crosses only RANKS between scorers, so no score calibration is
+    needed.  Both rankers keep their own deterministic tie-breaks;
+    the fusion shuffles only the two top-20 lists."""
+    from bern2_spark.dataprep.retrieval import bm25_rank, rrf_fuse
+    from bern2_spark.dataprep.similarity import brute_force_topk
+    lex = bm25_rank(_code(spark, sf_dir), _BM25_TERMS,
+                    id_cols=("doc_id",), topk=20)
+    lex = lex.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    sem = (brute_force_topk(emb, emb.filter(F.col("vec_id") == 0),
+                            k=20)
+           .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rrf_fuse([lex.select("doc_id", "rank"), sem], topk=10)
+
+
 # --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
@@ -6891,7 +6962,7 @@ _SWEEP_FIRST = [
     # personalized pagerank
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
-    "kg_wl_labels", "kg_adamic_adar",
+    "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
 ]
 
 

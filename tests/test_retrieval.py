@@ -70,3 +70,27 @@ def test_bm25_partition_invariance(spark):
     a = bm25_rank(df, ["merge", "window"], topk=5)
     b = bm25_rank(df.repartition(7), ["merge", "window"], topk=5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from bern2_spark.dataprep.retrieval import rrf_fuse
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                                ["doc_id", "rank"])
+    sem = spark.createDataFrame([(3, 1), (4, 2)], ["doc_id", "rank"])
+    got = {r.doc_id: r.rrf_score
+           for r in rrf_fuse([lex, sem], topk=10).collect()}
+    exp = {1: 1 / 61, 2: 1 / 62, 3: 1 / 63 + 1 / 61, 4: 1 / 62}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - round(exp[k], 9)) < 1e-12
+    # doc 3 (present in both lists) outranks every single-list doc
+    assert got[3] == max(got.values())
+
+
+def test_rrf_fuse_topk_tie_break(spark):
+    from bern2_spark.dataprep.retrieval import rrf_fuse
+    a = spark.createDataFrame([(i, 1) for i in range(5)],
+                              ["doc_id", "rank"])
+    rows = rrf_fuse([a], topk=3).collect()
+    # all five tie at 1/61: the deterministic cut keeps lowest ids
+    assert [r.doc_id for r in rows] == [0, 1, 2]
