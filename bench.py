@@ -60,6 +60,13 @@ HEADLINE = [
     "kg_label_propagation",
     "kg_personalized_pagerank",
     "kg_dep_hits",
+    # session-8 tail: entity resolution, WL roles, link prediction,
+    # hybrid retrieval (1.1-1.9 s each at sf0.1/local[32]; totals are
+    # not comparable to 27-query artifacts)
+    "kg_surface_variants",
+    "kg_wl_labels",
+    "kg_adamic_adar",
+    "code_hybrid_search",
 ]
 
 
