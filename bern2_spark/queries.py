@@ -3388,8 +3388,11 @@ def kg_entity_catalog(spark, sf_dir):
     return entity_catalog(m)
 
 
-@q("kg_surface_variants", f"""
-WITH m AS (
+# Shared by kg_surface_variants and kg_alias_table: the injected
+# surface table (golden surfaces + two deterministic typo variants of
+# every surface of length >= 4) as a CTE chain ending in
+# s(ent_type, cui, surface) — identical in both engines.
+_VARIANT_S_CTE = f"""m AS (
   SELECT obj AS ent_type, c.cui, mention
   FROM read_parquet('{_golden_pubann_path()}'),
        unnest(string_split(ids, '|')) AS c(cui)
@@ -3403,7 +3406,29 @@ s AS (
     FROM s0 WHERE length(surface) >= 4
     UNION ALL
     SELECT ent_type, cui, 'x' || substr(surface, 2)
-    FROM s0 WHERE length(surface) >= 4))
+    FROM s0 WHERE length(surface) >= 4))"""
+
+
+def _variant_surfaces(spark):
+    """Spark twin of _VARIANT_S_CTE — byte-identical surface table."""
+    rows = spark.read.parquet(_golden_pubann_path())
+    s0 = (rows.select(F.col("obj").alias("ent_type"),
+                      F.explode(F.split("ids", r"\|")).alias("cui"),
+                      F.col("mention").alias("surface"))
+          .filter(F.col("cui") != "").distinct())
+    long = s0.filter(F.length("surface") >= 4)
+    return (s0.unionByName(
+        long.withColumn(
+            "surface", F.expr("substr(surface, 1, length(surface)-1)")))
+        .unionByName(
+            long.withColumn("surface",
+                            F.concat(F.lit("x"),
+                                     F.expr("substr(surface, 2)"))))
+        .distinct())
+
+
+@q("kg_surface_variants", f"""
+WITH {_VARIANT_S_CTE}
 SELECT a.ent_type, a.cui,
        a.surface AS surface_a, b.surface AS surface_b,
        CAST(levenshtein(a.surface, b.surface) AS INT) AS edit_dist
@@ -3426,22 +3451,74 @@ def kg_surface_variants(spark, sf_dir):
     substitution) of every surface of length >= 4, so true positives
     exist at every SF; the distance is integer-exact in both."""
     from bern2_spark.operators.canonicalize import surface_variant_pairs
-    rows = spark.read.parquet(_golden_pubann_path())
-    s0 = (rows.select(F.col("obj").alias("ent_type"),
-                      F.explode(F.split("ids", r"\|")).alias("cui"),
-                      F.col("mention").alias("surface"))
-          .filter(F.col("cui") != "").distinct())
-    long = s0.filter(F.length("surface") >= 4)
-    injected = (s0.unionByName(
-        long.withColumn(
-            "surface", F.expr("substr(surface, 1, length(surface)-1)")))
-        .unionByName(
-            long.withColumn("surface",
-                            F.concat(F.lit("x"),
-                                     F.expr("substr(surface, 2)"))))
-        .distinct())
-    out = surface_variant_pairs(injected, surface_col="surface")
+    out = surface_variant_pairs(_variant_surfaces(spark),
+                                surface_col="surface")
     return out.withColumn("edit_dist", F.col("edit_dist").cast("int"))
+
+
+@q("kg_alias_table", f"""
+WITH RECURSIVE {_VARIANT_S_CTE},
+p AS (SELECT a.ent_type, a.cui,
+             a.surface AS sa, b.surface AS sb
+      FROM s a JOIN s b
+        ON a.ent_type = b.ent_type AND a.cui = b.cui
+       AND a.surface < b.surface
+      WHERE abs(length(a.surface) - length(b.surface)) <= 2
+        AND levenshtein(a.surface, b.surface) <= 2),
+n AS (SELECT ent_type, cui, surface,
+             ent_type || chr(31) || cui || chr(31) || surface AS nid
+      FROM s),
+pe AS (SELECT ent_type || chr(31) || cui || chr(31) || sa AS na,
+              ent_type || chr(31) || cui || chr(31) || sb AS nb
+       FROM p),
+edges AS (SELECT na AS a, nb AS b FROM pe
+          UNION SELECT nb, na FROM pe),
+reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b),
+cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY 1),
+grp AS (SELECT n.ent_type, n.cui, n.surface,
+               coalesce(cc.component, n.nid) AS component
+        FROM n LEFT JOIN cc ON n.nid = cc.node)
+SELECT ent_type, cui, surface,
+       min(surface) OVER (PARTITION BY component) AS canonical_alias,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+           AS n_aliases
+FROM grp
+""")
+def kg_alias_table(spark, sf_dir):
+    """Alias-table materialization — the canonicalization artifact the
+    variant pairs feed: spelling-variant surfaces of one entity are
+    grouped by connected components over the pair graph
+    (dataprep/cluster.connected_components — min-label hooking +
+    pointer jumping), every surface gets its group's lexicographically
+    smallest member as ``canonical_alias``, and singleton surfaces
+    remain their own group.  Pairs never span entities, so the
+    component node id is (ent_type, cui, surface) joined with a
+    chr(31) separator and groups are per-entity by construction.  The
+    oracle computes the same fixpoint with a recursive CTE — a
+    different evaluation strategy agreeing on the same groups, the
+    dedup_components discipline."""
+    from bern2_spark.dataprep.cluster import connected_components
+    from bern2_spark.operators.canonicalize import surface_variant_pairs
+    sep = "\x1f"
+    s = _variant_surfaces(spark)
+    pairs = surface_variant_pairs(s, surface_col="surface")
+    pn = pairs.select(
+        F.concat_ws(sep, "ent_type", "cui", "surface_a").alias("doc_a"),
+        F.concat_ws(sep, "ent_type", "cui", "surface_b").alias("doc_b"))
+    cc = connected_components(pn)
+    n = s.withColumn("nid",
+                     F.concat_ws(sep, "ent_type", "cui", "surface"))
+    grp = (n.join(cc, n.nid == cc.doc_id, "left")
+           .select("ent_type", "cui", "surface",
+                   F.coalesce("component", "nid").alias("component")))
+    w = Window.partitionBy("component")
+    return grp.select(
+        "ent_type", "cui", "surface",
+        F.min("surface").over(w).alias("canonical_alias"),
+        F.count("*").over(w).alias("n_aliases"))
 
 
 @q("qc_tfidf_keywords", f"""
@@ -6963,6 +7040,7 @@ _SWEEP_FIRST = [
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
     "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
+    "kg_alias_table",
 ]
 
 

@@ -183,3 +183,41 @@ def test_surface_variant_pairs_hub_cap(spark):
     # the 70-surface pathology is dropped; the small entity survives
     assert {(r.cui, r.surface_a, r.surface_b) for r in out} == {
         ("OK", "aaa", "aab")}
+
+
+def test_alias_table_groups_and_singletons(spark):
+    from bern2_spark.dataprep.cluster import connected_components
+    from bern2_spark.operators.canonicalize import surface_variant_pairs
+    from pyspark.sql import Window, functions as F
+    s = spark.createDataFrame([
+        ("disease", "D1", "color"),
+        ("disease", "D1", "colour"),
+        ("disease", "D1", "colore"),
+        ("disease", "D1", "unrelated surface"),
+        ("gene", "G1", "color"),   # same surface, other entity
+    ], ["ent_type", "cui", "surface"])
+    sep = "\x1f"
+    pairs = surface_variant_pairs(s, surface_col="surface")
+    pn = pairs.select(
+        F.concat_ws(sep, "ent_type", "cui", "surface_a").alias("doc_a"),
+        F.concat_ws(sep, "ent_type", "cui", "surface_b").alias("doc_b"))
+    cc = connected_components(pn)
+    n = s.withColumn("nid",
+                     F.concat_ws(sep, "ent_type", "cui", "surface"))
+    grp = (n.join(cc, n.nid == cc.doc_id, "left")
+           .select("ent_type", "cui", "surface",
+                   F.coalesce("component", "nid").alias("component")))
+    w = Window.partitionBy("component")
+    out = {(r.ent_type, r.cui, r.surface): (r.canonical_alias, r.n_aliases)
+           for r in grp.select(
+               "ent_type", "cui", "surface",
+               F.min("surface").over(w).alias("canonical_alias"),
+               F.count("*").over(w).alias("n_aliases")).collect()}
+    # the three variants form one group canonicalized to 'color'
+    for surf in ("color", "colour", "colore"):
+        assert out[("disease", "D1", surf)] == ("color", 3)
+    # the unrelated surface is its own singleton group
+    assert out[("disease", "D1", "unrelated surface")] == (
+        "unrelated surface", 1)
+    # identical surface under another entity does NOT join D1's group
+    assert out[("gene", "G1", "color")] == ("color", 1)
