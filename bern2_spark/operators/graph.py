@@ -603,3 +603,48 @@ def adamic_adar(edges: DataFrame,
         out = out.withColumn("aa_score",
                              F.round("aa_score", round_to))
     return out
+
+
+def assortativity(edges: DataFrame,
+                  src_col: str = "cui_a", dst_col: str = "cui_b",
+                  round_to: int | None = 6) -> DataFrame:
+    """Degree-assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the edges — positive when
+    hubs link to hubs (social-network mixing), negative when hubs
+    link to leaves (biological / technological graphs).  The single
+    global diagnostic that says which regime a KG's topology is in,
+    and therefore which skew strategy its joins need.
+
+    Computed over the symmetrized directed edge list (each undirected
+    edge contributes both orientations, which is exactly the
+    symmetric treatment Newman's formula requires):
+    r = (S_jk/m − (S_j/2m)²·4) … in the standard half-sum form
+    r = [S_jk/m − ((S_j+S_k)/2m)²] / [(S_j²+S_k²)/2m − ((S_j+S_k)/2m)²]
+    with j, k the endpoint degrees.  Every sum is integral (degree
+    products of integer degrees), so both engines divide the same
+    exact values — only the final divisions are floating point.
+
+    Shape: one degree aggregation + one co-partitioned join per
+    endpoint + one global agg; 1-row output
+    ``(n_edges, assortativity)`` (n_edges counts directed/sym rows).
+    Degenerate regular graphs (zero degree variance) return NULL."""
+    e = symmetrize(edges, src_col, dst_col)
+    deg = e.groupBy("src").agg(F.count("*").alias("_d"))
+    j = deg.select(F.col("src").alias("_sj"), F.col("_d").alias("_j"))
+    k = deg.select(F.col("src").alias("_sk"), F.col("_d").alias("_k"))
+    ed = (e.join(j, e.src == j._sj).join(k, e.dst == k._sk)
+          .select("_j", "_k"))
+    agg = ed.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("_j") * F.col("_k")).alias("_sjk"),
+        F.sum((F.col("_j") + F.col("_k"))).alias("_sjpk"),
+        F.sum(F.col("_j") * F.col("_j")
+              + F.col("_k") * F.col("_k")).alias("_sj2k2"))
+    m = F.col("n_edges").cast("double")
+    mean2 = (F.col("_sjpk") / (2.0 * m))
+    num = F.col("_sjk") / m - mean2 * mean2
+    den = F.col("_sj2k2") / (2.0 * m) - mean2 * mean2
+    r = F.when(den != 0.0, num / den)
+    if round_to is not None:
+        r = F.round(r, round_to)
+    return agg.select("n_edges", r.alias("assortativity"))

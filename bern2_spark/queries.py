@@ -3063,6 +3063,41 @@ def kg_adamic_adar(spark, sf_dir):
     return adamic_adar(_kg_edges(spark))
 
 
+@q("kg_assortativity", f"""
+WITH {_kg_sym_cte()},
+deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1),
+edp AS (SELECT dj.d AS j, dk.d AS k
+        FROM sym JOIN deg dj ON sym.src = dj.src
+                 JOIN deg dk ON sym.dst = dk.src),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               sum(j * k) AS sjk,
+               sum(j + k) AS sjpk,
+               sum(j * j + k * k) AS sj2k2
+        FROM edp)
+SELECT n_edges,
+       CASE WHEN sj2k2 / (2.0 * n_edges)
+                 - (sjpk / (2.0 * n_edges)) * (sjpk / (2.0 * n_edges))
+                 != 0.0
+            THEN round((sjk / CAST(n_edges AS DOUBLE)
+                        - (sjpk / (2.0 * n_edges))
+                          * (sjpk / (2.0 * n_edges)))
+                       / (sj2k2 / (2.0 * n_edges)
+                          - (sjpk / (2.0 * n_edges))
+                            * (sjpk / (2.0 * n_edges))), 6)
+       END AS assortativity
+FROM agg
+""")
+def kg_assortativity(spark, sf_dir):
+    """Degree-assortativity coefficient (Newman 2002) of the entity
+    co-occurrence graph (operators/graph.assortativity): Pearson
+    correlation of endpoint degrees over the symmetrized edges — the
+    global mixing diagnostic (hub-hub vs hub-leaf) that tells a
+    deployment which skew regime its graph joins face.  All sums
+    integral; both engines divide the same exact values."""
+    from bern2_spark.operators.graph import assortativity
+    return assortativity(_kg_edges(spark))
+
+
 def _wl_sql(iters: int = 2) -> str:
     """WL-relabeling oracle: unrolled rounds; AS MATERIALIZED pins
     each doubly-referenced level (w{i} feeds both the neighbor join
@@ -7040,7 +7075,7 @@ _SWEEP_FIRST = [
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
     "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
-    "kg_alias_table",
+    "kg_alias_table", "kg_assortativity",
 ]
 
 

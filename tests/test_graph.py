@@ -370,3 +370,33 @@ def test_adamic_adar_hub_cap(spark):
     # the 10-degree hub is dropped: no leaf-leaf wedge survives, only
     # the p-r prediction through q
     assert got == {("p", "r")}
+
+
+def test_assortativity_matches_numpy(spark, edges):
+    from bern2_spark.operators.graph import assortativity
+    row = assortativity(edges, round_to=None).collect()[0]
+    # independent computation over the symmetrized edge list
+    sym = []
+    for a, b, _ in EDGES:
+        sym += [(a, b), (b, a)]
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    j = np.array([deg[a] for a, _ in sym], dtype=float)
+    k = np.array([deg[b] for _, b in sym], dtype=float)
+    m = len(sym)
+    mean2 = (j + k).sum() / (2 * m)
+    num = (j * k).sum() / m - mean2 ** 2
+    den = (j * j + k * k).sum() / (2 * m) - mean2 ** 2
+    assert row.n_edges == m
+    assert row.assortativity == pytest.approx(num / den, abs=1e-12)
+
+
+def test_assortativity_regular_graph_null(spark):
+    from bern2_spark.operators.graph import assortativity
+    # triangle: every degree 2 -> zero variance -> NULL, not div-by-0
+    e = spark.createDataFrame([("x", "y"), ("y", "z"), ("x", "z")],
+                              ["cui_a", "cui_b"])
+    row = assortativity(e).collect()[0]
+    assert row.n_edges == 6
+    assert row.assortativity is None
