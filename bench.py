@@ -67,6 +67,11 @@ HEADLINE = [
     "kg_wl_labels",
     "kg_adamic_adar",
     "code_hybrid_search",
+    # session-8 last pair: alias-table materialize (components over
+    # variant pairs, 3.2 s) and the 1-row assortativity diagnostic
+    # (0.9 s) — 33 queries total now
+    "kg_alias_table",
+    "kg_assortativity",
 ]
 
 
