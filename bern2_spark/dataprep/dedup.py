@@ -501,3 +501,52 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     return (inter.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= t)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def containment_pairs(docs: DataFrame = None,
+                      candidates: DataFrame = None,
+                      text_col: str = "text", shingle_n: int = 3,
+                      threshold: float = 0.8,
+                      shingle_df: DataFrame = None) -> DataFrame:
+    """Asymmetric Broder CONTAINMENT over shingle sets (Broder 1997
+    distinguishes resemblance — our Jaccard family — from containment
+    C(A,B) = |S(A) ∩ S(B)| / |S(A)|): finds documents SUBSUMED by
+    another (a fragment, a quoted excerpt, an aggregation member),
+    which symmetric Jaccard misses because the union is dominated by
+    the larger doc.  The curation use: drop contained fragments
+    instead of treating them as unique documents.
+
+    Same plan family as ngram_jaccard_pairs: with ``candidates`` the
+    pair list constrains the join upstream (the LSH-verify posture);
+    without, the shingle self-join is all-pairs — test scale only.
+    Both directions are evaluated (containment is not symmetric); the
+    ratio divides two exact integers so both engines round
+    identically.  Returns ``(doc_a, doc_b, containment)`` =
+    containment of doc_a IN doc_b, >= threshold, doc_a != doc_b."""
+    sh = (shingle_df if shingle_df is not None
+          else shingle_table(docs, text_col, shingle_n))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b")
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("_b_doc"),
+                      F.col("shingle").alias("_b_shingle"))
+        inter = (cand.join(a, "doc_a")
+                 .join(b, (F.col("doc_b") == F.col("_b_doc"))
+                       & (F.col("shingle") == F.col("_b_shingle")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("n_inter")))
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (a.join(b, "shingle")
+                 .filter(F.col("doc_a") != F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("n_inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("_na"))
+    return (inter.join(na, "doc_a")
+            .withColumn("containment",
+                        F.col("n_inter") / F.col("_na"))
+            .filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "containment"))

@@ -787,6 +787,31 @@ def dedup_exact(spark, sf_dir):
     return exact_duplicates(_dup_docs(spark, sf_dir))
 
 
+# containment corpus: doc_id % 9 == 0 gains a FRAGMENT twin at
+# + 30_000_000 holding its first 12 raw words — contained in the
+# source (containment ~1) while Jaccard-tiny (the union is the full
+# doc), the case the asymmetric measure exists for.
+_CONT_UNION_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000000,
+         array_to_string(list_slice(
+             list_filter(string_split(text, ' '), x -> x != ''),
+             1, 12), ' ')
+  FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+def _cont_docs(spark, sf_dir):
+    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"), spark)
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+    frag = (d.filter(F.col("doc_id") % 9 == 0)
+            .select((F.col("doc_id") + 30000000).alias("doc_id"),
+                    F.array_join(F.slice(words, 1, 12), " ")
+                    .alias("text")))
+    return d.unionByName(frag)
+
+
 _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 # DuckDB shingle list (token 3-grams, min 1)
 _SHINGLES_SQL = f"""
@@ -845,6 +870,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from bern2_spark.dataprep.dedup import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(_dup_docs(spark, sf_dir), threshold=0.5)
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q("dedup_containment", f"""
+WITH docs2 AS ({_CONT_UNION_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / sa.n, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE CAST(n_inter AS DOUBLE) / sa.n >= 0.8
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric Broder containment (dataprep/dedup.py:
+    containment_pairs): |S(A) ∩ S(B)| / |S(A)| — finds documents
+    SUBSUMED by another (fragments, quoted excerpts), which the
+    symmetric Jaccard family misses because the union is dominated by
+    the larger doc.  The fixture injects 12-word fragment twins so
+    true containment-not-resemblance positives exist at every SF; the
+    ratio divides two exact integers in both engines."""
+    from bern2_spark.dataprep.dedup import containment_pairs
+    pairs = containment_pairs(_cont_docs(spark, sf_dir), threshold=0.8)
+    return pairs.withColumn("containment", F.round("containment", 6))
 
 
 @q("dedup_lsh_verified", f"""
@@ -7075,7 +7130,7 @@ _SWEEP_FIRST = [
     "code_bm25_search", "kg_label_propagation", "kg_modularity",
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
     "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
-    "kg_alias_table", "kg_assortativity",
+    "kg_alias_table", "kg_assortativity", "dedup_containment",
 ]
 
 

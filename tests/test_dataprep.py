@@ -1689,3 +1689,35 @@ def test_identifier_subtokens(spark):
     assert got["count"] == 1 and got["my"] == 1
     # HTTPServer: lowercase boundary split only -> 'httpserver' stays
     assert "httpserver" in got
+
+
+def test_containment_asymmetric(spark):
+    from bern2_spark.dataprep.dedup import containment_pairs
+    full = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron")
+    frag = "alpha beta gamma delta epsilon zeta"          # prefix
+    other = "one two three four five six seven eight nine ten"
+    d = spark.createDataFrame(
+        [(1, full), (2, frag), (3, other)], ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs(d, threshold=0.8).collect()}
+    # the fragment's 4 shingles all appear in full: containment 1.0
+    assert got == {(2, 1): 1.0}
+    # the reverse direction (full in fragment) is far below threshold
+    low = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs(d, threshold=0.0).collect()}
+    assert low[(1, 2)] < 0.5
+
+
+def test_containment_candidate_constrained(spark):
+    from bern2_spark.dataprep.dedup import containment_pairs
+    full = "a b c d e f g h i j"
+    frag = "a b c d e"
+    d = spark.createDataFrame(
+        [(1, full), (2, frag), (3, "x y z w v u t s")],
+        ["doc_id", "text"])
+    cand = spark.createDataFrame([(2, 1)], ["doc_a", "doc_b"])
+    got = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs(d, candidates=cand,
+                                      threshold=0.8).collect()}
+    assert got == {(2, 1): 1.0}
