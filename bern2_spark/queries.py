@@ -3118,6 +3118,61 @@ def kg_adamic_adar(spark, sf_dir):
     return adamic_adar(_kg_edges(spark))
 
 
+# TextRank word graph: undirected co-occurrence of ADJACENT tokens
+# (window 2, the Mihalcea & Tarau 2004 keyword setting), shared
+# between the Spark query and the oracle's sym CTE.
+_TEXTRANK_SYM_CTE = """t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+             AS toks
+  FROM documents),
+pl AS (SELECT list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> toks[i] || chr(9) || toks[i + 1]) AS ps
+       FROM t),
+e0 AS (SELECT string_split(p, chr(9))[1] AS wa,
+              string_split(p, chr(9))[2] AS wb
+       FROM (SELECT unnest(ps) AS p FROM pl)),
+und AS (SELECT DISTINCT
+           CASE WHEN wa < wb THEN wa ELSE wb END AS a,
+           CASE WHEN wa < wb THEN wb ELSE wa END AS b
+        FROM e0 WHERE wa != wb),
+sym AS (SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und)"""
+
+
+@q("qc_textrank_keywords",
+   _pagerank_sql(sym_cte=_TEXTRANK_SYM_CTE).replace(
+       "SELECT node, round(rank, 9) AS rank FROM r5",
+       """SELECT node AS keyword, round(rank, 9) AS rank FROM r5
+ORDER BY round(rank, 9) DESC, node LIMIT 10"""))
+def qc_textrank_keywords(spark, sf_dir):
+    """TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    undirected word graph whose edges are ADJACENT token pairs
+    (window 2, the paper's keyword setting, unweighted distinct
+    edges) — the graph-centrality complement to qc_tfidf_keywords'
+    frequency statistics.  The Spark side reuses
+    operators/graph.pagerank UNCHANGED over the token graph; the
+    oracle swaps the token sym CTE into the same unrolled-CTE
+    pagerank used by kg_pagerank, with a (rank DESC, word) top-10."""
+    from bern2_spark.operators.graph import pagerank
+    toks = F.filter(F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != "")
+    d = _docs(spark, sf_dir).select(toks.alias("toks"))
+    pairs = (d.select(F.explode(F.arrays_zip(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))")))
+        .alias("p"))
+        .select(F.col("p")["0"].alias("wa"), F.col("p")["1"].alias("wb"))
+        .filter(F.col("wa") != F.col("wb"))
+        .select(F.least("wa", "wb").alias("a"),
+                F.greatest("wa", "wb").alias("b"))
+        .distinct())
+    ranks = pagerank(pairs, src_col="a", dst_col="b",
+                     iterations=5, damping=0.85)
+    return (ranks.select(F.col("node").alias("keyword"), "rank")
+            .orderBy(F.desc("rank"), "keyword").limit(10))
+
+
 @q("kg_assortativity", f"""
 WITH {_kg_sym_cte()},
 deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1),
@@ -7131,6 +7186,7 @@ _SWEEP_FIRST = [
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
     "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
     "kg_alias_table", "kg_assortativity", "dedup_containment",
+    "qc_textrank_keywords",
 ]
 
 

