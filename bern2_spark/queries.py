@@ -7035,6 +7035,57 @@ def code_bm25_search(spark, sf_dir):
     return bm25_rank(_code(spark, sf_dir), _BM25_TERMS, topk=10)
 
 
+# ------------------------------------------------ Halstead complexity
+
+def _halstead_sql() -> str:
+    from bern2_spark.dataprep.codeqc import (HALSTEAD_NUM_RE,
+                                             HALSTEAD_OP_RE,
+                                             HALSTEAD_STR_RE, _IDENT_RE)
+    def lit(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+    return (_CODE_CTE + f""",
+h AS (SELECT doc_id, repo, path,
+             regexp_extract_all(content, {lit(HALSTEAD_OP_RE)}) AS ops,
+             list_concat(list_concat(
+                 regexp_extract_all(content, {lit(_IDENT_RE)}),
+                 regexp_extract_all(content, {lit(HALSTEAD_NUM_RE)})),
+                 regexp_extract_all(content, {lit(HALSTEAD_STR_RE)}))
+                 AS opr
+      FROM code),
+m AS (SELECT doc_id, repo, path,
+             len(list_distinct(ops)) AS n1,
+             len(list_distinct(opr)) AS n2,
+             len(ops) AS bn1, len(opr) AS bn2
+      FROM h)
+SELECT doc_id, repo, path,
+       CAST(n1 AS INT) AS n1, CAST(n2 AS INT) AS n2,
+       CAST(bn1 AS INT) AS big_n1, CAST(bn2 AS INT) AS big_n2,
+       round(CASE WHEN n1 + n2 > 0 THEN
+           (bn1 + bn2) * ln(CAST(n1 + n2 AS DOUBLE)) / ln(2) END,
+           6) AS volume,
+       round(CASE WHEN n2 > 0 THEN
+           (n1 / 2.0) * (bn2 * 1.0 / n2) END, 6) AS difficulty,
+       round(CASE WHEN n2 > 0 AND n1 + n2 > 0 THEN
+           (n1 / 2.0) * (bn2 * 1.0 / n2)
+           * ((bn1 + bn2) * ln(CAST(n1 + n2 AS DOUBLE)) / ln(2)) END,
+           6) AS effort
+FROM m
+""")
+
+
+@q("qc_halstead_metrics", _halstead_sql())
+def qc_halstead_metrics(spark, sf_dir):
+    """Halstead size/effort metrics per file
+    (dataprep/codeqc.py:halstead_metrics) — the lexical complexity
+    family (vocabulary, length, volume, difficulty, effort)
+    complementing qc_code_complexity's branch counts.  Everything
+    in-row: regexp token extraction + array_distinct fuse into the
+    content scan with zero exchanges; log2 = ln/ln(2) in both
+    engines so the doubles agree exactly."""
+    from bern2_spark.dataprep.codeqc import halstead_metrics
+    return halstead_metrics(_code(spark, sf_dir))
+
+
 # ------------------------------------------------- hybrid search (RRF)
 
 @q("code_hybrid_search", _CODE_CTE + r""",
@@ -7186,7 +7237,7 @@ _SWEEP_FIRST = [
     "kg_personalized_pagerank", "kg_dep_hits", "kg_surface_variants",
     "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
     "kg_alias_table", "kg_assortativity", "dedup_containment",
-    "qc_textrank_keywords",
+    "qc_textrank_keywords", "qc_halstead_metrics",
 ]
 
 

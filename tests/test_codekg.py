@@ -472,3 +472,35 @@ def test_type2_keywords_not_blinded(spark):
     ]
     df = spark.createDataFrame(files, ["repo", "path", "lang", "content"])
     assert type2_clones(df).collect() == []
+
+
+def test_halstead_hand_computed(spark):
+    from bern2_spark.dataprep.codeqc import halstead_metrics
+    import math
+    code = 'x = a + b + 42'
+    d = spark.createDataFrame([(1, "r", "p.py", code)],
+                              ["doc_id", "repo", "path", "content"])
+    row = halstead_metrics(d).collect()[0]
+    # operators: '=', '+' (x2 -> distinct 1) => n1=2, N1=3
+    assert (row.n1, row.big_n1) == (2, 3)
+    # operands: x, a, b, 42 => n2=4, N2=4
+    assert (row.n2, row.big_n2) == (4, 4)
+    n, big_n = 6, 7
+    vol = big_n * math.log(n) / math.log(2)
+    diff = (2 / 2.0) * (4 / 4)
+    assert row.volume == round(vol, 6)
+    assert row.difficulty == round(diff, 6)
+    assert row.effort == round(diff * vol, 6)
+
+
+def test_halstead_empty_and_no_operands(spark):
+    from bern2_spark.dataprep.codeqc import halstead_metrics
+    d = spark.createDataFrame(
+        [(1, "r", "a", ""), (2, "r", "b", ";;;")],
+        ["doc_id", "repo", "path", "content"])
+    rows = {r.doc_id: r for r in halstead_metrics(d).collect()}
+    assert rows[1].volume is None and rows[1].effort is None
+    # operators only, no operands: volume defined, difficulty NULL
+    assert rows[2].n2 == 0
+    assert rows[2].volume is not None
+    assert rows[2].difficulty is None and rows[2].effort is None
