@@ -587,3 +587,43 @@ def triple_confidence(imports: DataFrame,
                     F.round(1.0 - F.exp(-F.col("n_files")
                                         / F.lit(halflife)),
                             6).alias("confidence")))
+
+
+def unused_imports(files: DataFrame, imports: DataFrame,
+                   content_col: str = "content") -> DataFrame:
+    """Unused-import lint (the flake8 F401 class) for the python
+    family: an imported root package whose identifier never occurs in
+    the file beyond its own import statement(s).  The curation use:
+    dead imports inflate the dependency graph and mislead
+    import-based repo similarity — this flags the edges to discount.
+
+    Rule (deterministic lexical approximation): with ``n_mentions`` =
+    import rows of (file, root_pkg) and ``n_occurrences`` = times the
+    root appears among the file's identifier tokens, the import is
+    unused iff ``n_occurrences <= n_mentions`` (each import statement
+    itself contributes one occurrence; real usage adds more).
+
+    Scale shape: identifiers explode ONCE under a constant-pattern
+    regexp, then are semi-joined against the BROADCAST distinct root
+    set BEFORE the (file, ident) count shuffle — shuffled rows are
+    imported-root hits only, the BM25 pruning discipline.  Output:
+    ``(repo, path, root_pkg, n_mentions, n_occurrences, unused)``."""
+    from bern2_spark.dataprep.codeqc import _IDENT_RE
+    imp = (imports.filter(F.col("lang") == "python")
+           .groupBy("repo", "path", "root_pkg")
+           .agg(F.count("*").alias("n_mentions")))
+    roots = imp.select(F.col("root_pkg").alias("ident")).distinct()
+    ids = (files.filter(F.col("lang") == "python")
+           .select("repo", "path",
+                   F.explode(F.regexp_extract_all(
+                       F.col(content_col), F.lit(_IDENT_RE), 0))
+                   .alias("ident")))
+    usage = (ids.join(F.broadcast(roots), "ident")
+             .groupBy("repo", "path", F.col("ident").alias("root_pkg"))
+             .agg(F.count("*").alias("n_occurrences")))
+    return (imp.join(usage, ["repo", "path", "root_pkg"], "left")
+            .select("repo", "path", "root_pkg", "n_mentions",
+                    F.coalesce("n_occurrences", F.lit(0))
+                    .alias("n_occurrences"))
+            .withColumn("unused",
+                        F.col("n_occurrences") <= F.col("n_mentions")))

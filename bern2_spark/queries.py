@@ -7035,6 +7035,37 @@ def code_bm25_search(spark, sf_dir):
     return bm25_rank(_code(spark, sf_dir), _BM25_TERMS, topk=10)
 
 
+@q("qc_unused_imports", "WITH " + _CODE_SRC_BODY + _code_imports_cte()
+   + f""",
+imp AS (SELECT repo, path, root_pkg,
+               CAST(count(*) AS BIGINT) AS n_mentions
+        FROM im WHERE lang = 'python' GROUP BY 1, 2, 3),
+ids AS (SELECT repo, path, unnest(regexp_extract_all(content,
+            '[A-Za-z_][A-Za-z0-9_]*')) AS ident
+        FROM src WHERE lang = 'python'),
+usage AS (SELECT repo, path, ident AS root_pkg,
+                 CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM ids
+          WHERE ident IN (SELECT DISTINCT root_pkg FROM imp)
+          GROUP BY 1, 2, 3)
+SELECT imp.repo, imp.path, imp.root_pkg, imp.n_mentions,
+       coalesce(usage.n_occurrences, 0) AS n_occurrences,
+       coalesce(usage.n_occurrences, 0) <= imp.n_mentions AS unused
+FROM imp LEFT JOIN usage USING (repo, path, root_pkg)
+""")
+def qc_unused_imports(spark, sf_dir):
+    """Unused-import lint (flake8 F401 class) over the python family
+    (dataprep/codekg.py:unused_imports): an imported root package
+    whose identifier never occurs beyond its own import statements —
+    the dead dependency edges to discount in import-based repo
+    similarity.  Identifiers explode once under a constant pattern and
+    are semi-joined against the BROADCAST root set BEFORE the count
+    shuffle (the BM25 pruning discipline)."""
+    from bern2_spark.dataprep.codekg import extract_imports, unused_imports
+    src = _code_src(spark, sf_dir)
+    return unused_imports(src, extract_imports(src))
+
+
 # ------------------------------------------------ Halstead complexity
 
 def _halstead_sql() -> str:
@@ -7238,6 +7269,7 @@ _SWEEP_FIRST = [
     "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
     "kg_alias_table", "kg_assortativity", "dedup_containment",
     "qc_textrank_keywords", "qc_halstead_metrics",
+    "qc_unused_imports",
 ]
 
 

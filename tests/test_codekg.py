@@ -504,3 +504,25 @@ def test_halstead_empty_and_no_operands(spark):
     assert rows[2].n2 == 0
     assert rows[2].volume is not None
     assert rows[2].difficulty is None and rows[2].effort is None
+
+
+def test_unused_imports_lint(spark):
+    from bern2_spark.dataprep.codekg import extract_imports, unused_imports
+    used = "import os\nprint(os.path.join('a'))"
+    dead = "import sys\nprint('never used')"
+    twice = "import re\nimport re\n"          # two mentions, no use
+    files = spark.createDataFrame(
+        [(1, "r", "u.py", "python", used),
+         (2, "r", "d.py", "python", dead),
+         (3, "r", "t.py", "python", twice),
+         (4, "r", "x.go", "go", 'import "fmt"\nfmt.Println()')],
+        ["doc_id", "repo", "path", "lang", "content"])
+    out = {(r.path, r.root_pkg): (r.n_mentions, r.n_occurrences,
+                                  r.unused)
+           for r in unused_imports(files,
+                                   extract_imports(files)).collect()}
+    assert out[("u.py", "os")] == (1, 2, False)
+    assert out[("d.py", "sys")] == (1, 1, True)
+    assert out[("t.py", "re")] == (2, 2, True)
+    # non-python rows are out of scope for the F401 rule
+    assert not any(p == "x.go" for p, _ in out)
