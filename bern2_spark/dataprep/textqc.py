@@ -466,3 +466,53 @@ def lm_cross_entropy(docs: DataFrame, text_col: str = "text",
         out = out.select(id_col,
                          F.round("lm_xent", round_to).alias("lm_xent"))
     return out
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5,
+                     round_to: int = 6) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks
+    1990): ORDERED adjacent word pairs scored by
+    ln(P(a,b) / (P(a)·P(b))) with P(a,b) over the bigram table and
+    P(·) over the unigram table — the statistic phrase mining,
+    tokenizer-merge selection, and stop-phrase lists are built on.
+
+    Scale shape: tokens explode once; bigrams are built IN-ROW
+    (arrays_zip of two slices) before their map-side-combined count;
+    the unigram table is vocabulary-bounded, so its two attach joins
+    broadcast at any realistic vocab (co-partitioned on the word key
+    beyond that); the two scalar totals are 1-row broadcasts.  All
+    counts integral — the single ln of exact ratios rounds
+    identically in both engines.  Output:
+    ``(word_a, word_b, n_ab, pmi)`` for pairs seen >= min_count."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    d = docs.select(toks.alias("toks"))
+    uni = (d.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n_w")))
+    n_tok = uni.agg(F.sum("n_w").alias("_nt"))
+    big0 = (d.select(F.explode(F.arrays_zip(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))")))
+        .alias("p"))
+        .select(F.col("p")["0"].alias("word_a"),
+                F.col("p")["1"].alias("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").alias("n_ab")))
+    # the bigram total is over ALL bigrams — the probability space —
+    # not just the pairs that survive min_count
+    n_big = big0.agg(F.sum("n_ab").alias("_nb"))
+    big = big0.filter(F.col("n_ab") >= min_count)
+    ua = uni.select(F.col("w").alias("word_a"),
+                    F.col("n_w").alias("_na"))
+    ub = uni.select(F.col("w").alias("word_b"),
+                    F.col("n_w").alias("_nb_w"))
+    pmi = F.log((F.col("n_ab") / F.col("_nb"))
+                / ((F.col("_na") / F.col("_nt"))
+                   * (F.col("_nb_w") / F.col("_nt"))))
+    return (big.join(F.broadcast(ua), "word_a")
+            .join(F.broadcast(ub), "word_b")
+            .crossJoin(F.broadcast(n_tok))
+            .crossJoin(F.broadcast(n_big))
+            .select("word_a", "word_b", "n_ab",
+                    F.round(pmi, round_to).alias("pmi")))

@@ -7035,6 +7035,43 @@ def code_bm25_search(spark, sf_dir):
     return bm25_rank(_code(spark, sf_dir), _BM25_TERMS, topk=10)
 
 
+@q("qc_pmi_collocations", """
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+             AS toks
+  FROM documents),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+nt AS (SELECT sum(n_w) AS n FROM uni),
+pl AS (SELECT list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> toks[i] || chr(9) || toks[i + 1]) AS ps
+       FROM t),
+big0 AS (SELECT string_split(p, chr(9))[1] AS word_a,
+                string_split(p, chr(9))[2] AS word_b,
+                CAST(count(*) AS BIGINT) AS n_ab
+         FROM (SELECT unnest(ps) AS p FROM pl) GROUP BY 1, 2),
+nb AS (SELECT sum(n_ab) AS n FROM big0),
+big AS (SELECT * FROM big0 WHERE n_ab >= 5)
+SELECT big.word_a, big.word_b, big.n_ab,
+       round(ln((big.n_ab / (SELECT n FROM nb))
+                / ((ua.n_w / (SELECT n FROM nt))
+                   * (ub.n_w / (SELECT n FROM nt)))), 6) AS pmi
+FROM big JOIN uni ua ON big.word_a = ua.w
+         JOIN uni ub ON big.word_b = ub.w
+""")
+def qc_pmi_collocations(spark, sf_dir):
+    """PMI collocations (Church & Hanks 1990) over adjacent word
+    pairs (dataprep/textqc.py:pmi_collocations) — the association
+    statistic phrase mining and tokenizer-merge selection run on.
+    Bigrams built in-row before their map-side-combined count; the
+    vocabulary-bounded unigram table broadcasts; the bigram total is
+    over ALL bigrams (the probability space), not just min_count
+    survivors; integral counts make the single ln engine-exact."""
+    from bern2_spark.dataprep.textqc import pmi_collocations
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5)
+
+
 @q("qc_unused_imports", "WITH " + _CODE_SRC_BODY + _code_imports_cte()
    + f""",
 imp AS (SELECT repo, path, root_pkg,
@@ -7269,7 +7306,7 @@ _SWEEP_FIRST = [
     "kg_wl_labels", "kg_adamic_adar", "code_hybrid_search",
     "kg_alias_table", "kg_assortativity", "dedup_containment",
     "qc_textrank_keywords", "qc_halstead_metrics",
-    "qc_unused_imports",
+    "qc_unused_imports", "qc_pmi_collocations",
 ]
 
 

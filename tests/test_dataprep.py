@@ -1721,3 +1721,25 @@ def test_containment_candidate_constrained(spark):
            for r in containment_pairs(d, candidates=cand,
                                       threshold=0.8).collect()}
     assert got == {(2, 1): 1.0}
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+    from bern2_spark.dataprep.textqc import pmi_collocations
+    # 'new york' always adjacent; 'the' heads varied words, so its
+    # pairs carry less information
+    text = "the new york trip the old road the new york fair"
+    docs = [(i, text) for i in range(3)]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.word_a, r.word_b): (r.n_ab, r.pmi)
+           for r in pmi_collocations(d, min_count=3).collect()}
+    n_ab, pmi = got[("new", "york")]
+    assert n_ab == 6
+    n_tok = 11 * 3
+    n_big = 10 * 3
+    p_ab = 6 / n_big
+    p_new = 6 / n_tok
+    p_york = 6 / n_tok
+    assert pmi == round(math.log(p_ab / (p_new * p_york)), 6)
+    # the perfectly-predictive pair beats the promiscuous 'the new'
+    assert got[("new", "york")][1] > got[("the", "new")][1]
