@@ -72,6 +72,14 @@ HEADLINE = [
     # (0.9 s) — 33 queries total now
     "kg_alias_table",
     "kg_assortativity",
+    # session-8 second tail: containment dedup, TextRank, Halstead,
+    # unused-import lint, PMI collocations (0.3-3.1 s each at
+    # sf0.1/local[32]) — 38 queries total now
+    "dedup_containment",
+    "qc_textrank_keywords",
+    "qc_halstead_metrics",
+    "qc_unused_imports",
+    "qc_pmi_collocations",
 ]
 
 
