@@ -4,6 +4,8 @@ expressions (JVM-side) so they fold into the document scan."""
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -516,3 +518,40 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
             .crossJoin(F.broadcast(n_big))
             .select("word_a", "word_b", "n_ab",
                     F.round(pmi, round_to).alias("pmi")))
+
+
+# Classic UTF-8-decoded-as-Latin-1/Windows-1252 artifacts.  The lead
+# bytes of multi-byte UTF-8 sequences decode to these characters, so
+# their presence is a high-precision mojibake signal; U+FFFD is the
+# decoder's own giving-up marker.
+MOJIBAKE_MARKERS = ["Ã", "â€", "Â", "�"]
+
+
+def mojibake_features(docs: DataFrame, text_col: str = "text",
+                      id_cols: Sequence[str] = ("doc_id",),
+                      round_to: int = 9) -> DataFrame:
+    """Encoding-corruption detection: per document, count the classic
+    double-encoding artifacts ('Ã'/'Â' lead bytes,
+    'â€' punctuation mangles, U+FFFD replacement chars) and
+    flag documents carrying any — the cheap pre-filter that keeps
+    mis-decoded crawl shards out of a training mix (ftfy's detection
+    heuristic, reduced to its codegen-able core).
+
+    Scale shape: pure column expressions — each marker count is
+    ``(length(t) - length(replace(t, m))) / length(m)``, character
+    arithmetic identical in Spark and DuckDB — so the whole operator
+    is one WholeStageCodegen map over the scan, no shuffle, no UDF.
+
+    Output: id cols + ``(n_artifacts, artifact_ratio, is_mojibake)``."""
+    t = F.col(text_col)
+    n = F.lit(0)
+    for m in MOJIBAKE_MARKERS:
+        n = n + ((F.length(t) - F.length(F.replace(t, F.lit(m))))
+                 / len(m)).cast("long")
+    n_chars = F.length(t)
+    return docs.select(
+        *id_cols,
+        n.cast("long").alias("n_artifacts"),
+        F.round(F.when(n_chars > 0, n / n_chars).otherwise(F.lit(0.0)),
+                round_to).alias("artifact_ratio"),
+        (n > 0).alias("is_mojibake"))

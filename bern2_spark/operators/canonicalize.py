@@ -137,3 +137,70 @@ def surface_variant_pairs(mentions: DataFrame,
             .withColumn("edit_dist",
                         F.levenshtein("surface_a", "surface_b"))
             .filter(F.col("edit_dist") <= max_dist))
+
+
+def fuzzy_link(unlinked: DataFrame, catalog: DataFrame,
+               type_col: str = "ent_type",
+               surface_col: str = "surface",
+               name_col: str = "name",
+               cui_col: str = "cui",
+               max_dist: int = 2) -> DataFrame:
+    """Blocked fuzzy entity linking: assign each UNLINKED surface the
+    catalog entry with the smallest Levenshtein distance (<= max_dist)
+    among candidates sharing its entity type — the character-level
+    recovery pass for mentions the exact/lower/stem sieve levels
+    (operators/normalize.py) leave CUI-less because of typos.  The
+    reference's sieve has no fuzzy level at all (normalization misses
+    become CUI-less, /root/reference/bern2/bern2.py:570-612); this is
+    the engine's extension beyond it.
+
+    Scale shape: NO cross join.  Candidates come from two equi-joins
+    on (ent_type, first character) and (ent_type, last character) —
+    by pigeonhole an edit budget of 2 can alter both ends only by
+    spending everything there, and either block alone already catches
+    every single-end typo; the residual miss class (both endpoints
+    edited) is documented, not silent.  The catalog is the small side
+    by construction (a lexicon, not the corpus) and is broadcast;
+    unlinked surfaces never shuffle.  A |len| difference guard prunes
+    before the O(|a|.|b|) distance; top-1 per surface is a window over
+    the candidate set (keyed by the surface, bounded by block size),
+    tie-broken (edit_dist, cui, name) so both engines rank
+    identically.
+
+    Output: (ent_type, surface, cui, matched_name, edit_dist) — one
+    row per unlinked surface that found a catalog entry in range."""
+    q = (unlinked.select(F.col(type_col).alias("ent_type"),
+                         F.col(surface_col).alias("surface"))
+         .distinct())
+    c = (catalog.select(F.col(type_col).alias("ent_type"),
+                        F.col(cui_col).alias("cui"),
+                        F.col(name_col).alias("matched_name"))
+         .distinct())
+
+    def block(side, col):
+        # position-tagged keys: a first char only ever meets a first
+        # char (and last only last) — the same candidate set as the
+        # oracle's (first=first OR last=last) predicate
+        first = F.concat(F.lit("f:"),
+                         F.lower(F.substring(F.col(col), 1, 1)))
+        last = F.concat(F.lit("l:"),
+                        F.lower(F.substring(F.col(col), -1, 1)))
+        return (side.withColumn("_bk", F.array(first, last))
+                .withColumn("_bk", F.explode("_bk")))
+
+    cand = (block(q, "surface")
+            .join(F.broadcast(block(c, "matched_name")),
+                  ["ent_type", "_bk"])
+            .drop("_bk")
+            .distinct()
+            .filter(F.abs(F.length("surface") - F.length("matched_name"))
+                    <= max_dist)
+            .withColumn("edit_dist",
+                        F.levenshtein("surface", "matched_name"))
+            .filter(F.col("edit_dist") <= max_dist))
+    w = (Window.partitionBy("ent_type", "surface")
+         .orderBy("edit_dist", "cui", "matched_name"))
+    return (cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk")
+            .select("ent_type", "surface", "cui", "matched_name",
+                    F.col("edit_dist").cast("int").alias("edit_dist")))

@@ -648,3 +648,46 @@ def assortativity(edges: DataFrame,
     if round_to is not None:
         r = F.round(r, round_to)
     return agg.select("n_edges", r.alias("assortativity"))
+
+
+def kcore(edges: DataFrame, k: int,
+          src_col: str = "cui_a", dst_col: str = "cui_b",
+          max_iter: int = 12) -> DataFrame:
+    """k-core decomposition for a fixed ``k``: iteratively peel nodes
+    of degree < k until a fixpoint, returning the surviving nodes with
+    their within-core degree — the standard dense-subgraph filter for
+    KG noise pruning (nodes that only ever co-occur incidentally fall
+    out; the tightly-connected entity communities remain).
+
+    Scale shape: each round is one map-side-combined degree aggregate
+    plus two SEMI joins co-partitioned on the edge endpoints — no
+    node-to-all fan-out, nothing proportional to n².  The loop runs
+    AT MOST ``max_iter`` rounds and stops early at the fixpoint
+    (checked by comparing surviving-edge counts, one scalar action per
+    round); each round's edge table is ``localCheckpoint``-ed so the
+    lineage stays O(1) deep instead of O(rounds) (same posture as
+    ``pagerank`` / dataprep/cluster.connected_components).  Peeling
+    any graph converges in at most O(n) rounds, but degree-peel
+    cascades die out geometrically in practice; the paired DuckDB
+    oracle unrolls exactly ``max_iter`` rounds, and the equality test
+    asserts the fixpoint lands before the cap so both formulations
+    provably agree.
+
+    Output: ``(node, core_degree)`` — nodes of the k-core with their
+    degree inside the core (>= k by construction)."""
+    e = symmetrize(edges, src_col, dst_col).distinct()
+    n_prev = e.count()
+    for _ in range(max_iter):
+        keep = (e.groupBy("src").agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") >= k).select("src"))
+        e2 = (e.join(keep, "src", "left_semi")
+              .join(keep.select(F.col("src").alias("dst")),
+                    "dst", "left_semi")
+              .localCheckpoint(eager=False))
+        n_cur = e2.count()
+        e = e2
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    return (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("int").alias("core_degree")))

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # coarse -> fine; a requested grain set must be a contiguous suffix
@@ -67,3 +67,45 @@ def rollup_timegrains(df: DataFrame, ts_col: str, dims: List[str],
         out = out.unionByName(cur)
     return out.select("grain", *dims, "win_start", "n_events",
                       "value_micros")
+
+
+def gapfill(df: DataFrame, ts_col: str, keys: Sequence[str],
+            value_col: str, grain: str = "day") -> DataFrame:
+    """Time-spine gap-fill with forward fill (locf): per key, emit one
+    row for EVERY ``grain`` bucket between that key's first and last
+    observation, carrying the last observed value across empty buckets
+    — the resample/locf primitive every time-series consumer of the
+    events table needs (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf``, Flink's windowed fill).
+
+    Scale shape: the fact table is aggregated to the grain FIRST (the
+    one full shuffle, map-side combined, same posture as
+    ``rollup_timegrains``), so the spine explode and the fill window
+    run over the ~10^5-smaller bucket table, never over raw events.
+    The spine is ``sequence(lo, hi)`` per key — generated, not joined
+    from a calendar table, so there is no extra shuffle; its size is
+    bounded by (span / grain) per key, and the subsequent left join is
+    co-partitioned on (key, bucket).  The fill itself is one running
+    ``last(ignorenulls)`` window over the per-key sort the join
+    already established.  Values are summed as exact integer micros so
+    the fill is hashable across engines.
+
+    Output: keys + ``(bucket: date-truncated ts, value_micros:
+    nullable observed sum, filled_micros: locf value, is_gap)``."""
+    micros = F.round(F.col(value_col) * 1e6).cast("long")
+    keyed = (df.groupBy(*keys,
+                        F.date_trunc(grain, F.col(ts_col)).alias("bucket"))
+             .agg(F.sum(micros).alias("value_micros")))
+    span = keyed.groupBy(*keys).agg(F.min("bucket").alias("_lo"),
+                                    F.max("bucket").alias("_hi"))
+    spine = span.select(
+        *keys,
+        F.explode(F.sequence("_lo", "_hi",
+                             F.expr(f"interval 1 {grain}")))
+        .alias("bucket"))
+    out = spine.join(keyed, [*keys, "bucket"], "left")
+    w = (Window.partitionBy(*keys).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (out.withColumn("filled_micros",
+                           F.last("value_micros", ignorenulls=True).over(w))
+            .withColumn("is_gap", F.col("value_micros").isNull()))

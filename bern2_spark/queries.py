@@ -7226,6 +7226,256 @@ def code_hybrid_search(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9: fuzzy linking, gap-fill, Z-order layout, mojibake QC, k-core
+# --------------------------------------------------------------------------
+
+
+def _fuzzy_link_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT obj AS ent_type, c.cui, mention AS surface
+  FROM read_parquet('{_golden_pubann_path()}'),
+       unnest(string_split(ids, '|')) AS c(cui)
+  WHERE c.cui != ''),
+s0 AS (SELECT DISTINCT ent_type, cui, surface FROM m),
+names AS (SELECT DISTINCT ent_type, surface FROM s0),
+v AS (
+  SELECT DISTINCT ent_type,
+         substr(surface, 1, length(surface) - 1) AS surface
+  FROM s0 WHERE length(surface) >= 4
+  UNION
+  SELECT DISTINCT ent_type, 'x' || substr(surface, 2)
+  FROM s0 WHERE length(surface) >= 4),
+q0 AS (SELECT v.ent_type, v.surface FROM v
+       ANTI JOIN names n
+         ON v.ent_type = n.ent_type AND v.surface = n.surface),
+cat AS (SELECT DISTINCT ent_type, cui, surface AS matched_name FROM s0),
+cand AS (
+  SELECT q0.ent_type, q0.surface, cat.cui, cat.matched_name,
+         CAST(levenshtein(q0.surface, cat.matched_name) AS INT)
+             AS edit_dist
+  FROM q0 JOIN cat ON q0.ent_type = cat.ent_type
+   AND (lower(substr(q0.surface, 1, 1))
+          = lower(substr(cat.matched_name, 1, 1))
+     OR lower(substr(q0.surface, length(q0.surface), 1))
+          = lower(substr(cat.matched_name,
+                         length(cat.matched_name), 1)))
+  WHERE abs(length(q0.surface) - length(cat.matched_name)) <= 2
+    AND levenshtein(q0.surface, cat.matched_name) <= 2)
+SELECT ent_type, surface, cui, matched_name, edit_dist
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY ent_type, surface
+        ORDER BY edit_dist, cui, matched_name) AS rk FROM cand)
+WHERE rk = 1
+"""
+
+
+@q("kg_fuzzy_link", _fuzzy_link_sql())
+def kg_fuzzy_link(spark, sf_dir):
+    """Blocked fuzzy entity linking (operators/canonicalize.fuzzy_link):
+    surfaces the exact/lower/stem sieve leaves CUI-less are re-linked
+    to the catalog entry within Levenshtein <= 2 — the character-level
+    recovery level the reference's sieve lacks entirely
+    (/root/reference/bern2/bern2.py:570-612 emits CUI-less on any
+    dictionary miss).  Candidates come from two position-tagged
+    equi-join blocks (first char, last char) — no cross join, catalog
+    broadcast, queries never shuffle; top-1 per surface is a window
+    tie-broken (edit_dist, cui, name) identically in both engines.
+    Fixture: deterministic typo variants (last-char drop / first-char
+    substitution) of the golden-annotation surfaces, anti-joined
+    against real surfaces so every query row is genuinely unlinked."""
+    from bern2_spark.operators.canonicalize import fuzzy_link
+    rows = spark.read.parquet(_golden_pubann_path())
+    s0 = (rows.select(F.col("obj").alias("ent_type"),
+                      F.explode(F.split("ids", r"\|")).alias("cui"),
+                      F.col("mention").alias("surface"))
+          .filter(F.col("cui") != "").distinct())
+    long = s0.filter(F.length("surface") >= 4)
+    v = (long.select(
+            "ent_type",
+            F.expr("substr(surface, 1, length(surface) - 1)")
+            .alias("surface"))
+         .unionByName(long.select(
+             "ent_type",
+             F.concat(F.lit("x"), F.expr("substr(surface, 2)"))
+             .alias("surface")))
+         .distinct())
+    q0 = v.join(s0.select("ent_type", "surface").distinct(),
+                ["ent_type", "surface"], "left_anti")
+    return fuzzy_link(q0, s0, name_col="surface")
+
+
+@q("events_gapfill", """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         sum(CAST(round(value * 1e6) AS BIGINT)) AS value_micros
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+         FROM ev GROUP BY 1),
+spine AS (SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                     AS bucket
+          FROM span),
+j AS (SELECT s.user_id, s.bucket, ev.value_micros
+      FROM spine s LEFT JOIN ev
+        ON s.user_id = ev.user_id AND s.bucket = ev.bucket)
+SELECT user_id, CAST(bucket AS DATE) AS day, value_micros,
+       last_value(value_micros IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_micros,
+       value_micros IS NULL AS is_gap
+FROM j
+""")
+def events_gapfill(spark, sf_dir):
+    """Time-spine gap-fill + forward fill (operators/rollup.gapfill):
+    per user, one row for EVERY day between first and last activity,
+    carrying the last observed daily value across silent days — the
+    TimescaleDB ``time_bucket_gapfill``+``locf`` primitive.  The raw
+    events aggregate to day grain first (the only full shuffle), the
+    spine is generated per key by ``sequence`` (no calendar-table
+    join), and the fill is one running last(ignorenulls) window over
+    the per-user sort the join already established."""
+    from bern2_spark.operators.rollup import gapfill
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = gapfill(ev, "ts", ["user_id"], "value", grain="day")
+    return out.select("user_id", F.to_date("bucket").alias("day"),
+                      "value_micros", "filled_micros", "is_gap")
+
+
+def _zorder_sql(bits: int = 8, file_bits: int = 4) -> str:
+    # every term fully parenthesized: SQL `+` binds tighter than
+    # `<<`, so an unparenthesized chain would shift the running sum
+    terms = " + ".join(
+        f"(((b{i + 1} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(bits) for i in range(2))
+    top = bits * 2 - file_bits
+    return f"""
+WITH r AS (SELECT min(l_partkey) AS lo1, max(l_partkey) AS hi1,
+                  min(l_suppkey) AS lo2, max(l_suppkey) AS hi2
+           FROM lineitem),
+b AS (SELECT
+  least(CAST(floor((l_partkey - lo1) * {1 << bits}
+             / (hi1 - lo1 + 1)) AS BIGINT), {(1 << bits) - 1}) AS b1,
+  least(CAST(floor((l_suppkey - lo2) * {1 << bits}
+             / (hi2 - lo2 + 1)) AS BIGINT), {(1 << bits) - 1}) AS b2
+  FROM lineitem, r),
+z AS (SELECT b1, b2, {terms} AS zkey FROM b),
+lay AS (
+  SELECT 'zorder' AS layout, CAST(zkey >> {top} AS INT) AS file_id,
+         b1, b2 FROM z
+  UNION ALL
+  SELECT 'linear', CAST(b1 >> {bits - file_bits} AS INT), b1, b2
+  FROM z)
+SELECT layout, file_id, count(*) AS n_rows,
+       CAST(min(b1) AS BIGINT) AS min_l_partkey,
+       CAST(max(b1) AS BIGINT) AS max_l_partkey,
+       CAST(min(b2) AS BIGINT) AS min_l_suppkey,
+       CAST(max(b2) AS BIGINT) AS max_l_suppkey
+FROM lay GROUP BY 1, 2
+"""
+
+
+@q("layout_zorder", _zorder_sql())
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering layout + its data-skipping audit
+    (operators/layout.zorder_layout_stats): every lineitem row is
+    assigned to one of 16 files under (a) the bit-interleaved
+    (l_partkey, l_suppkey) Morton key and (b) the naive linear sort on
+    l_partkey alone, and the per-file min/max footer stats are emitted
+    for both layouts — under 'linear' the l_suppkey spans are ~the
+    full range (zero pruning on the second dimension), under 'zorder'
+    BOTH dimensions' spans shrink ~16x, the measurable win Delta's
+    OPTIMIZE ZORDER BY buys.  No global sort, no ntile: bins come
+    from a broadcast 1-row (min, max) aggregate and exact integer
+    arithmetic; the Morton key is an unrolled codegen'd bitwise
+    expression; file assignment is a radix split on the key's top
+    bits."""
+    from bern2_spark.operators.layout import zorder_layout_stats
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return zorder_layout_stats(li, ["l_partkey", "l_suppkey"],
+                               bits=8, file_bits=4)
+
+
+_MOJIBAKE_INJECT_SQL = """CASE doc_id % 13
+    WHEN 3 THEN ' caf' || 'Ã©'
+    WHEN 7 THEN ' donâ€™t'
+    WHEN 11 THEN ' x' || '�' || 'y'
+    ELSE '' END"""
+
+
+@q("qc_mojibake", f"""
+WITH d AS (SELECT doc_id, text || {_MOJIBAKE_INJECT_SQL} AS t
+           FROM documents),
+n AS (SELECT doc_id, t,
+        CAST((length(t) - length(replace(t, 'Ã', ''))) / 1 AS BIGINT)
+      + CAST((length(t) - length(replace(t, 'â€', ''))) / 2 AS BIGINT)
+      + CAST((length(t) - length(replace(t, 'Â', ''))) / 1 AS BIGINT)
+      + CAST((length(t) - length(replace(t, '�', ''))) / 1 AS BIGINT)
+          AS n_artifacts
+      FROM d)
+SELECT doc_id, n_artifacts,
+       round(CASE WHEN length(t) > 0
+                  THEN CAST(n_artifacts AS DOUBLE) / length(t)
+                  ELSE 0.0 END, 9) AS artifact_ratio,
+       n_artifacts > 0 AS is_mojibake
+FROM n
+""")
+def qc_mojibake(spark, sf_dir):
+    """Encoding-corruption QC (dataprep/textqc.mojibake_features):
+    count the classic UTF-8-decoded-as-Latin-1 artifacts ('Ã'/'Â'
+    lead bytes, 'â€' punctuation mangles, U+FFFD) per document and
+    flag carriers — ftfy's detection heuristic reduced to its
+    codegen-able core: four replace/length column expressions, one
+    map over the scan, no shuffle, no UDF.  Both engines inject the
+    same deterministic artifacts on doc_id % 13 residues so true
+    positives exist at every SF."""
+    from bern2_spark.dataprep.textqc import mojibake_features
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 13 == 3, F.lit(" cafÃ©"))
+                 .when(F.col("doc_id") % 13 == 7, F.lit(" donâ€™t"))
+                 .when(F.col("doc_id") % 13 == 11, F.lit(" x�y"))
+                 .otherwise(F.lit(""))))
+    return mojibake_features(d)
+
+
+def _kcore_sql(k: int = 3, iters: int = 12) -> str:
+    parts = [_kg_sym_cte().strip(),
+             "pe0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym)"]
+    prev = "pe0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pk{i} AS MATERIALIZED (SELECT src FROM "
+            f"(SELECT src, count(*) AS c "
+            f"FROM {prev} GROUP BY 1) WHERE c >= {k})")
+        parts.append(
+            f"pe{i} AS MATERIALIZED (SELECT src, dst FROM {prev} "
+            f"WHERE src IN (SELECT src FROM pk{i}) "
+            f"AND dst IN (SELECT src FROM pk{i}))")
+        prev = f"pe{i}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT src AS node, CAST(count(*) AS INT) AS "
+              f"core_degree FROM {prev} GROUP BY 1")
+
+
+@q("kg_kcore", _kcore_sql())
+def kg_kcore(spark, sf_dir):
+    """3-core of the entity co-occurrence graph
+    (operators/graph.kcore): iteratively peel nodes of degree < 3 to
+    a fixpoint — the dense-subgraph filter that prunes incidental
+    co-occurrences and keeps the tightly-connected entity communities.
+    Spark runs the peel loop with an early fixpoint stop (each round
+    one map-side-combined degree agg + two endpoint semi-joins,
+    localCheckpoint-ed lineage); the oracle unrolls exactly 12 rounds
+    as chained CTEs — the formulations agree whether or not the
+    fixpoint lands early, because extra peels past it are no-ops."""
+    from bern2_spark.operators.graph import kcore
+    return kcore(_kg_edges(spark), k=3, max_iter=12)
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -7307,6 +7557,10 @@ _SWEEP_FIRST = [
     "kg_alias_table", "kg_assortativity", "dedup_containment",
     "qc_textrank_keywords", "qc_halstead_metrics",
     "qc_unused_imports", "qc_pmi_collocations",
+    # session-9: fuzzy linking, gap-fill, Z-order layout, mojibake
+    # QC, k-core
+    "kg_fuzzy_link", "events_gapfill", "layout_zorder",
+    "qc_mojibake", "kg_kcore",
 ]
 
 

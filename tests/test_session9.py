@@ -1,0 +1,153 @@
+"""Session-9 operators: fuzzy linking, gap-fill, Z-order layout,
+mojibake QC, k-core."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ fuzzy_link
+
+def test_fuzzy_link_picks_nearest(spark):
+    from bern2_spark.operators.canonicalize import fuzzy_link
+    catalog = spark.createDataFrame(
+        [("gene", "G1", "braf"), ("gene", "G2", "kras"),
+         ("disease", "D1", "braf")],  # same name, other type
+        "ent_type string, cui string, name string")
+    unlinked = spark.createDataFrame(
+        [("gene", "brafx"),   # dist 1 to braf
+         ("gene", "krsa"),    # dist 2 to kras (transposition = 2 edits)
+         ("gene", "zzzzzz")],  # nothing in range
+        "ent_type string, surface string")
+    out = {r["surface"]: r for r in
+           fuzzy_link(unlinked, catalog).collect()}
+    assert out["brafx"]["cui"] == "G1"
+    assert out["brafx"]["edit_dist"] == 1
+    assert out["krsa"]["cui"] == "G2"
+    assert out["krsa"]["edit_dist"] == 2
+    assert "zzzzzz" not in out
+    # the disease-typed 'braf' never crosses the type block
+    assert all(r["ent_type"] == "gene" for r in out.values())
+
+
+def test_fuzzy_link_tie_breaks_on_cui(spark):
+    from bern2_spark.operators.canonicalize import fuzzy_link
+    catalog = spark.createDataFrame(
+        [("gene", "G2", "abcd"), ("gene", "G1", "abce")],
+        "ent_type string, cui string, name string")
+    unlinked = spark.createDataFrame([("gene", "abcf")],
+                                     "ent_type string, surface string")
+    row = fuzzy_link(unlinked, catalog).collect()[0]
+    # both candidates at dist 1 -> smallest cui wins
+    assert (row["cui"], row["matched_name"]) == ("G1", "abce")
+
+
+def test_fuzzy_link_blocking_is_positional(spark):
+    """A first char must only ever meet a first char: 'xa' (first x,
+    last a) must NOT become a candidate of 'ax' (first a, last x) via
+    cross-position key collisions when lengths/distance would pass."""
+    from bern2_spark.operators.canonicalize import fuzzy_link
+    catalog = spark.createDataFrame(
+        [("gene", "G1", "ax")], "ent_type string, cui string, name string")
+    unlinked = spark.createDataFrame([("gene", "xa")],
+                                     "ent_type string, surface string")
+    assert fuzzy_link(unlinked, catalog).count() == 0
+
+
+# --------------------------------------------------------------- gapfill
+
+def test_gapfill_fills_interior_gaps(spark):
+    from bern2_spark.operators.rollup import gapfill
+    ts = datetime.datetime
+    ev = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 5), 1.5),
+         (1, ts(2024, 1, 1, 9), 0.5),   # same day, sums to 2.0
+         (1, ts(2024, 1, 4, 0), 7.0),   # 2-day gap before this
+         (2, ts(2024, 1, 2, 0), 3.0)],
+        "user_id int, ts timestamp, value double")
+    out = gapfill(ev, "ts", ["user_id"], "value", grain="day")
+    rows = {(r["user_id"], r["bucket"].day): r for r in out.collect()}
+    assert len(rows) == 5  # user 1: days 1-4; user 2: day 2
+    assert rows[(1, 1)]["value_micros"] == 2_000_000
+    assert rows[(1, 2)]["value_micros"] is None
+    assert rows[(1, 2)]["filled_micros"] == 2_000_000
+    assert rows[(1, 2)]["is_gap"] is True
+    assert rows[(1, 3)]["filled_micros"] == 2_000_000
+    assert rows[(1, 4)]["value_micros"] == 7_000_000
+    assert rows[(1, 4)]["is_gap"] is False
+    assert rows[(2, 2)]["filled_micros"] == 3_000_000
+
+
+# ---------------------------------------------------------------- layout
+
+def test_zorder_key_interleaves_bits(spark):
+    from bern2_spark.operators.layout import zorder_key
+    df = spark.createDataFrame([(0b1010, 0b0101)], "a long, b long")
+    z = df.select(zorder_key([F.col("a"), F.col("b")], bits=4)
+                  .alias("z")).collect()[0]["z"]
+    # bit b of dim i lands at position 2b+i:
+    # a=1010 -> bits 1,3 -> out 2,6 ; b=0101 -> bits 0,2 -> out 1,5
+    assert z == (1 << 2) | (1 << 6) | (1 << 1) | (1 << 5)
+
+
+def test_zorder_layout_prunes_second_dimension(spark):
+    from bern2_spark.operators.layout import zorder_layout_stats
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 37) % 64).alias("y"))
+    stats = zorder_layout_stats(df, ["x", "y"], bits=6, file_bits=2)
+    rows = stats.collect()
+    spans = {}
+    for lay in ("zorder", "linear"):
+        ys = [r["max_y"] - r["min_y"] + 1
+              for r in rows if r["layout"] == lay]
+        spans[lay] = sum(ys) / len(ys)
+    # linear layout (sorted by x) leaves y unclustered: span ~ full
+    # range; zorder shrinks it (4 files, 2 dims -> ~half the range)
+    assert spans["linear"] > 48
+    assert spans["zorder"] <= spans["linear"] / 1.5
+
+
+# -------------------------------------------------------------- mojibake
+
+def test_mojibake_counts_artifacts(spark):
+    from bern2_spark.dataprep.textqc import mojibake_features
+    df = spark.createDataFrame(
+        [(1, "clean ascii text"),
+         (2, "cafÃ© naÃ¯ve"),          # two 'Ã' artifacts
+         (3, "donâ€™t â€” dash"),      # two 'â€' artifacts
+         (4, "bad � byte"),
+         (5, "")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in mojibake_features(df).collect()}
+    assert out[1]["n_artifacts"] == 0 and out[1]["is_mojibake"] is False
+    assert out[2]["n_artifacts"] == 2 and out[2]["is_mojibake"] is True
+    assert out[3]["n_artifacts"] == 2
+    assert out[4]["n_artifacts"] == 1
+    assert out[5]["n_artifacts"] == 0 and out[5]["artifact_ratio"] == 0.0
+
+
+# ----------------------------------------------------------------- kcore
+
+def test_kcore_peels_cascade(spark):
+    from bern2_spark.operators.graph import kcore
+    # K4 core {a,b,c,d} + a pendant path e-f hanging off a, plus g-a:
+    # peeling k=3 must cascade the tail away and keep exactly the K4
+    core = [("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("a", "e"), ("e", "f"), ("a", "g")]
+    edges = spark.createDataFrame(core + tail, "cui_a string, cui_b string")
+    out = {r["node"]: r["core_degree"] for r in kcore(edges, k=3).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert all(d == 3 for d in out.values())
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    from bern2_spark.operators.graph import kcore
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "cui_a string, cui_b string")
+    assert kcore(edges, k=2).count() == 0 or \
+        set(r["node"] for r in kcore(edges, k=2).collect()) == set()
