@@ -80,6 +80,21 @@ HEADLINE = [
     "qc_halstead_metrics",
     "qc_unused_imports",
     "qc_pmi_collocations",
+    # session-9: fuzzy linking, gap-fill, Z-order layout, mojibake,
+    # k-core (0.3-1.8 s each at sf0.1/local[32]) — 43 queries total
+    "kg_fuzzy_link",
+    "events_gapfill",
+    "layout_zorder",
+    "qc_mojibake",
+    "kg_kcore",
+    # session-9 second batch: range search, rolling anomaly scores,
+    # curriculum order, token entropy, Zipf fit (0.4-1.1 s each at
+    # sf0.1/local[32]) — 48 queries total
+    "ann_range_search",
+    "events_anomaly",
+    "mix_curriculum_order",
+    "qc_token_entropy",
+    "qc_zipf_fit",
 ]
 
 

@@ -389,3 +389,39 @@ def rendezvous_shards(docs, n_shards: int, id_col: str = "doc_id"):
         for s in range(n_shards)])
     best = F.array_max(pairs)  # struct compare: weight first, ties by s
     return docs.select(id_col, best["s"].cast("bigint").alias("shard"))
+
+
+def curriculum_order(docs: DataFrame, difficulty: Column,
+                     domain_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Curriculum data ordering: easiest-first WITHIN each domain,
+    round-robin ACROSS domains — the training-order primitive
+    (curriculum learning, Bengio et al. 2009) that feeds examples in
+    increasing difficulty while keeping every batch domain-balanced,
+    so no training window sees a single-domain run.
+
+    Scale shape: NO global sort.  The per-domain sequence is a window
+    partitioned by domain (orderBy difficulty, id — deterministic
+    ties); the cross-domain interleave position is ARITHMETIC:
+    ``global_pos = (seq - 1) * n_domains + domain_idx``, where the
+    domain index comes from a window over the DISTINCT domain table
+    (bounded by the domain count, not the corpus) joined back
+    broadcast.  A consumer materializing the curriculum sorts by
+    global_pos with a range partitioner — but the ORDER itself is
+    computed without ever single-partitioning the corpus.
+
+    Output: (id, domain, difficulty, seq, global_pos)."""
+    d = docs.select(F.col(id_col).alias("id"),
+                    F.col(domain_col).alias("domain"),
+                    difficulty.alias("difficulty"))
+    doms = (d.select("domain").distinct()
+            .withColumn("_didx", F.row_number().over(
+                Window.orderBy("domain")) - 1))
+    n_dom = doms.select(F.count("*").alias("_ndom"))
+    w = Window.partitionBy("domain").orderBy("difficulty", "id")
+    return (d.withColumn("seq", F.row_number().over(w))
+            .join(broadcast(doms), "domain")
+            .crossJoin(broadcast(n_dom))
+            .select("id", "domain", "difficulty", "seq",
+                    ((F.col("seq") - 1) * F.col("_ndom")
+                     + F.col("_didx")).cast("long").alias("global_pos")))

@@ -768,3 +768,35 @@ def ivf_pq_rerank(corpus: DataFrame, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def range_search(corpus: DataFrame, queries: DataFrame, tau: float,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Radius (range) search: ALL corpus vectors within cosine >= tau
+    of each query — the fixed-threshold companion to
+    ``brute_force_topk`` for recall-bounded retrieval (faiss
+    ``range_search``); the right primitive when the consumer needs
+    "everything at least this similar", not a fixed k.
+
+    Scale shape: identical to the brute-force top-k — the query side
+    is broadcast, the corpus scans once, the cosine is the same
+    left-to-right fold — but with NO window at all: the threshold
+    filter replaces the per-query rank, so the operator is one
+    codegen'd map+filter over the scan.  The threshold compares the
+    ROUNDED cosine (6 dp) so the boundary set is stable across
+    engines' float summation order.
+
+    Output: (query_id, neighbor_id, cosine) with cosine rounded."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    return (c.join(F.broadcast(q),
+                   F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine",
+                        F.round(_dot(F.col("q_vec"), F.col("c_vec"))
+                                / (_norm(F.col("q_vec"))
+                                   * _norm(F.col("c_vec"))), 6))
+            .filter(F.col("cosine") >= tau)
+            .select("query_id", "neighbor_id", "cosine"))

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bern2_spark.dataprep.dedup import norm_tokens
@@ -555,3 +555,72 @@ def mojibake_features(docs: DataFrame, text_col: str = "text",
         F.round(F.when(n_chars > 0, n / n_chars).otherwise(F.lit(0.0)),
                 round_to).alias("artifact_ratio"),
         (n > 0).alias("is_mojibake"))
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  round_to: int = 6) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    H = ln N - (1/N) Σ n_w ln n_w over the doc's own token counts —
+    near zero for degenerate repetition ("spam spam spam"), ~ln(N)
+    for all-distinct text; the orthogonal companion to the
+    repetition-ratio features for gibberish/boilerplate filtering.
+
+    Scale shape: explode to (doc, word) pairs, one groupBy(doc, word)
+    count, one groupBy(doc) aggregate of Σ n ln n — both map-side
+    combined, keyed by doc so nothing global.  The inner counts are
+    exact integers; both engines apply the identical log expression,
+    and round(6) absorbs sum-order ulps in the final Σ.
+
+    Output: (id, n_tokens, n_distinct, entropy)."""
+    toks = norm_tokens(F.col(text_col))
+    pairs = (docs.select(F.col(id_col).alias("id"),
+                         F.explode(toks).alias("w"))
+             .groupBy("id", "w").agg(F.count("*").alias("n_w")))
+    big_n = F.sum("n_w").cast("double")
+    return (pairs.groupBy("id")
+            .agg(F.sum("n_w").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_distinct"),
+                 F.round(F.log(big_n)
+                         - F.sum(F.col("n_w").cast("double")
+                                 * F.log(F.col("n_w").cast("double")))
+                         / big_n,
+                         round_to).alias("entropy")))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text",
+             top_k: int = 1000, round_to: int = 6) -> DataFrame:
+    """Least-squares Zipf fit over the corpus's top-``top_k`` token
+    frequencies: regress ln(freq) on ln(rank); a healthy natural
+    corpus fits slope ≈ −1 — gibberish, boilerplate floods, and
+    template spam bend it, making the slope a one-number corpus
+    health metric (Piantadosi 2014).
+
+    Scale shape: the frequency table is a map-side-combined groupBy;
+    the top-k cut is a TakeOrderedAndProject (the bounded-collect
+    posture shared with the wordpiece vocab cap) — the ONLY window
+    runs over those <= top_k rows, never the corpus.  The regression
+    is the closed form from four sums; round(6) absorbs cross-engine
+    sum-order ulps.
+
+    Output: one row (n_top, slope, intercept)."""
+    freq = (docs.select(F.explode(norm_tokens(F.col(text_col)))
+                        .alias("w"))
+            .groupBy("w").agg(F.count("*").alias("n_w")))
+    top = freq.orderBy(F.desc("n_w"), F.asc("w")).limit(top_k)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n_w"),
+                                                F.asc("w"))))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n_w").cast("double"))
+    agg = ranked.agg(F.count("*").cast("double").alias("_n"),
+                     F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+                     F.sum(x * x).alias("_sxx"),
+                     F.sum(x * y).alias("_sxy"))
+    slope = ((F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n"))
+             / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")))
+    return agg.select(
+        F.col("_n").cast("long").alias("n_top"),
+        F.round(slope, round_to).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / F.col("_n"),
+                round_to).alias("intercept"))

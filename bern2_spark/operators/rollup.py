@@ -109,3 +109,45 @@ def gapfill(df: DataFrame, ts_col: str, keys: Sequence[str],
     return (out.withColumn("filled_micros",
                            F.last("value_micros", ignorenulls=True).over(w))
             .withColumn("is_gap", F.col("value_micros").isNull()))
+
+
+def rolling_zscore(df: DataFrame, ts_col: str, keys: Sequence[str],
+                   value_col: str, window_rows: int = 7,
+                   min_obs: int = 3, z_thresh: float = 2.0,
+                   grain: str = "day") -> DataFrame:
+    """Trailing-window anomaly scores: per key, z-score each grain
+    bucket's value against the mean/std of the previous
+    ``window_rows`` OBSERVED buckets (rows, not calendar days — the
+    window slides over observations, so silent periods don't dilute
+    the baseline), flagging |z| > ``z_thresh`` — the classic ops
+    anomaly primitive over the events table.
+
+    Scale shape: one grain aggregate (the only full shuffle), then a
+    single per-key ordered window producing count/sum/sum-of-squares
+    in one pass.  Variance uses the explicit (s2 - s1^2/n)/n form:
+    the window sums are EXACT integers (micros, micros²), and both
+    engines then apply the identical double-arithmetic expression to
+    them — deterministic regardless of window-frame summation order,
+    which stddev_samp over doubles would not guarantee.
+
+    Output: keys + (bucket, value_micros, n_base, z, is_anomaly);
+    z is NULL below ``min_obs`` observations or at zero variance."""
+    micros = F.round(F.col(value_col) * 1e6).cast("long")
+    daily = (df.groupBy(*keys,
+                        F.date_trunc(grain, F.col(ts_col)).alias("bucket"))
+             .agg(F.sum(micros).alias("value_micros")))
+    w = (Window.partitionBy(*keys).orderBy("bucket")
+         .rowsBetween(-window_rows, -1))
+    x = F.col("value_micros").cast("double")
+    n = F.count("value_micros").over(w).cast("double")
+    s1 = F.sum("value_micros").over(w).cast("double")
+    s2 = F.sum(F.col("value_micros") * F.col("value_micros")) \
+          .over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    z = F.when((n >= min_obs) & (var > 0),
+               F.round((x - mean) / F.sqrt(var), 6))
+    return (daily.withColumn("n_base", n.cast("long"))
+            .withColumn("z", z)
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(z) > z_thresh, F.lit(False))))

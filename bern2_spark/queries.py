@@ -7476,6 +7476,180 @@ def kg_kcore(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 second batch: range search, anomaly scores, curriculum order,
+# token entropy, Zipf fit
+# --------------------------------------------------------------------------
+
+
+@q("ann_range_search", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qv.v, c.v) /
+               (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM qv JOIN e c ON qv.vec_id != c.vec_id)
+SELECT query_id, neighbor_id, cosine
+FROM scored WHERE cosine >= 0.2
+""")
+def ann_range_search(spark, sf_dir):
+    """Radius search (dataprep/similarity.range_search): every corpus
+    vector within cosine >= 0.2 of each query — faiss
+    ``range_search``'s "all at least this similar" contract, the
+    fixed-threshold companion to the top-k family.  Same broadcast
+    query side and left-to-right dot fold as the brute-force top-k
+    but with NO window: the threshold filter replaces the per-query
+    rank, one codegen'd map+filter over the corpus scan.  The filter
+    compares the ROUNDED cosine so the boundary set is identical
+    across engines."""
+    from bern2_spark.dataprep.similarity import range_search
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return range_search(emb, emb.filter(F.col("vec_id") % 97 == 0),
+                        tau=0.2)
+
+
+@q("events_anomaly", """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         sum(CAST(round(value * 1e6) AS BIGINT)) AS value_micros
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT user_id, bucket, value_micros,
+         CAST(count(value_micros) OVER fr AS DOUBLE) AS n,
+         CAST(sum(value_micros) OVER fr AS DOUBLE) AS s1,
+         CAST(sum(value_micros * value_micros) OVER fr AS DOUBLE) AS s2
+  FROM d
+  WINDOW fr AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, bucket, value_micros,
+         CAST(n AS BIGINT) AS n_base,
+         CASE WHEN n >= 3 AND (s2 - s1 * s1 / n) / n > 0
+              THEN round((CAST(value_micros AS DOUBLE) - s1 / n)
+                         / sqrt((s2 - s1 * s1 / n) / n), 6)
+         END AS z
+  FROM w)
+SELECT user_id, CAST(bucket AS DATE) AS day, value_micros, n_base, z,
+       coalesce(abs(z) > 2.0, FALSE) AS is_anomaly
+FROM z
+""")
+def events_anomaly(spark, sf_dir):
+    """Trailing-window anomaly detection
+    (operators/rollup.rolling_zscore): each user-day's value z-scored
+    against that user's previous <=7 observed days, |z| > 2 flagged.
+    One day-grain aggregate (the only full shuffle) + one per-user
+    ordered window computing count/sum/sum-of-squares in a single
+    pass; variance is the explicit (s2 - s1²/n)/n form over EXACT
+    integer window sums, so both engines apply identical double
+    arithmetic — deterministic where stddev over doubles wouldn't
+    be."""
+    from bern2_spark.operators.rollup import rolling_zscore
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_zscore(ev, "ts", ["user_id"], "value",
+                         window_rows=7, min_obs=3, z_thresh=2.0)
+    return out.select("user_id", F.to_date("bucket").alias("day"),
+                      "value_micros", "n_base", "z", "is_anomaly")
+
+
+@q("mix_curriculum_order", """
+WITH d AS (SELECT doc_id AS id, source AS domain, n_chars AS difficulty
+           FROM documents),
+doms AS (SELECT domain, row_number() OVER (ORDER BY domain) - 1 AS didx
+         FROM (SELECT DISTINCT domain FROM d)),
+nd AS (SELECT count(*) AS ndom FROM doms),
+s AS (SELECT id, domain, difficulty,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY difficulty, id) AS seq
+      FROM d)
+SELECT s.id, s.domain, s.difficulty, CAST(s.seq AS BIGINT) AS seq,
+       CAST((s.seq - 1) * nd.ndom + doms.didx AS BIGINT) AS global_pos
+FROM s JOIN doms USING (domain) CROSS JOIN nd
+""")
+def mix_curriculum_order(spark, sf_dir):
+    """Curriculum training order (dataprep/mixing.curriculum_order):
+    easiest-first (shortest n_chars) within each source domain,
+    round-robin interleaved across domains via the arithmetic
+    position (seq-1)*n_domains + domain_idx — every training window
+    stays domain-balanced, and the order is computed with NO global
+    sort: per-domain windows plus a broadcast domain-index dim;
+    single-partition work is bounded by the domain count."""
+    from bern2_spark.dataprep.mixing import curriculum_order
+    out = curriculum_order(_docs(spark, sf_dir), F.col("n_chars"),
+                           domain_col="source", id_col="doc_id")
+    return out.withColumn("seq", F.col("seq").cast("long"))
+
+
+@q("qc_token_entropy", """
+WITH p AS (
+  SELECT doc_id AS id, w, count(*) AS n_w
+  FROM (SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x != '')) AS w
+        FROM documents)
+  GROUP BY 1, 2)
+SELECT id, CAST(sum(n_w) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(CAST(sum(n_w) AS DOUBLE))
+             - sum(CAST(n_w AS DOUBLE) * ln(CAST(n_w AS DOUBLE)))
+               / CAST(sum(n_w) AS DOUBLE), 6) AS entropy
+FROM p GROUP BY 1
+""")
+def qc_token_entropy(spark, sf_dir):
+    """Per-document token-distribution entropy
+    (dataprep/textqc.token_entropy): H = ln N - Σ n ln n / N in nats
+    — near zero for degenerate repetition, ~ln N for all-distinct
+    text; the information-theoretic companion to the repetition
+    features for gibberish/boilerplate filtering.  Two doc-keyed
+    map-side-combined aggregates over the token explode; exact
+    integer counts feed an identical log expression in both
+    engines."""
+    from bern2_spark.dataprep.textqc import token_entropy
+    return token_entropy(_docs(spark, sf_dir))
+
+
+@q("qc_zipf_fit", """
+WITH f AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x != '')) AS w
+        FROM documents)
+  GROUP BY 1),
+top AS (SELECT w, n_w FROM f ORDER BY n_w DESC, w ASC LIMIT 1000),
+ranked AS (SELECT n_w, row_number() OVER (ORDER BY n_w DESC, w ASC)
+                      AS r
+           FROM top),
+a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(CAST(n_w AS DOUBLE))) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(n_w AS DOUBLE))) AS sxy
+      FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_top,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n,
+             6) AS intercept
+FROM a
+""")
+def qc_zipf_fit(spark, sf_dir):
+    """Corpus-level Zipf fit (dataprep/textqc.zipf_fit): least-squares
+    slope of ln(freq) on ln(rank) over the top-1000 tokens — a
+    healthy natural corpus reads ≈ −1; template floods and gibberish
+    bend it.  The frequency table is map-side combined; the top-k cut
+    is a TakeOrderedAndProject (bounded-collect posture shared with
+    the wordpiece vocab cap); the only window runs over <= 1000 rows;
+    the regression is the closed form from four sums, round(6)
+    absorbing cross-engine sum-order ulps."""
+    from bern2_spark.dataprep.textqc import zipf_fit
+    return zipf_fit(_docs(spark, sf_dir), top_k=1000)
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -7561,6 +7735,8 @@ _SWEEP_FIRST = [
     # QC, k-core
     "kg_fuzzy_link", "events_gapfill", "layout_zorder",
     "qc_mojibake", "kg_kcore",
+    "ann_range_search", "events_anomaly", "mix_curriculum_order",
+    "qc_token_entropy", "qc_zipf_fit",
 ]
 
 
