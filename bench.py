@@ -95,6 +95,14 @@ HEADLINE = [
     "mix_curriculum_order",
     "qc_token_entropy",
     "qc_zipf_fit",
+    # session-9 third batch: dead functions, Markov transitions,
+    # readability, RFM, transitive reduction (0.2-5.0 s each at
+    # sf0.1/local[32]) — 53 queries total
+    "code_dead_functions",
+    "events_markov",
+    "qc_readability",
+    "events_rfm",
+    "kg_transitive_reduction",
 ]
 
 

@@ -627,3 +627,26 @@ def unused_imports(files: DataFrame, imports: DataFrame,
                     .alias("n_occurrences"))
             .withColumn("unused",
                         F.col("n_occurrences") <= F.col("n_mentions")))
+
+
+def dead_functions(defs: DataFrame, calls: DataFrame) -> DataFrame:
+    """Corpus-wide dead-function candidates: names DECLARED somewhere
+    but CALLED nowhere — the function-level twin of
+    ``unused_imports`` (file-level), discounting never-exercised code
+    in quality scoring and pruning the call-graph KG of dead leaves.
+    (A name called only reflectively/dynamically will false-positive;
+    that is inherent to static mining and documented, not hidden.)
+
+    Scale shape: both sides collapse BEFORE they meet — declarations
+    to one (fn_name, n_defs, n_def_repos) row per name, call sites to
+    a distinct name list — so the anti-join carries one row per
+    distinct name regardless of how many repos declare `main`.  Two
+    map-side-combined aggs + one anti-join on the name key.
+
+    Output: (fn_name, n_defs, n_def_repos), never-called names only."""
+    called = calls.select(F.col("callee").alias("fn_name")).distinct()
+    dd = (defs.groupBy("fn_name")
+          .agg(F.count("*").cast("long").alias("n_defs"),
+               F.countDistinct("repo").cast("long")
+               .alias("n_def_repos")))
+    return dd.join(called, "fn_name", "left_anti")

@@ -212,3 +212,37 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
               .filter(F.col("day_offset") <= max_offset))
     return (joined.groupBy("cohort_day", "day_offset")
             .agg(F.countDistinct(user_col).cast("bigint").alias("users")))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       seq_col: str = "event_id",
+                       round_to: int = 6) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered (from_type, to_type) pair of
+    CONSECUTIVE events of one user, the transition count and the
+    conditional probability P(to | from) — the model behind
+    next-action prediction and the probabilistic generalization of
+    the top-paths rollup.
+
+    Scale shape: one per-user ordered window (lag) produces the
+    consecutive pairs — the same single sort sessionize rides — then
+    a map-side-combined groupBy on the (from, to) pair; the
+    normalizing row-sum is a window PARTITIONED BY from_type over the
+    |types|² aggregate, never the raw events.  Ties at equal
+    timestamps break on ``seq_col``, so the sequence — and therefore
+    the matrix — is deterministic across engines and partitionings.
+
+    Output: (from_type, to_type, n_transitions, prob)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    prev = F.lag(type_col).over(w)
+    pairs = (events.select(prev.alias("from_type"),
+                           F.col(type_col).alias("to_type"))
+             .filter(F.col("from_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").alias("n_transitions")))
+    tot = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "prob", F.round(F.col("n_transitions")
+                        / F.sum("n_transitions").over(tot), round_to))

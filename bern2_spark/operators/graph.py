@@ -691,3 +691,33 @@ def kcore(edges: DataFrame, k: int,
         n_prev = n_cur
     return (e.groupBy(F.col("src").alias("node"))
             .agg(F.count("*").cast("int").alias("core_degree")))
+
+
+def transitive_reduction(edges: DataFrame,
+                         src_col: str = "src", dst_col: str = "dst",
+                         max_rounds: int = 16) -> DataFrame:
+    """Minimal equivalent DAG: drop every edge (u, v) for which some
+    OTHER path u ~> v exists — the inverse of ``transitive_closure``
+    and the standard ontology-hygiene pass (MeSH/GO distribute
+    reduced is-a graphs; redundant shortcut edges double-count in
+    closure sizes and PageRank mass).
+
+    An edge is redundant iff a path of length >= 2 connects its
+    endpoints.  Those pairs are exactly (edge ∘ closure): one
+    co-partitioned join of the edge list with the path-doubled
+    closure (length >= 1) through the midpoint, then one anti-join
+    back onto the edges.  Costs the closure (log-depth self-joins,
+    checkpointed) + two keyed joins; sound for DAGs — cycles would
+    delete themselves entirely, so run ``trim_to_cycles`` first on
+    suspect inputs (same contract as transitive_closure).
+
+    Output: ``(src, dst)`` — the surviving minimal edge set."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    clo = transitive_closure(e, max_rounds=max_rounds)
+    two_plus = (e.select("src", F.col("dst").alias("_m"))
+                .join(clo.select(F.col("src").alias("_m"), "dst"),
+                      "_m")
+                .select("src", "dst").distinct())
+    return e.join(two_plus, ["src", "dst"], "left_anti")

@@ -151,3 +151,58 @@ def rolling_zscore(df: DataFrame, ts_col: str, keys: Sequence[str],
             .withColumn("z", z)
             .withColumn("is_anomaly",
                         F.coalesce(F.abs(z) > z_thresh, F.lit(False))))
+
+
+def rfm_scores(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               n_bins: int = 3) -> DataFrame:
+    """RFM segmentation: per user, Recency (days since last event,
+    against the corpus max date), Frequency (event count), Monetary
+    (exact integer-micro value sum), each scored 1..n_bins by linear
+    range split — the classic lifecycle segmentation over the events
+    table.
+
+    Scale shape: one groupBy(user) aggregate (the only full shuffle),
+    then TWO 1-row broadcasts — the corpus max timestamp and the
+    per-metric (min, max) ranges — and pure integer binning
+    arithmetic (the same exact floor((x-lo)*k/span) split as the
+    Z-order layout, deterministic in both engines).  Range-split
+    scores, not rank quantiles, deliberately: an ntile over all users
+    is a single-partition sort at corpus scale; the linear split is
+    shuffle-free and its semantics ("top third of the value RANGE")
+    are stable under resampling.  Recency scores INVERTED so higher
+    = more recent, matching R-F-M convention.
+
+    Output: (user, recency_days, frequency, monetary_micros,
+    r_score, f_score, m_score, rfm)."""
+    per = (events.groupBy(F.col(user_col).alias("user"))
+           .agg(F.max(ts_col).alias("_last"),
+                F.count("*").cast("long").alias("frequency"),
+                F.sum(F.round(F.col(value_col) * 1e6).cast("long"))
+                .alias("monetary_micros")))
+    mx = events.agg(F.max(ts_col).alias("_corpus_last"))
+    per = (per.crossJoin(F.broadcast(mx))
+           .withColumn("recency_days",
+                       F.datediff(F.to_date("_corpus_last"),
+                                  F.to_date("_last")).cast("long"))
+           .drop("_last", "_corpus_last"))
+    rng = per.agg(*[f for c in ("recency_days", "frequency",
+                                "monetary_micros")
+                    for f in (F.min(c).alias(f"_lo_{c}"),
+                              F.max(c).alias(f"_hi_{c}"))])
+    per = per.crossJoin(F.broadcast(rng))
+
+    def score(c):
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        return (F.lit(1) + F.least(
+            F.floor((F.col(c) - lo) * n_bins / (hi - lo + 1)),
+            F.lit(n_bins - 1))).cast("int")
+
+    r = (F.lit(n_bins + 1) - score("recency_days")).cast("int")
+    f_ = score("frequency")
+    m = score("monetary_micros")
+    return per.select(
+        "user", "recency_days", "frequency", "monetary_micros",
+        r.alias("r_score"), f_.alias("f_score"), m.alias("m_score"),
+        F.concat(r.cast("string"), f_.cast("string"),
+                 m.cast("string")).alias("rfm"))

@@ -7650,6 +7650,223 @@ def qc_zipf_fit(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 third batch: dead functions, Markov transitions, readability,
+# RFM segmentation, transitive reduction
+# --------------------------------------------------------------------------
+
+
+# a def battery DISJOINT from every call token (calls are fn_/ext_
+# only), so genuinely dead declarations exist at every SF
+_CODE_ZDEF_TMPL = {
+    "python": ("def zmb_", "():"),
+    "java": ("void zmb_", "() {"),
+    "c": ("int zmb_", "() {"),
+    "go": ("func zmb_", "() {"),
+    "rust": ("fn zmb_", "() {"),
+}
+
+
+@q("code_dead_functions",
+   "WITH " + _CODE_CALLS_BODY + """,
+dsrc AS (SELECT repo, path, commit_sha, doc_id, lang,
+         (CASE WHEN doc_id % 6 = 1 THEN """
+   + _tmpl_case_sql(_CODE_ZDEF_TMPL, "CAST(doc_id % 5 AS VARCHAR)")
+   + """ ELSE '' END) || content AS content
+         FROM csrc)"""
+   + _code_calls_cte(from_="dsrc") + _code_defs_cte(from_="dsrc") + """,
+called AS (SELECT DISTINCT callee AS fn_name FROM cl),
+dd AS (SELECT fn_name, CAST(count(*) AS BIGINT) AS n_defs,
+              CAST(count(DISTINCT repo) AS BIGINT) AS n_def_repos
+       FROM dfs GROUP BY 1)
+SELECT dd.fn_name, dd.n_defs, dd.n_def_repos
+FROM dd ANTI JOIN called USING (fn_name)
+""")
+def code_dead_functions(spark, sf_dir):
+    """Corpus-wide dead-function mining
+    (dataprep/codekg.dead_functions): names declared somewhere but
+    called nowhere — the function-level twin of the unused-import
+    lint, pruning never-exercised leaves from the call-graph KG and
+    discounting dead code in quality scores.  Both sides collapse
+    before the anti-join (one row per distinct name), so hub names
+    like `main` never fan out; static-analysis false positives on
+    reflective calls are inherent and documented.  Both engines
+    inject the same `zmb_*` declarations (a name space no call site
+    ever uses) so true positives exist at every SF alongside the
+    organically-dead tail."""
+    from bern2_spark.dataprep.codekg import (dead_functions,
+                                             extract_calls,
+                                             extract_defs)
+    src = _code_calls_src(spark, sf_dir)
+    did = F.col("doc_id")
+    zdef = F.lit("")
+    for pl, (pre, suf) in _CODE_ZDEF_TMPL.items():
+        zdef = F.when(F.col("lang") == pl,
+                      F.concat(F.lit(pre), (did % 5).cast("string"),
+                               F.lit(suf + "\n"))).otherwise(zdef)
+    dsrc = src.withColumn(
+        "content",
+        F.concat(F.when(did % 6 == 1, zdef).otherwise(F.lit("")),
+                 F.col("content")))
+    return dead_functions(extract_defs(dsrc), extract_calls(dsrc))
+
+
+@q("events_markov", """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events),
+c AS (SELECT from_type, to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+           AS prob
+FROM c
+""")
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix
+    (operators/asof.markov_transitions): P(next event type | current)
+    per consecutive same-user pair — the probabilistic generalization
+    of the top-paths rollup.  One per-user ordered lag window (the
+    same single sort sessionize rides) + one map-side-combined pair
+    count; the normalizer window runs over the |types|² aggregate,
+    never raw events; equal-timestamp ties break on event_id in both
+    engines."""
+    from bern2_spark.operators.asof import markov_transitions
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_transitions(ev)
+
+
+@q("qc_readability", """
+WITH n AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+'))
+              AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(greatest(len(regexp_extract_all(text,
+                                              '[AEIOUYaeiouy]+')), 1)
+              AS BIGINT) AS n_syllables
+  FROM documents),
+s AS (
+  SELECT *, CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                AS wps,
+         CASE WHEN n_words > 0
+              THEN CAST(n_syllables AS DOUBLE)
+                   / CAST(n_words AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS spw
+  FROM n)
+SELECT id, n_words, n_sentences, n_syllables,
+       round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps
+             - CAST(84.6 AS DOUBLE) * spw, 6) AS flesch_ease,
+       round(CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
+             - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+FROM s
+""")
+def qc_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch–Kincaid grade per document
+    (dataprep/textqc.readability_features): three regex counts
+    (words, sentence-final punctuation runs, vowel-group syllable
+    proxy) feed the two closed-form score polynomials — one codegen'd
+    map over the scan, no shuffle, no UDF.  Float literals are CAST
+    to DOUBLE in the oracle so DuckDB doesn't run them as DECIMAL."""
+    from bern2_spark.dataprep.textqc import readability_features
+    return readability_features(_docs(spark, sf_dir))
+
+
+@q("events_rfm", """
+WITH per AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(round(value * 1e6) AS BIGINT)) AS monetary_micros
+  FROM events GROUP BY 1),
+mx AS (SELECT max(ts) AS corpus_last FROM events),
+p2 AS (SELECT user_id,
+              CAST(date_diff('day', CAST(last_ts AS DATE),
+                             CAST(corpus_last AS DATE)) AS BIGINT)
+                  AS recency_days,
+              frequency, monetary_micros
+       FROM per, mx),
+rng AS (SELECT min(recency_days) AS lo_r, max(recency_days) AS hi_r,
+               min(frequency) AS lo_f, max(frequency) AS hi_f,
+               min(monetary_micros) AS lo_m,
+               max(monetary_micros) AS hi_m
+        FROM p2),
+sc AS (SELECT user_id, recency_days, frequency, monetary_micros,
+         CAST(4 - (1 + least(CAST(floor((recency_days - lo_r) * 3
+                    / (hi_r - lo_r + 1)) AS BIGINT), 2)) AS INT)
+             AS r_score,
+         CAST(1 + least(CAST(floor((frequency - lo_f) * 3
+                    / (hi_f - lo_f + 1)) AS BIGINT), 2) AS INT)
+             AS f_score,
+         CAST(1 + least(CAST(floor((monetary_micros - lo_m) * 3
+                    / (hi_m - lo_m + 1)) AS BIGINT), 2) AS INT)
+             AS m_score
+       FROM p2, rng)
+SELECT user_id, recency_days, frequency, monetary_micros,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS rfm
+FROM sc
+""")
+def events_rfm(spark, sf_dir):
+    """RFM lifecycle segmentation (operators/rollup.rfm_scores): per
+    user, recency/frequency/monetary with 1..3 scores by linear
+    RANGE split — deliberately not rank quantiles, because an ntile
+    over all users is a single-partition sort at corpus scale while
+    the range split is one groupBy + two 1-row broadcasts and exact
+    integer binning (the same floor((x-lo)*k/span) arithmetic as the
+    Z-order layout).  Recency inverted so higher = more recent."""
+    from bern2_spark.operators.rollup import rfm_scores
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_scores(ev).withColumnRenamed("user", "user_id")
+
+
+@q("kg_transitive_reduction", """
+WITH RECURSIVE e AS (
+  SELECT CAST(p_partkey AS BIGINT) AS src,
+         CAST(p_partkey // 2 AS BIGINT) AS dst
+  FROM part WHERE p_partkey >= 2
+  UNION
+  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 4 AS BIGINT)
+  FROM part WHERE p_partkey >= 4 AND p_partkey % 3 = 0),
+anc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT a.src, e.dst FROM anc a JOIN e ON a.dst = e.src),
+two_plus AS (SELECT DISTINCT e.src, a.dst
+             FROM e JOIN anc a ON e.dst = a.src)
+SELECT e.src, e.dst FROM e
+ANTI JOIN two_plus t ON e.src = t.src AND e.dst = t.dst
+""")
+def kg_transitive_reduction(spark, sf_dir):
+    """Minimal equivalent DAG (operators/graph.transitive_reduction):
+    drop every edge implied by a longer path — the ontology-hygiene
+    inverse of the closure (redundant is-a shortcuts double-count in
+    closure sizes and rank mass).  Redundant pairs are (edge ∘
+    closure) through the midpoint — one keyed join against the
+    path-doubled closure plus one anti-join; the oracle finds the
+    same pairs from a recursive CTE.  Fixture: the binary p_partkey
+    hierarchy plus deterministic k→k//4 shortcut edges on k % 3 = 0,
+    every one of which is implied by the two base hops and must be
+    removed."""
+    from bern2_spark.operators.graph import transitive_reduction
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = (p.filter(F.col("p_partkey") >= 2)
+            .select(F.col("p_partkey").cast("long").alias("src"),
+                    F.floor(F.col("p_partkey") / 2).cast("long")
+                    .alias("dst")))
+    short = (p.filter((F.col("p_partkey") >= 4)
+                      & (F.col("p_partkey") % 3 == 0))
+             .select(F.col("p_partkey").cast("long").alias("src"),
+                     F.floor(F.col("p_partkey") / 4).cast("long")
+                     .alias("dst")))
+    return transitive_reduction(base.unionByName(short))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -7737,6 +7954,8 @@ _SWEEP_FIRST = [
     "qc_mojibake", "kg_kcore",
     "ann_range_search", "events_anomaly", "mix_curriculum_order",
     "qc_token_entropy", "qc_zipf_fit",
+    "code_dead_functions", "events_markov", "qc_readability",
+    "events_rfm", "kg_transitive_reduction",
 ]
 
 

@@ -236,3 +236,85 @@ def test_zipf_fit_recovers_slope(spark):
     row = zipf_fit(docs, top_k=100).collect()[0]
     assert row["n_top"] == 8
     assert -1.1 < row["slope"] < -0.9
+
+
+# -------------------------------------------------------- dead_functions
+
+def test_dead_functions_anti_join(spark):
+    from bern2_spark.dataprep.codekg import dead_functions
+    defs = spark.createDataFrame(
+        [("r1", "used_fn"), ("r1", "dead_fn"), ("r2", "dead_fn")],
+        "repo string, fn_name string")
+    calls = spark.createDataFrame(
+        [("r1", "used_fn"), ("r2", "external_fn")],
+        "repo string, callee string")
+    out = {r["fn_name"]: r for r in
+           dead_functions(defs, calls).collect()}
+    assert set(out) == {"dead_fn"}
+    assert out["dead_fn"]["n_defs"] == 2
+    assert out["dead_fn"]["n_def_repos"] == 2
+
+
+# ---------------------------------------------------- markov_transitions
+
+def test_markov_transitions_probabilities(spark):
+    from bern2_spark.operators.asof import markov_transitions
+    ts = datetime.datetime
+    ev = spark.createDataFrame(
+        [(1, 1, ts(2024, 1, 1, 0), "a"), (2, 1, ts(2024, 1, 1, 1), "b"),
+         (3, 1, ts(2024, 1, 1, 2), "a"), (4, 1, ts(2024, 1, 1, 3), "c"),
+         (5, 2, ts(2024, 1, 1, 0), "a"), (6, 2, ts(2024, 1, 1, 1), "b")],
+        "event_id long, user_id long, ts timestamp, event_type string")
+    out = {(r["from_type"], r["to_type"]): r for r in
+           markov_transitions(ev).collect()}
+    # from 'a': 2x ->b, 1x ->c ; user boundary never creates a c->a edge
+    assert out[("a", "b")]["n_transitions"] == 2
+    assert out[("a", "b")]["prob"] == round(2 / 3, 6)
+    assert out[("a", "c")]["prob"] == round(1 / 3, 6)
+    assert out[("b", "a")]["n_transitions"] == 1
+    assert ("c", "a") not in out
+
+
+# ----------------------------------------------------------- readability
+
+def test_readability_simple_text(spark):
+    from bern2_spark.dataprep.textqc import readability_features
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran.")], "doc_id long, text string")
+    r = readability_features(docs).collect()[0]
+    assert r["n_words"] == 6 and r["n_sentences"] == 2
+    assert r["n_syllables"] == 6  # one vowel group per word
+    wps, spw = 3.0, 1.0
+    assert abs(r["flesch_ease"]
+               - round(206.835 - 1.015 * wps - 84.6 * spw, 6)) < 1e-9
+
+
+# ------------------------------------------------------------ rfm_scores
+
+def test_rfm_scores_range_split(spark):
+    from bern2_spark.operators.rollup import rfm_scores
+    ts = datetime.datetime
+    rows = []
+    # user 1: recent + busy + big spender; user 2: stale + quiet
+    for d in range(1, 10):
+        rows.append((1, ts(2024, 1, 28 + d // 9), 100.0))
+    rows.append((2, ts(2024, 1, 1), 1.0))
+    ev = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, value double")
+    out = {r["user"]: r for r in rfm_scores(ev).collect()}
+    assert out[1]["rfm"] == "333"
+    assert out[2]["rfm"] == "111"
+    assert out[2]["recency_days"] == 28
+
+
+# -------------------------------------------------- transitive_reduction
+
+def test_transitive_reduction_drops_shortcuts(spark):
+    from bern2_spark.operators.graph import transitive_reduction
+    edges = spark.createDataFrame(
+        [(4, 2), (2, 1), (4, 1),      # 4->1 implied by 4->2->1
+         (8, 4), (8, 1)],             # 8->1 implied by 8->4->2->1
+        "src long, dst long")
+    out = {(r["src"], r["dst"]) for r in
+           transitive_reduction(edges).collect()}
+    assert out == {(4, 2), (2, 1), (8, 4)}
