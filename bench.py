@@ -103,6 +103,13 @@ HEADLINE = [
     "qc_readability",
     "events_rfm",
     "kg_transitive_reduction",
+    # session-9 fourth batch: license conflicts, A/B lift, TPC-H
+    # Q5-ish star join, length-bucket batching (0.4-1.4 s each at
+    # sf0.1/local[32]) — 57 queries total
+    "kg_license_conflicts",
+    "events_ab_test",
+    "tpch_q5ish",
+    "mix_length_buckets",
 ]
 
 

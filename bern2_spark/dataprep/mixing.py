@@ -425,3 +425,51 @@ def curriculum_order(docs: DataFrame, difficulty: Column,
             .select("id", "domain", "difficulty", "seq",
                     ((F.col("seq") - 1) * F.col("_ndom")
                      + F.col("_didx")).cast("long").alias("global_pos")))
+
+
+# fixed power-of-two bucket ladder: a WHEN ladder, not ceil(log2(n)) —
+# log2 at exact-power boundaries can land on either side of the
+# integer in different libm implementations, and the ladder is the
+# formulation that provably agrees across engines
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def length_bucket_stats(docs: DataFrame, text_col: str = "text",
+                        round_to: int = 6) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    smallest power-of-two token bucket that holds it and report, per
+    bucket, the document count, token sum, and padding waste —
+    padding to the bucket size vs padding every doc to the GLOBAL max
+    (naive fixed-length batching).  The waste ratio difference is the
+    compute a sequence-packing/bucketing loader saves; this is the
+    sizing table that picks the bucket boundaries.
+
+    Scale shape: the token count is the scan-fused ``bpe_ish`` regex
+    count; bucket assignment is a WHEN ladder (pure codegen); one
+    map-side-combined groupBy on ~10 bucket keys plus a 1-row global
+    max broadcast.  Integer arithmetic throughout; the two ratios are
+    rounded doubles.
+
+    Output: (bucket, n_docs, sum_tokens, bucket_padding,
+    bucket_waste_ratio, naive_waste_ratio)."""
+    from bern2_spark.dataprep.textqc import bpe_ish_token_count
+    n = bpe_ish_token_count(F.col(text_col)).cast("long")
+    b = F.lit(LENGTH_BUCKETS[-1] * 2).cast("long")
+    for cap in reversed(LENGTH_BUCKETS):
+        b = F.when(n <= cap, F.lit(cap).cast("long")).otherwise(b)
+    d = docs.select(n.alias("n_tok"), b.alias("bucket"))
+    mx = d.agg(F.max("n_tok").alias("_gmax"))
+    per = (d.groupBy("bucket")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("sum_tokens"),
+                F.sum(F.col("bucket") - F.col("n_tok")).cast("long")
+                .alias("bucket_padding")))
+    return (per.crossJoin(F.broadcast(mx))
+            .select("bucket", "n_docs", "sum_tokens", "bucket_padding",
+                    F.round(F.col("bucket_padding")
+                            / (F.col("n_docs") * F.col("bucket")),
+                            round_to).alias("bucket_waste_ratio"),
+                    F.round((F.col("n_docs") * F.col("_gmax")
+                             - F.col("sum_tokens"))
+                            / (F.col("n_docs") * F.col("_gmax")),
+                            round_to).alias("naive_waste_ratio")))

@@ -206,3 +206,56 @@ def rfm_scores(events: DataFrame, user_col: str = "user_id",
         r.alias("r_score"), f_.alias("f_score"), m.alias("m_score"),
         F.concat(r.cast("string"), f_.cast("string"),
                  m.cast("string")).alias("rfm"))
+
+
+def ab_lift(events: DataFrame, user_col: str = "user_id",
+            value_col: str = "value", round_to: int = 6) -> DataFrame:
+    """Two-sample A/B lift with a Welch z statistic: users hash-split
+    into control (group 0) and treatment (group 1) by user-id parity
+    (the deterministic stand-in for an assignment column), then the
+    per-event value means are compared — relative lift % and
+    z = (mean_t - mean_c) / sqrt(var_c/n_c + var_t/n_t) — the
+    experiment-readout primitive over the events table.
+
+    Scale shape: ONE map-side-combined aggregate producing per-group
+    (n, Σx, Σx²) — the whole readout is 2 rows — then closed-form
+    arithmetic.  The value sums stay exact integer micros; the
+    squared sums are accumulated as DOUBLES in both engines (a
+    micros² sum overflows 64-bit integers at corpus scale, and DuckDB
+    would silently widen to int128 where Spark wraps — the double
+    formulation is the one that means the same thing in both), with
+    round(6) absorbing the sum-order ulps.
+
+    Output: one row (n_c, n_t, mean_c_micros, mean_t_micros,
+    lift_pct, z_score)."""
+    vm = F.round(F.col(value_col) * 1e6).cast("long")
+    g = (events.select((F.col(user_col) % 2).alias("grp"),
+                       vm.alias("vm"))
+         .groupBy("grp")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("vm").cast("double").alias("s1"),
+              F.sum(F.col("vm").cast("double")
+                    * F.col("vm").cast("double")).alias("s2")))
+
+    def side(gid, tag):
+        return (g.filter(F.col("grp") == gid)
+                .select(F.col("n").alias(f"n_{tag}"),
+                        F.col("s1").alias(f"s1_{tag}"),
+                        F.col("s2").alias(f"s2_{tag}")))
+
+    x = side(0, "c").crossJoin(side(1, "t"))
+    mean_c = F.col("s1_c") / F.col("n_c")
+    mean_t = F.col("s1_t") / F.col("n_t")
+    var_c = ((F.col("s2_c") - F.col("s1_c") * F.col("s1_c")
+              / F.col("n_c")) / (F.col("n_c") - 1))
+    var_t = ((F.col("s2_t") - F.col("s1_t") * F.col("s1_t")
+              / F.col("n_t")) / (F.col("n_t") - 1))
+    se = F.sqrt(var_c / F.col("n_c") + var_t / F.col("n_t"))
+    return x.select(
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.round(mean_c, round_to).alias("mean_c_micros"),
+        F.round(mean_t, round_to).alias("mean_t_micros"),
+        F.round((mean_t - mean_c) / mean_c * 100, round_to)
+        .alias("lift_pct"),
+        F.round((mean_t - mean_c) / se, round_to).alias("z_score"))

@@ -7867,6 +7867,201 @@ def kg_transitive_reduction(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 fourth batch: license conflicts, A/B lift, TPC-H Q5-ish,
+# length-bucket batching
+# --------------------------------------------------------------------------
+
+
+def _license_conflict_sql(cap: int = 32) -> str:
+    from bern2_spark.dataprep.codeqc import (FUNCTION_BLOCK_RE,
+                                             _COMMENT_RE, _WS_RUN_RE)
+    whens = " ".join(
+        f"WHEN '{fam}' THEN regexp_extract_all(content, '{pat}')"
+        for fam, pat in FUNCTION_BLOCK_RE.items())
+    return ("WITH " + _fsrc_body() + f""",
+fx AS (SELECT repo, path, content,
+       CASE lang {whens} ELSE CAST([] AS VARCHAR[]) END AS fns
+       FROM fsrc),
+fb AS (SELECT DISTINCT repo, path,
+              md5(trim(regexp_replace(regexp_replace(
+                  b.f, '{_COMMENT_RE}', '', 'g'),
+                  '{_WS_RUN_RE}', ' ', 'g'))) AS body_hash
+       FROM fx, unnest(fns) AS b(f)),
+pr AS (SELECT body_hash, repo, path
+       FROM (SELECT *, row_number() OVER (PARTITION BY body_hash
+                        ORDER BY repo, path) AS _rn
+             FROM fb)
+       WHERE _rn <= {cap}),
+lic0 AS (SELECT repo, path,
+         nullif(coalesce(
+           nullif(regexp_extract(content,
+                    'SPDX-License-Identifier:\\s*([A-Za-z0-9.\\-]+)', 1),
+                  ''),
+           CASE WHEN contains(content, 'MIT License') THEN 'MIT'
+                WHEN contains(content, 'Apache License')
+                     THEN 'Apache-2.0'
+                WHEN contains(content, 'GNU General Public License')
+                     THEN 'GPL-3.0-only'
+                WHEN contains(content, 'BSD 3-Clause')
+                     THEN 'BSD-3-Clause'
+           END), '') AS license
+         FROM fsrc),
+lic AS (SELECT repo, path, license,
+               license IN ('MIT', 'Apache-2.0', 'BSD-3-Clause')
+                   AS permissive
+        FROM lic0 WHERE license IS NOT NULL),
+k AS (SELECT pr.body_hash, pr.repo, pr.path, lic.license,
+             lic.permissive
+      FROM pr JOIN lic USING (repo, path))
+SELECT a.body_hash,
+       a.repo AS repo_a, a.path AS path_a, a.license AS license_a,
+       b.repo AS repo_b, b.path AS path_b, b.license AS license_b,
+       a.permissive != b.permissive AS copyleft_mix
+FROM k a JOIN k b
+  ON a.body_hash = b.body_hash
+ AND (a.repo < b.repo OR (a.repo = b.repo AND a.path < b.path))
+WHERE a.repo != b.repo AND a.license != b.license
+""")
+
+
+@q("kg_license_conflicts", _license_conflict_sql())
+def kg_license_conflicts(spark, sf_dir):
+    """License-compliance risk pairs
+    (dataprep/codeqc.clone_license_conflicts): two files in different
+    repos, under different spotted licenses, sharing a
+    Type-1-identical function body — the cross-repo code flow a
+    provenance gate must review and the composition of two existing
+    plans (clone hashes × license spots).  The pair join is
+    co-partitioned on body_hash behind a deterministic truncation hub
+    cap (first 32 members in key order — bounded pairs at every SF,
+    never a vanishing class); the license attach is a co-partitioned
+    (repo, path) join."""
+    from bern2_spark.dataprep.codeqc import clone_license_conflicts
+    return clone_license_conflicts(_fsrc(spark, sf_dir))
+
+
+@q("events_ab_test", """
+WITH g AS (
+  SELECT user_id % 2 AS grp,
+         CAST(round(value * 1e6) AS BIGINT) AS vm
+  FROM events),
+s AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(vm) AS DOUBLE) AS s1,
+             sum(CAST(vm AS DOUBLE) * CAST(vm AS DOUBLE)) AS s2
+      FROM g GROUP BY 1),
+x AS (SELECT c.n AS n_c, c.s1 AS s1_c, c.s2 AS s2_c,
+             t.n AS n_t, t.s1 AS s1_t, t.s2 AS s2_t
+      FROM (SELECT * FROM s WHERE grp = 0) c,
+           (SELECT * FROM s WHERE grp = 1) t)
+SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+       round(s1_c / n_c, 6) AS mean_c_micros,
+       round(s1_t / n_t, 6) AS mean_t_micros,
+       round((s1_t / n_t - s1_c / n_c) / (s1_c / n_c) * 100, 6)
+           AS lift_pct,
+       round((s1_t / n_t - s1_c / n_c)
+             / sqrt(((s2_c - s1_c * s1_c / n_c) / (n_c - 1)) / n_c
+                    + ((s2_t - s1_t * s1_t / n_t) / (n_t - 1)) / n_t),
+             6) AS z_score
+FROM x
+""")
+def events_ab_test(spark, sf_dir):
+    """A/B experiment readout (operators/rollup.ab_lift): users
+    parity-split into control/treatment, per-event value means
+    compared with relative lift % and a Welch z statistic — one
+    map-side-combined (n, Σx, Σx²) aggregate producing a 2-row table,
+    then closed-form arithmetic.  Squared sums accumulate as DOUBLES
+    in both engines (micros² overflows 64-bit integers at corpus
+    scale, and DuckDB would widen to int128 where Spark wraps);
+    round(6) absorbs sum-order ulps."""
+    from bern2_spark.operators.rollup import ab_lift
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_lift(ev)
+
+
+@q("tpch_q5ish", """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                     AS BIGINT)) AS BIGINT) AS revenue_micros,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""")
+def tpch_q5ish(spark, sf_dir):
+    """TPC-H Q5 shape — local-supplier revenue by nation: the classic
+    6-table star join (region→nation broadcast onto both the customer
+    and supplier legs, orders date-filtered BEFORE joining lineitem)
+    exercising Catalyst's join reordering + AQE broadcast selection;
+    the relational benchmark twin to tpch_q1ish's scan-agg.  Revenue
+    summed as exact integer micros of the per-row double product, so
+    the result hashes identically across engines and partitionings."""
+    sf = sf_dir
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    r = spark.read.parquet(f"{sf}/region.parquet")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    nr = (n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                 n.n_regionkey == r.r_regionkey))
+    rev = F.round(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")) * 1e6).cast("long")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(s, li.l_suppkey == s.s_suppkey)
+         .join(c, (o.o_custkey == c.c_custkey)
+               & (c.c_nationkey == s.s_nationkey))
+         .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey))
+    return (j.groupBy("n_name")
+            .agg(F.sum(rev).alias("revenue_micros"),
+                 F.count("*").cast("long").alias("n_lineitems")))
+
+
+@q("mix_length_buckets", f"""
+WITH d AS (SELECT {_BPE_N_SQL} AS n_tok FROM documents),
+b AS (SELECT n_tok,
+        CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+             WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+             WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+             WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048
+             WHEN n_tok <= 4096 THEN 4096 ELSE 8192 END AS bucket
+      FROM d),
+mx AS (SELECT max(n_tok) AS gmax FROM b),
+per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(sum(bucket - n_tok) AS BIGINT) AS bucket_padding
+        FROM b GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, sum_tokens,
+       bucket_padding,
+       round(CAST(bucket_padding AS DOUBLE) / (n_docs * bucket), 6)
+           AS bucket_waste_ratio,
+       round(CAST(n_docs * gmax - sum_tokens AS DOUBLE)
+             / (n_docs * gmax), 6) AS naive_waste_ratio
+FROM per, mx
+""")
+def mix_length_buckets(spark, sf_dir):
+    """Length-bucketed batching audit
+    (dataprep/mixing.length_bucket_stats): every document assigned to
+    the smallest power-of-two token bucket that holds it, with
+    per-bucket padding waste vs the naive pad-to-global-max loader —
+    the sizing table a bucketed/packed training loader reads.  The
+    ladder is a WHEN chain, not ceil(log2): log2 at exact-power
+    boundaries can land on either side of the integer under different
+    libm implementations, and the ladder provably agrees across
+    engines.  One scan-fused token count + one ~10-key groupBy + a
+    1-row broadcast."""
+    from bern2_spark.dataprep.mixing import length_bucket_stats
+    return length_bucket_stats(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -7956,6 +8151,8 @@ _SWEEP_FIRST = [
     "qc_token_entropy", "qc_zipf_fit",
     "code_dead_functions", "events_markov", "qc_readability",
     "events_rfm", "kg_transitive_reduction",
+    "kg_license_conflicts", "events_ab_test", "tpch_q5ish",
+    "mix_length_buckets",
 ]
 
 

@@ -318,3 +318,77 @@ def test_transitive_reduction_drops_shortcuts(spark):
     out = {(r["src"], r["dst"]) for r in
            transitive_reduction(edges).collect()}
     assert out == {(4, 2), (2, 1), (8, 4)}
+
+
+# ------------------------------------------- clone_license_conflicts
+
+def test_clone_license_conflicts_cross_repo(spark):
+    from bern2_spark.dataprep.codeqc import clone_license_conflicts
+    body = "def clone_fn():\n    return 1\n"
+    files = spark.createDataFrame(
+        [("r1", "a.py", "python",
+          "SPDX-License-Identifier: MIT\n" + body),
+         ("r2", "b.py", "python",
+          "GNU General Public License v3\n" + body),
+         ("r2", "c.py", "python",
+          "GNU General Public License v3\n" + body),  # same-repo pair: excluded
+         ("r3", "d.py", "python",
+          "SPDX-License-Identifier: MIT\n" + body)],   # same license as r1
+        "repo string, path string, lang string, content string")
+    out = clone_license_conflicts(files).collect()
+    pairs = {(r["repo_a"], r["repo_b"]) for r in out}
+    # conflicts only across repos with differing licenses: r1/r3 are
+    # both MIT (no pair), r2's two GPL files conflict with each
+    assert pairs == {("r1", "r2"), ("r2", "r3")}
+    assert all(r["copyleft_mix"] for r in out)
+
+
+def test_clone_license_conflicts_hub_cap(spark):
+    from bern2_spark.dataprep.codeqc import clone_license_conflicts
+    body = "def clone_fn():\n    return 1\n"
+    rows = [(f"r{i:02d}", f"f{i:02d}.py", "python",
+             ("SPDX-License-Identifier: MIT\n" if i % 2 else
+              "GNU General Public License v3\n") + body)
+            for i in range(40)]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string")
+    # 40 files in one clone class, cap 32: the class is TRUNCATED to
+    # its first 32 members in key order, never dropped — pairs exist,
+    # none touch r32..r39, and the count is exactly 16x16 MIT-vs-GPL
+    out = clone_license_conflicts(files).collect()
+    assert len(out) == 16 * 16
+    assert max(max(r["repo_a"], r["repo_b"]) for r in out) == "r31"
+
+
+# --------------------------------------------------------------- ab_lift
+
+def test_ab_lift_detects_shift(spark):
+    from bern2_spark.operators.rollup import ab_lift
+    rows = []
+    for i in range(200):
+        # even users (control) ~10, odd users (treatment) ~20
+        u = i % 10
+        v = (10.0 if u % 2 == 0 else 20.0) + (i % 5) * 0.1
+        rows.append((u, v))
+    ev = spark.createDataFrame(rows, "user_id long, value double")
+    r = ab_lift(ev).collect()[0]
+    assert r["n_c"] == 100 and r["n_t"] == 100
+    assert 95 < r["lift_pct"] < 105
+    assert r["z_score"] > 10
+
+
+# ---------------------------------------------------- length_bucket_stats
+
+def test_length_bucket_stats_padding(spark):
+    from bern2_spark.dataprep.mixing import length_bucket_stats
+    docs = spark.createDataFrame(
+        [(1, "a b c"),                      # 3 tokens -> bucket 16
+         (2, " ".join(["w"] * 20)),        # 20 -> bucket 32
+         (3, " ".join(["w"] * 30))],       # 30 -> bucket 32
+        "doc_id long, text string")
+    out = {r["bucket"]: r for r in length_bucket_stats(docs).collect()}
+    assert out[16]["n_docs"] == 1 and out[16]["bucket_padding"] == 13
+    assert out[32]["n_docs"] == 2
+    assert out[32]["bucket_padding"] == (32 - 20) + (32 - 30)
+    # naive waste pads everything to gmax=30
+    assert out[16]["naive_waste_ratio"] == round((30 - 3) / 30, 6)
