@@ -110,6 +110,13 @@ HEADLINE = [
     "events_ab_test",
     "tpch_q5ish",
     "mix_length_buckets",
+    # session-9 fifth batch: predicate functionality, domain JS
+    # divergence, sliding windows, MinHash calibration (0.4-6.9 s
+    # each at sf0.1/local[32]) — 61 queries total
+    "kg_pred_functionality",
+    "mix_domain_divergence",
+    "events_sliding",
+    "dedup_minhash_calibration",
 ]
 
 

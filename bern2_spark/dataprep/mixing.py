@@ -473,3 +473,61 @@ def length_bucket_stats(docs: DataFrame, text_col: str = "text",
                              - F.col("sum_tokens"))
                             / (F.col("n_docs") * F.col("_gmax")),
                             round_to).alias("naive_waste_ratio")))
+
+
+def domain_js_divergence(docs: DataFrame, domain_col: str = "source",
+                         text_col: str = "text",
+                         round_to: int = 6) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the unigram token
+    distributions of every two domains — the corpus-comparison
+    metric behind mixing decisions: near-zero pairs are statistically
+    interchangeable (merge their budgets), high pairs carry distinct
+    signal (preserve both).  Symmetric and bounded by ln 2, unlike
+    raw KL.
+
+    Scale shape: ONE pass builds the (domain, word, count) table
+    (map-side combined); per-domain totals are a broadcast
+    |domains|-row dim.  The pair space is driven by the tiny domain
+    dim (D(D-1)/2 keys), and each pair's vocabulary union is a FULL
+    OUTER join co-partitioned on (pair, word) — corpus-sized only in
+    the word dimension, never |docs|.  Zero-count sides contribute
+    the exact p·ln 2 limit term via coalesce, so the divergence is
+    the true JS over the union vocabulary, not an intersection
+    approximation.
+
+    Output: (domain_a, domain_b, n_words_union, js_divergence)."""
+    from bern2_spark.dataprep.dedup import norm_tokens
+    cnt = (docs.select(F.col(domain_col).alias("domain"),
+                       F.explode(norm_tokens(F.col(text_col)))
+                       .alias("w"))
+           .groupBy("domain", "w").agg(F.count("*").alias("n")))
+    tot = cnt.groupBy("domain").agg(F.sum("n").alias("tot"))
+    p = (cnt.join(broadcast(tot), "domain")
+         .select("domain", "w",
+                 (F.col("n").cast("double") / F.col("tot"))
+                 .alias("p")))
+    doms = tot.select("domain")
+    pairs = (doms.select(F.col("domain").alias("domain_a"))
+             .crossJoin(broadcast(
+                 doms.select(F.col("domain").alias("domain_b"))))
+             .filter(F.col("domain_a") < F.col("domain_b")))
+    a = (pairs.join(p.withColumnRenamed("domain", "domain_a"),
+                    "domain_a")
+         .select("domain_a", "domain_b", "w", F.col("p").alias("pa")))
+    b = (pairs.join(p.withColumnRenamed("domain", "domain_b"),
+                    "domain_b")
+         .select("domain_a", "domain_b", "w", F.col("p").alias("pb")))
+    u = (a.join(b, ["domain_a", "domain_b", "w"], "full_outer")
+         .select("domain_a", "domain_b",
+                 F.coalesce("pa", F.lit(0.0)).alias("pa"),
+                 F.coalesce("pb", F.lit(0.0)).alias("pb")))
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (F.when(F.col("pa") > 0,
+                   F.col("pa") * F.log(F.col("pa") / m) / 2)
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("pb") > 0,
+                     F.col("pb") * F.log(F.col("pb") / m) / 2)
+            .otherwise(F.lit(0.0)))
+    return (u.groupBy("domain_a", "domain_b")
+            .agg(F.count("*").cast("long").alias("n_words_union"),
+                 F.round(F.sum(term), round_to).alias("js_divergence")))

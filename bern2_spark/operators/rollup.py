@@ -259,3 +259,34 @@ def ab_lift(events: DataFrame, user_col: str = "user_id",
         F.round((mean_t - mean_c) / mean_c * 100, round_to)
         .alias("lift_pct"),
         F.round((mean_t - mean_c) / se, round_to).alias("z_score"))
+
+
+def sliding_counts(events: DataFrame, ts_col: str = "ts",
+                   dim_cols: Sequence[str] = ("event_type",),
+                   window_minutes: int = 60,
+                   slide_minutes: int = 15) -> DataFrame:
+    """Sliding (hopping) window counts: every event contributes to
+    ``window/slide`` overlapping windows — the smoothing variant of
+    the tumbling rollup (rollup_timegrains) that trend detection and
+    rate alerting read; the batch twin of Structured Streaming's
+    ``F.window(ts, "1 hour", "15 minutes")``.
+
+    Scale shape: the hop memberships are GENERATED row-side (an
+    explode of window/slide window-start offsets — pure arithmetic on
+    the truncated timestamp, no calendar join), then one
+    map-side-combined groupBy on (dims, win_start).  The fan-out
+    factor is the fixed window/slide ratio (4 here), applied before
+    the only shuffle.
+
+    Output: dims + (win_start, n_events)."""
+    k = window_minutes // slide_minutes
+    slide_s = slide_minutes * 60
+    base = (F.unix_timestamp(F.col(ts_col))
+            - (F.unix_timestamp(F.col(ts_col)) % slide_s))
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.timestamp_seconds(base - i * slide_s))
+    return (events
+            .select(*dim_cols, F.explode(starts).alias("win_start"))
+            .groupBy(*dim_cols, "win_start")
+            .agg(F.count("*").cast("long").alias("n_events")))

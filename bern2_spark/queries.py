@@ -8062,6 +8062,169 @@ def mix_length_buckets(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 fifth batch: predicate functionality, domain JS divergence,
+# sliding windows, MinHash calibration
+# --------------------------------------------------------------------------
+
+
+@q("kg_pred_functionality", f"""
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+       CAST(count(DISTINCT subj || chr(30) || obj) AS BIGINT)
+           AS n_pairs,
+       round(CAST(count(DISTINCT subj) AS DOUBLE)
+             / count(DISTINCT subj || chr(30) || obj), 6)
+           AS functionality,
+       round(CAST(count(DISTINCT obj) AS DOUBLE)
+             / count(DISTINCT subj || chr(30) || obj), 6)
+           AS inv_functionality
+FROM read_parquet('{_golden_triples_path()}')
+GROUP BY 1
+""")
+def kg_pred_functionality(spark, sf_dir):
+    """Per-predicate functionality profile
+    (operators/metrics.predicate_functionality; PARIS, Suchanek et
+    al. 2011): #distinct subjects over #distinct (subj, obj) pairs
+    and its inverse — the evidence weights alignment/link-prediction
+    systems consume, doubling as KG quality profiling (an extraction
+    bug shows up as a predicate's functionality jumping).  One
+    map-side-combined groupBy(pred) over the triples table; output is
+    |predicates| rows."""
+    from bern2_spark.operators.metrics import predicate_functionality
+    return predicate_functionality(
+        spark.read.parquet(_golden_triples_path()))
+
+
+@q("mix_domain_divergence", f"""
+WITH ex AS (SELECT source AS domain,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x != '')) AS w
+            FROM documents),
+cnt AS (SELECT domain, w, count(*) AS n FROM ex GROUP BY 1, 2),
+tot AS (SELECT domain, sum(n) AS tot FROM cnt GROUP BY 1),
+p AS (SELECT cnt.domain, w, CAST(n AS DOUBLE) / tot AS p
+      FROM cnt JOIN tot USING (domain)),
+pairs AS (SELECT a.domain AS domain_a, b.domain AS domain_b
+          FROM tot a, tot b WHERE a.domain < b.domain),
+pa AS (SELECT domain_a, domain_b, w, p AS pa FROM pairs
+       JOIN p ON p.domain = pairs.domain_a),
+pb AS (SELECT domain_a, domain_b, w, p AS pb FROM pairs
+       JOIN p ON p.domain = pairs.domain_b),
+u AS (SELECT domain_a, domain_b, w,
+             coalesce(pa, 0.0) AS pa, coalesce(pb, 0.0) AS pb
+      FROM pa FULL JOIN pb USING (domain_a, domain_b, w))
+SELECT domain_a, domain_b,
+       CAST(count(*) AS BIGINT) AS n_words_union,
+       round(sum(
+         (CASE WHEN pa > 0
+               THEN pa * ln(pa / ((pa + pb) / 2)) / 2 ELSE 0 END)
+         + (CASE WHEN pb > 0
+                 THEN pb * ln(pb / ((pa + pb) / 2)) / 2 ELSE 0 END)),
+         6) AS js_divergence
+FROM u GROUP BY 1, 2
+""")
+def mix_domain_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between domain unigram
+    distributions (dataprep/mixing.domain_js_divergence) — the
+    corpus-comparison metric behind mixing decisions: near-zero
+    pairs are interchangeable, high pairs carry distinct signal.
+    One token-count pass; the pair space is driven by the tiny
+    domain dim; each pair's vocabulary union is a co-partitioned
+    FULL OUTER join, with zero-count sides contributing the exact
+    p·ln2 limit term — the true JS over the union vocabulary."""
+    from bern2_spark.dataprep.mixing import domain_js_divergence
+    return domain_js_divergence(_docs(spark, sf_dir))
+
+
+@q("events_sliding", """
+WITH e AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS es
+           FROM events),
+h AS (SELECT event_type,
+             (es - (es % 900) - i.range * 900) * 1000000 AS win_us
+      FROM e, range(4) i)
+SELECT event_type, CAST(win_us AS BIGINT) AS win_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM h GROUP BY 1, 2
+""")
+def events_sliding(spark, sf_dir):
+    """Sliding (hopping) 1h/15min window counts per event type
+    (operators/rollup.sliding_counts): every event contributes to 4
+    overlapping windows — the smoothing variant of the tumbling
+    rollup that trend detection reads, and the batch twin of
+    Structured Streaming's F.window(ts, '1 hour', '15 minutes').
+    Hop memberships are generated row-side by pure arithmetic on the
+    epoch second (no calendar join), then one map-side-combined
+    groupBy; the 4x fan-out happens before the only shuffle."""
+    from bern2_spark.operators.rollup import sliding_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sliding_counts(ev)
+    # epoch-micros window key — the engine-portable form every events_*
+    # windowed query uses (a zoned timestamp hashes differently)
+    return out.select("event_type",
+                      F.unix_micros("win_start").alias("win_us"),
+                      "n_events")
+
+
+@q("dedup_minhash_calibration", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+shm AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2),
+sig AS (SELECT doc_id, g.range AS seed,
+               min(md5(concat_ws(':', g.range, shingle))) AS minhash
+        FROM shm, range(16) g GROUP BY doc_id, g.range),
+bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed))
+                     AS band_hash
+          FROM sig GROUP BY doc_id, CAST(seed // 4 AS INTEGER)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+         WHERE a.doc_id < b.doc_id),
+est AS (SELECT c.doc_a, c.doc_b,
+               round(sum(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1 ELSE 0 END) / 16.0, 6)
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY 1, 2),
+shd AS (SELECT DISTINCT doc_id, shingle FROM shm),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN shd a ON a.doc_id = c.doc_a
+          JOIN shd b ON b.doc_id = c.doc_b
+                    AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+ex AS (SELECT i.doc_a, i.doc_b,
+              round(CAST(i.n_inter AS DOUBLE)
+                    / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+       FROM inter i
+       JOIN sizes sa ON sa.doc_id = i.doc_a
+       JOIN sizes sb ON sb.doc_id = i.doc_b)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+       round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
+FROM est e JOIN ex x USING (doc_a, doc_b)
+""")
+def dedup_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration
+    (dataprep/dedup.minhash_calibration): per LSH candidate pair, the
+    sketch-estimated Jaccard (agreeing signature slots / 16) next to
+    the exact shingle-set Jaccard and their absolute error — the
+    measurement that justifies a (num_hashes, bands) operating point
+    before a 100-TB dedup run commits to it (E[est]=J,
+    Var=J(1-J)/k).  Strictly the union of two existing plans: the
+    banded candidate join and the candidate-constrained exact
+    verify, plus a row-local zip_with slot comparison."""
+    from bern2_spark.dataprep.dedup import minhash_calibration
+    return minhash_calibration(
+        _dup_docs(spark, sf_dir),
+        track_persisted=_persist_generation("dedup_minhash_calibration"))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8153,6 +8316,8 @@ _SWEEP_FIRST = [
     "events_rfm", "kg_transitive_reduction",
     "kg_license_conflicts", "events_ab_test", "tpch_q5ish",
     "mix_length_buckets",
+    "kg_pred_functionality", "mix_domain_divergence",
+    "events_sliding", "dedup_minhash_calibration",
 ]
 
 

@@ -392,3 +392,70 @@ def test_length_bucket_stats_padding(spark):
     assert out[32]["bucket_padding"] == (32 - 20) + (32 - 30)
     # naive waste pads everything to gmax=30
     assert out[16]["naive_waste_ratio"] == round((30 - 3) / 30, 6)
+
+
+# ------------------------------------------------ predicate_functionality
+
+def test_predicate_functionality_key_detection(spark):
+    from bern2_spark.operators.metrics import predicate_functionality
+    t = spark.createDataFrame(
+        [("d1", "has_key", "k1"), ("d2", "has_key", "k2"),
+         ("d1", "has_tag", "t1"), ("d1", "has_tag", "t2"),
+         ("d2", "has_tag", "t1")],
+        "subj string, pred string, obj string")
+    out = {r["pred"]: r for r in predicate_functionality(t).collect()}
+    # has_key: every subject one object -> functionality 1.0
+    assert out["has_key"]["functionality"] == 1.0
+    # has_tag: 2 subjects / 3 pairs
+    assert out["has_tag"]["functionality"] == round(2 / 3, 6)
+    assert out["has_tag"]["inv_functionality"] == round(2 / 3, 6)
+
+
+# --------------------------------------------------- domain_js_divergence
+
+def test_domain_js_divergence_bounds(spark):
+    import math
+    from bern2_spark.dataprep.mixing import domain_js_divergence
+    docs = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "x x y"),      # identical dists
+         (3, "c", "z z z")],                         # disjoint from both
+        "doc_id long, source string, text string")
+    out = {(r["domain_a"], r["domain_b"]): r["js_divergence"]
+           for r in domain_js_divergence(docs).collect()}
+    assert out[("a", "b")] == 0.0
+    # disjoint supports -> JS = ln 2
+    assert abs(out[("a", "c")] - round(math.log(2), 6)) < 1e-9
+    assert abs(out[("b", "c")] - round(math.log(2), 6)) < 1e-9
+
+
+# --------------------------------------------------------- sliding_counts
+
+def test_sliding_counts_hops(spark):
+    from bern2_spark.operators.rollup import sliding_counts
+    ts = datetime.datetime
+    ev = spark.createDataFrame([(1, ts(2024, 1, 1, 10, 20), "c")],
+                               "event_id long, ts timestamp, event_type string")
+    out = sorted(r["win_start"] for r in sliding_counts(ev).collect())
+    # one event -> member of 4 hops: 09:30, 09:45, 10:00, 10:15
+    assert [t.minute for t in out] == [30, 45, 0, 15]
+    assert [t.hour for t in out] == [9, 9, 10, 10]
+
+
+# ----------------------------------------------------- minhash_calibration
+
+def test_minhash_calibration_exact_on_identical(spark):
+    from bern2_spark.dataprep.dedup import minhash_calibration
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text),                       # identical pair
+         (3, text + " with a small divergent tail here")],
+        "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           minhash_calibration(docs).collect()}
+    r12 = out[(1, 2)]
+    # identical docs: estimator and exact both 1.0, error 0
+    assert r12["est_jaccard"] == 1.0 and r12["jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["abs_err"] == round(abs(r["est_jaccard"] - r["jaccard"]), 6)
