@@ -117,6 +117,11 @@ HEADLINE = [
     "mix_domain_divergence",
     "events_sliding",
     "dedup_minhash_calibration",
+    # session-9 sixth batch: audio-window plumbing (0.5 s at
+    # sf0.1/local[32]) — 62 queries total; dedup_funnel is registered
+    # with a driver oracle but NOT headlined (it re-runs the whole
+    # verified-dedup subtree, ~17 s, all already timed above)
+    "mm_audio_windows",
 ]
 
 

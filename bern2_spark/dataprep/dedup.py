@@ -22,7 +22,7 @@ NB: no ``from __future__ import annotations`` here — pandas_udf infers
 its eval type from REAL (non-stringified) type hints.
 """
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- shared
@@ -141,11 +141,15 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame = None, text_col: str = "text",
                       num_hashes: int = 16, rows_per_band: int = 4,
                       shingle_n: int = 3,
-                      shingle_df: DataFrame = None) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH bucket."""
-    bands = lsh_bands(minhash_signatures(docs, text_col, num_hashes,
-                                         shingle_n, shingle_df=shingle_df),
-                      rows_per_band)
+                      shingle_df: DataFrame = None,
+                      signatures_df: DataFrame = None) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH bucket.
+    Pass ``signatures_df`` (a minhash_signatures result, possibly
+    persisted) to reuse an existing signature relation."""
+    sigs = (signatures_df if signatures_df is not None
+            else minhash_signatures(docs, text_col, num_hashes,
+                                    shingle_n, shingle_df=shingle_df))
+    bands = lsh_bands(sigs, rows_per_band)
     # the 32-hex band_hash feeds ONLY this equi-join; collapsing it to
     # an 8-byte xxhash64 shrinks the self-join shuffle rows ~3x without
     # changing the bucket equivalence (same pairs modulo 2^-64
@@ -575,19 +579,28 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text",
     slot comparison that never leaves the row.
 
     Output: (doc_a, doc_b, est_jaccard, jaccard, abs_err)."""
-    # one distinct shingle relation persisted and shared by all three
-    # subplans (candidates, signatures, exact verify) — min over the
-    # set equals min over the multiset, so signatures are unchanged;
-    # same persist-and-share posture as lsh_verified_pairs
+    # the exact lsh_verified_pairs shuffle posture: the signature
+    # stage explodes straight off the scan (its only exchange is the
+    # map-side-combined element-wise min), the verify stage's set
+    # algebra runs on an 8-byte xxhash64 distinct table, and — new
+    # here — the signature TABLE itself is persisted because four
+    # consumers reference it (bands, both per-side attaches, the slot
+    # comparison); it is tiny (n_docs x num_hashes hashes)
     from pyspark import StorageLevel
-    sh = shingle_table(docs, text_col, shingle_n) \
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     if track_persisted is not None:
+        track_persisted.append(sigs)
+    sh = (docs.select("doc_id",
+                      F.explode(shingles(F.col(text_col), shingle_n))
+                      .alias("shingle"))
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    if track_persisted is not None:
         track_persisted.append(sh)
-    cands = minhash_lsh_pairs(num_hashes=num_hashes,
-                              rows_per_band=rows_per_band,
-                              shingle_df=sh)
-    sigs = minhash_signatures(num_hashes=num_hashes, shingle_df=sh)
+    cands = minhash_lsh_pairs(rows_per_band=rows_per_band,
+                              signatures_df=sigs)
     est = (cands
            .join(sigs.select(F.col("doc_id").alias("doc_a"),
                              F.col("sig").alias("_sig_a")), "doc_a")
@@ -607,3 +620,55 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text",
             .withColumn("abs_err",
                         F.round(F.abs(F.col("est_jaccard")
                                       - F.col("jaccard")), round_to)))
+
+
+def dedup_funnel(docs: DataFrame, text_col: str = "text",
+                 threshold: float = 0.5, round_to: int = 6,
+                 track_persisted: list | None = None) -> DataFrame:
+    """Stage-by-stage dedup retention report — the documents-table
+    twin of the code corpus's curation funnel: raw count → exact-hash
+    survivors (min doc_id per md5 keeps the first copy) → near-dup
+    survivors (LSH candidates verified at exact Jaccard >=
+    ``threshold``; the larger id of each verified pair drops) — the
+    one-page artifact a dedup run publishes so downstream consumers
+    know what fraction of the corpus each stage cost.
+
+    Scale shape: strictly composed from the production plans (md5
+    groupBy; the persisted-shingle LSH verify), each stage reduced to
+    a 1-row count and cross-joined against the 1-row raw total — the
+    report itself never shuffles anything new.
+
+    Output: (stage_idx, stage, n_docs, n_removed, retention)."""
+    txt = F.col(text_col)
+    raw = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    keep_exact = (docs
+                  .withColumn("_h", F.md5(txt))
+                  .withColumn("_rk", F.row_number().over(
+                      Window.partitionBy("_h").orderBy("doc_id")))
+                  .filter(F.col("_rk") == 1).drop("_h", "_rk"))
+    exact_n = keep_exact.agg(F.count("*").cast("long").alias("n_docs"))
+    pairs = lsh_verified_pairs(keep_exact, text_col=text_col,
+                               threshold=threshold,
+                               track_persisted=track_persisted)
+    near_drop = (pairs.select(F.col("doc_b").alias("doc_id"))
+                 .distinct()
+                 .agg(F.count("*").cast("long").alias("n_drop")))
+    near_n = (exact_n.crossJoin(F.broadcast(near_drop))
+              .select((F.col("n_docs") - F.col("n_drop"))
+                      .alias("n_docs")))
+
+    def stage(idx, name, df):
+        return df.select(F.lit(idx).alias("stage_idx"),
+                         F.lit(name).alias("stage"),
+                         F.col("n_docs"))
+
+    out = (stage(0, "raw", raw)
+           .unionByName(stage(1, "exact_dedup", exact_n))
+           .unionByName(stage(2, "near_dedup", near_n)))
+    total = raw.select(F.col("n_docs").alias("_total"))
+    return (out.crossJoin(F.broadcast(total))
+            .select("stage_idx", "stage", "n_docs",
+                    (F.col("_total") - F.col("n_docs")).cast("long")
+                    .alias("n_removed"),
+                    F.round(F.col("n_docs") / F.col("_total"), round_to)
+                    .alias("retention")))

@@ -139,3 +139,75 @@ def sample_frames(media: DataFrame, sample_fps: int = 1, dim: int = 4,
             yield pd.DataFrame(out)
 
     return media.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------- audio windowing
+
+AUDIO_SCHEMA = ("doc_id bigint, media_type string, sample_rate int, "
+                "n_samples int, payload binary")
+AUDIO_WINDOW_SCHEMA = ("doc_id bigint, window_idx int, start_sample int, "
+                       "window_hash string, rms double")
+
+
+def decode_audio(payload: bytes):
+    """Real decode would go through soundfile/librosa here."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not present in this "
+        "environment; use window_audio(deterministic_fake=True) for "
+        "the plumbing path")
+
+
+def attach_fake_audio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test fixture: deterministic per-doc 'audio' — 16 kHz, 1-7
+    4096-sample blocks derived from n_chars, payload from the text
+    prefix (the same discipline as attach_fake_video)."""
+    return docs.select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(16000).alias("sample_rate"),
+        ((1 + F.length(F.col(text_col)) % 7) * 4096).cast("int")
+        .alias("n_samples"),
+        F.encode(F.substring(F.col(text_col), 1, 256), "utf-8")
+        .alias("payload"))
+
+
+def window_audio(media: DataFrame, window_samples: int = 4096,
+                 deterministic_fake: bool = True) -> DataFrame:
+    """mapInPandas over audio payloads -> one row per analysis window
+    (tumbling ``window_samples`` blocks over the declared sample
+    count) with a per-window feature slot — the exact shape a real
+    frontend (RMS/VAD/fbank per window) produces: the window
+    explosion happens INSIDE the Arrow batch, one output batch per
+    input batch, so schema, partitioning, and batch geometry are
+    production-real.  Only the PCM decode is faked (sha256 of
+    payload:window_idx stands in for the samples; the fake 'rms' is
+    the hash's leading uint32 scaled to [0,1) — exact in float64 on
+    any engine)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"doc_id": [], "window_idx": [], "start_sample": [],
+                   "window_hash": [], "rms": []}
+            for doc_id, n_samples, payload in zip(pdf["doc_id"],
+                                                  pdf["n_samples"],
+                                                  pdf["payload"]):
+                raw = bytes(payload or b"")
+                if not deterministic_fake:
+                    decode_audio(raw)  # raises: no decoder shipped
+                n_win = int(n_samples) // window_samples
+                for i in range(n_win):
+                    h = hashlib.sha256(
+                        raw + b":" + str(i).encode()).hexdigest()
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(i)
+                    out["start_sample"].append(i * window_samples)
+                    out["window_hash"].append(h)
+                    out["rms"].append(
+                        float(np.uint32(int(h[:8], 16)) / np.float64(2**32)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=AUDIO_WINDOW_SCHEMA)

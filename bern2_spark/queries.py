@@ -8225,6 +8225,113 @@ def dedup_minhash_calibration(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 sixth batch: audio-window plumbing, dedup funnel
+# --------------------------------------------------------------------------
+
+
+@q("mm_audio_windows", """
+WITH m AS (
+  SELECT doc_id, substr(text, 1, 256) AS payload,
+         CAST((1 + length(text) % 7) * 4096 AS INTEGER) AS n_samples
+  FROM documents
+),
+w AS (
+  SELECT doc_id, payload,
+         CAST(unnest(range(0, n_samples // 4096)) AS INTEGER)
+             AS window_idx
+  FROM m
+)
+SELECT doc_id, window_idx,
+       CAST(window_idx * 4096 AS INTEGER) AS start_sample,
+       sha256(payload || ':' || CAST(window_idx AS VARCHAR))
+           AS window_hash
+FROM w
+""")
+def mm_audio_windows(spark, sf_dir):
+    """Audio analysis-window plumbing
+    (dataprep/multimodal.window_audio) — completes the modality
+    triple next to mm_image_features and mm_frame_sample: one row
+    per tumbling 4096-sample window of each doc's deterministic fake
+    audio, exploded INSIDE the Arrow batch by mapInPandas exactly as
+    a real RMS/VAD/fbank frontend would; only the PCM decode is
+    faked (window_hash = sha256(payload:idx), exact on both
+    engines; the fake rms column is dropped here and pytest-checked
+    instead)."""
+    from bern2_spark.dataprep.multimodal import (attach_fake_audio,
+                                                 window_audio)
+    media = attach_fake_audio(_docs(spark, sf_dir))
+    return window_audio(media).select(
+        "doc_id", "window_idx", "start_sample", "window_hash")
+
+
+@q("dedup_funnel", f"""
+WITH docs0 AS ({_DUP_UNION_SQL}),
+ke AS (SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY md5(text)),
+docs2 AS (SELECT d.doc_id, d.text FROM docs0 d
+          SEMI JOIN ke USING (doc_id)),
+sh0 AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2
+),
+sig AS (
+  SELECT doc_id, g.range AS seed,
+         min(md5(concat_ws(':', g.range, shingle))) AS minhash
+  FROM sh0, range(16) g
+  GROUP BY doc_id, g.range
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+),
+nraw AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs0),
+nexact AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs2),
+ndrop AS (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) AS n FROM ver),
+stages AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage, n AS n_docs FROM nraw
+  UNION ALL
+  SELECT 1, 'exact_dedup', n FROM nexact
+  UNION ALL
+  SELECT 2, 'near_dedup', nexact.n - ndrop.n FROM nexact, ndrop)
+SELECT stage_idx, stage, n_docs,
+       CAST(nraw.n - n_docs AS BIGINT) AS n_removed,
+       round(CAST(n_docs AS DOUBLE) / nraw.n, 6) AS retention
+FROM stages, nraw
+""")
+def dedup_funnel(spark, sf_dir):
+    """Stage-by-stage dedup retention report
+    (dataprep/dedup.dedup_funnel) — the documents twin of the code
+    curation funnel: raw → exact-hash survivors → LSH+verified
+    near-dup survivors, each stage a 1-row count cross-joined against
+    the raw total.  Strictly composed from the production plans (md5
+    keep-first; the persisted-shingle verified pairs), so the report
+    costs what the pipeline already costs and shuffles nothing new."""
+    from bern2_spark.dataprep.dedup import dedup_funnel as funnel
+    return funnel(_dup_docs(spark, sf_dir),
+                  track_persisted=_persist_generation("dedup_funnel"))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8318,6 +8425,7 @@ _SWEEP_FIRST = [
     "mix_length_buckets",
     "kg_pred_functionality", "mix_domain_divergence",
     "events_sliding", "dedup_minhash_calibration",
+    "mm_audio_windows", "dedup_funnel",
 ]
 
 

@@ -459,3 +459,58 @@ def test_minhash_calibration_exact_on_identical(spark):
     for r in out.values():
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert r["abs_err"] == round(abs(r["est_jaccard"] - r["jaccard"]), 6)
+
+
+# ---------------------------------------------------------- window_audio
+
+def test_window_audio_shape_and_rms(spark):
+    from bern2_spark.dataprep.multimodal import (attach_fake_audio,
+                                                 window_audio)
+    docs = spark.createDataFrame([(1, "x" * 100)],
+                                 "doc_id long, text string")
+    media = attach_fake_audio(docs)
+    m = media.collect()[0]
+    # n_chars=100 -> (1 + 100%7)*4096 = 3*4096 samples -> 3 windows
+    assert m["n_samples"] == 3 * 4096
+    rows = sorted(window_audio(media).collect(),
+                  key=lambda r: r["window_idx"])
+    assert [r["window_idx"] for r in rows] == [0, 1, 2]
+    assert [r["start_sample"] for r in rows] == [0, 4096, 8192]
+    for r in rows:
+        assert 0.0 <= r["rms"] < 1.0
+        assert len(r["window_hash"]) == 64
+    # deterministic: same payload+idx -> same hash
+    rows2 = sorted(window_audio(media).collect(),
+                   key=lambda r: r["window_idx"])
+    assert [r["window_hash"] for r in rows] == \
+        [r["window_hash"] for r in rows2]
+
+
+def test_decode_audio_stub_raises(spark):
+    from bern2_spark.dataprep.multimodal import (attach_fake_audio,
+                                                 window_audio)
+    import pytest as _pytest
+    docs = spark.createDataFrame([(1, "y" * 50)],
+                                 "doc_id long, text string")
+    with _pytest.raises(Exception):
+        window_audio(attach_fake_audio(docs),
+                     deterministic_fake=False).collect()
+
+
+# ---------------------------------------------------------- dedup_funnel
+
+def test_dedup_funnel_stages(spark):
+    from bern2_spark.dataprep.dedup import dedup_funnel
+    base = "the quick brown fox jumps over the lazy dog once more today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact dup
+         (3, base + " tail"),                        # near dup of 1
+         (4, "completely different text about spark and parquet files")],
+        "doc_id long, text string")
+    out = {r["stage"]: r for r in dedup_funnel(docs).collect()}
+    assert out["raw"]["n_docs"] == 4 and out["raw"]["retention"] == 1.0
+    assert out["exact_dedup"]["n_docs"] == 3
+    assert out["exact_dedup"]["n_removed"] == 1
+    # doc 3 is a verified near-dup of doc 1 -> dropped
+    assert out["near_dedup"]["n_docs"] == 2
+    assert out["near_dedup"]["retention"] == 0.5
