@@ -122,6 +122,9 @@ HEADLINE = [
     # with a driver oracle but NOT headlined (it re-runs the whole
     # verified-dedup subtree, ~17 s, all already timed above)
     "mm_audio_windows",
+    # session-9 seventh batch: PQ quantization-error audit — 63
+    # queries total
+    "ann_pq_distortion",
 ]
 
 

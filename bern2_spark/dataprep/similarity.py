@@ -800,3 +800,43 @@ def range_search(corpus: DataFrame, queries: DataFrame, tau: float,
                                    * _norm(F.col("c_vec"))), 6))
             .filter(F.col("cosine") >= tau)
             .select("query_id", "neighbor_id", "cosine"))
+
+
+def pq_distortion(df: DataFrame, codebooks: List[List[List[float]]],
+                  dim: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  round_to: int = 6) -> DataFrame:
+    """PQ quantization-error audit: per stored vector, the L2
+    reconstruction error of its product-quantized code and the error
+    relative to the vector's own norm — the calibration artifact that
+    justifies (or indicts) a chosen (m, k_codes) operating point
+    before a 10^12-vector store commits to it, the PQ twin of the
+    MinHash calibration report (faiss's quantizer.compute_residual
+    diagnostics).
+
+    Per subspace, the squared residual is exactly the argmin score
+    the encoder already computes plus the subvector's own energy:
+    min_j ||x_s - b_j||² = min_j(||b_j||² - 2 x_s·b_j) + ||x_s||² —
+    min-then-add equals add-then-min because + is IEEE-monotone, so
+    the audit reuses ``_book_scores`` verbatim and costs one
+    codegen'd map over the scan: no shuffle, no join, raw vectors
+    never leave their rows.  Subspace terms sum in fixed order so the
+    double result is engine-identical.
+
+    Output: (id, recon_err, rel_err), both rounded."""
+    m = len(codebooks)
+    dsub = dim // m
+    v = F.col(vec_col)
+    err2 = F.lit(0.0)
+    for s in range(m):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        term = (F.array_min(_book_scores(v, codebooks[s],
+                                         s * dsub))["s"]
+                + _dot(sub, sub))
+        err2 = err2 + term
+    err2 = F.greatest(err2, F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(F.sqrt(err2), round_to).alias("recon_err"),
+        F.round(F.sqrt(err2) / F.sqrt(_dot(v, v)), round_to)
+        .alias("rel_err"))

@@ -8332,6 +8332,60 @@ def dedup_funnel(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 seventh batch: PQ distortion audit
+# --------------------------------------------------------------------------
+
+
+def _pq_distortion_oracle() -> Optional[str]:
+    """Distortion twin: the SAME trained-codebook CTEs (subv/cb) give
+    per-subspace argmin scores; min-then-add equals add-then-min under
+    IEEE monotonicity, and the ordered subspace sum mirrors the Spark
+    side's fixed-order fold."""
+    ctes = _ivf_pq_ctes_cached()
+    if ctes is None:
+        return None
+    return f"""{ctes},
+derr AS (
+  SELECT sv.vec_id, sv.sub,
+         min(b.c2 - 2 * list_dot_product(sv.vs, b.arr))
+           + min(list_dot_product(sv.vs, sv.vs)) AS d2
+  FROM subv sv JOIN cb b ON b.s = sv.sub
+  GROUP BY 1, 2),
+tot AS (SELECT vec_id, greatest(sum(d2 ORDER BY sub), 0) AS err2
+        FROM derr GROUP BY 1),
+nrm AS (SELECT vec_id, list_dot_product(v, v) AS n2 FROM e)
+SELECT t.vec_id, round(sqrt(err2), 6) AS recon_err,
+       round(sqrt(err2) / sqrt(n.n2), 6) AS rel_err
+FROM tot t JOIN nrm n USING (vec_id)
+"""
+
+
+@q("ann_pq_distortion", _pq_distortion_oracle())
+def ann_pq_distortion(spark, sf_dir):
+    """PQ quantization-error audit
+    (dataprep/similarity.pq_distortion): per stored vector, the L2
+    reconstruction error of its product code and the error relative
+    to the vector's norm — the calibration artifact that sizes an
+    (m, k_codes) operating point before a 10^12-vector compressed
+    store commits to it; the PQ twin of the MinHash calibration
+    report.  The audit reuses the encoder's own argmin scores (one
+    codegen'd map over the scan — no shuffle, no join, raw vectors
+    never leave their rows); the oracle re-derives everything from
+    the shared numpy-trained codebook literals."""
+    from bern2_spark.dataprep.similarity import (pq_distortion,
+                                                 pq_train,
+                                                 training_sample)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    sample = training_sample(emb)
+    books = pq_train(emb, m=8, k_codes=16, iters=2, dim=64,
+                     sample=sample)
+    return pq_distortion(emb, books, dim=64)
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8425,7 +8479,7 @@ _SWEEP_FIRST = [
     "mix_length_buckets",
     "kg_pred_functionality", "mix_domain_divergence",
     "events_sliding", "dedup_minhash_calibration",
-    "mm_audio_windows", "dedup_funnel",
+    "mm_audio_windows", "dedup_funnel", "ann_pq_distortion",
 ]
 
 

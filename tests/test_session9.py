@@ -514,3 +514,31 @@ def test_dedup_funnel_stages(spark):
     # doc 3 is a verified near-dup of doc 1 -> dropped
     assert out["near_dedup"]["n_docs"] == 2
     assert out["near_dedup"]["retention"] == 0.5
+
+
+# --------------------------------------------------------- pq_distortion
+
+def test_pq_distortion_zero_for_codebook_members(spark):
+    from bern2_spark.dataprep.similarity import pq_distortion
+    # codebooks whose entries include the vectors themselves ->
+    # reconstruction error exactly 0
+    books = [[[1.0, 0.0], [0.0, 1.0]], [[2.0, 2.0], [0.0, 0.0]]]
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, 2.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           pq_distortion(vecs, books, dim=4).collect()}
+    assert out[1]["recon_err"] == 0.0 and out[2]["recon_err"] == 0.0
+
+
+def test_pq_distortion_known_error(spark):
+    import math
+    from bern2_spark.dataprep.similarity import pq_distortion
+    books = [[[0.0, 0.0]], [[0.0, 0.0]]]  # everything quantizes to 0
+    vecs = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    r = pq_distortion(vecs, books, dim=4).collect()[0]
+    # residual = the vector itself -> err = ||v|| = 5, rel = 1
+    assert r["recon_err"] == 5.0
+    assert r["rel_err"] == 1.0
