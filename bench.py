@@ -125,6 +125,9 @@ HEADLINE = [
     # session-9 seventh batch: PQ quantization-error audit — 63
     # queries total
     "ann_pq_distortion",
+    # session-9 eighth batch: TransE link scoring (1.1 s at
+    # sf0.1/local[32]) — 64 queries total
+    "kg_transe_scores",
 ]
 
 

@@ -8386,6 +8386,51 @@ def ann_pq_distortion(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 eighth batch: TransE link scoring
+# --------------------------------------------------------------------------
+
+
+def _transe_oracle() -> str:
+    return f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj
+           FROM read_parquet('{_golden_triples_path()}')),
+cat AS (SELECT DISTINCT pred, obj FROM t),
+neg AS (SELECT pred, obj,
+        coalesce(lead(obj) OVER (PARTITION BY pred ORDER BY obj),
+                 first_value(obj) OVER (
+                   PARTITION BY pred ORDER BY obj
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)) AS neg_obj
+        FROM cat),
+j AS (SELECT t.subj, t.pred, t.obj, neg.neg_obj
+      FROM t JOIN neg USING (pred, obj)),
+s AS (SELECT subj, pred, obj, neg_obj,
+             round(-(abs((((strpos('0123456789abcdef', substring(md5(subj || ':0'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':0'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':0'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':0'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':0'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':0'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':0'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':0'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':0'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':0'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':1'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':1'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':1'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':1'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':1'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':1'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':1'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':1'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':1'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':1'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':2'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':2'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':2'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':2'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':2'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':2'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':2'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':2'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':2'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':2'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':3'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':3'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':3'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':3'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':3'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':3'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':3'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':3'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':3'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':3'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':4'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':4'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':4'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':4'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':4'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':4'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':4'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':4'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':4'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':4'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':5'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':5'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':5'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':5'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':5'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':5'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':5'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':5'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':5'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':5'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':6'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':6'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':6'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':6'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':6'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':6'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':6'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':6'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':6'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':6'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':7'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':7'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(obj || ':7'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(obj || ':7'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(obj || ':7'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(obj || ':7'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(obj || ':7'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(obj || ':7'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(obj || ':7'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(obj || ':7'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5))), 6) AS score_pos,
+             round(-(abs((((strpos('0123456789abcdef', substring(md5(subj || ':0'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':0'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':0'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':0'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':0'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':1'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':1'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':1'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':1'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':1'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':2'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':2'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':2'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':2'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':2'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':3'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':3'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':3'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':3'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':3'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':4'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':4'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':4'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':4'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':4'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':5'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':5'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':5'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':5'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':5'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':6'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':6'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':6'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':6'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':6'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5)) + abs((((strpos('0123456789abcdef', substring(md5(subj || ':7'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(subj || ':7'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) + (((strpos('0123456789abcdef', substring(md5(pred || ':7'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(pred || ':7'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5) - (((strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 1, 1)) - 1) * 268435456.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 2, 1)) - 1) * 16777216.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 3, 1)) - 1) * 1048576.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 4, 1)) - 1) * 65536.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 5, 1)) - 1) * 4096.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 6, 1)) - 1) * 256.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 7, 1)) - 1) * 16.0 + (strpos('0123456789abcdef', substring(md5(neg_obj || ':7'), 8, 1)) - 1) * 1.0) / 4294967296.0 - 0.5))), 6) AS score_neg
+      FROM j)
+SELECT subj, pred, obj, neg_obj, score_pos, score_neg,
+       round(score_pos - score_neg, 6) AS margin,
+       score_pos > score_neg AS pos_beats_neg
+FROM s
+"""
+
+
+@q("kg_transe_scores", _transe_oracle())
+def kg_transe_scores(spark, sf_dir):
+    """TransE link-plausibility scoring (operators/kgembed.py;
+    Bordes et al. 2013): score = -||h + r - t||1 per distinct golden
+    triple next to a deterministic corrupted-tail negative and the
+    margin — the KG-completion readout, over engine-exact surrogate
+    embeddings (32-bit md5 fractions; a trained matrix swaps in as
+    two broadcast joins, the scoring path unchanged).  Embeddings
+    are pure codegen column expressions — no embedding-table join,
+    no UDF; the negative window runs over the entity-vocab-sized
+    (pred, obj) catalog, never the corpus."""
+    from bern2_spark.operators.kgembed import transe_scores
+    return transe_scores(spark.read.parquet(_golden_triples_path()))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8480,6 +8525,7 @@ _SWEEP_FIRST = [
     "kg_pred_functionality", "mix_domain_divergence",
     "events_sliding", "dedup_minhash_calibration",
     "mm_audio_windows", "dedup_funnel", "ann_pq_distortion",
+    "kg_transe_scores",
 ]
 
 

@@ -542,3 +542,42 @@ def test_pq_distortion_known_error(spark):
     # residual = the vector itself -> err = ||v|| = 5, rel = 1
     assert r["recon_err"] == 5.0
     assert r["rel_err"] == 1.0
+
+
+# --------------------------------------------------------- transe_scores
+
+def test_transe_scores_deterministic_negative(spark):
+    from bern2_spark.operators.kgembed import transe_scores
+    t = spark.createDataFrame(
+        [("d1", "has_gene", "g1"), ("d1", "has_gene", "g2"),
+         ("d2", "has_gene", "g3"), ("d1", "has_disease", "m1")],
+        "subj string, pred string, obj string")
+    out = {(r["subj"], r["pred"], r["obj"]): r
+           for r in transe_scores(t).collect()}
+    # corrupted tail = next object of the same predicate, wrapping
+    assert out[("d1", "has_gene", "g1")]["neg_obj"] == "g2"
+    assert out[("d1", "has_gene", "g2")]["neg_obj"] == "g3"
+    assert out[("d2", "has_gene", "g3")]["neg_obj"] == "g1"
+    # single-object predicate wraps to itself -> margin exactly 0
+    solo = out[("d1", "has_disease", "m1")]
+    assert solo["neg_obj"] == "m1" and solo["margin"] == 0.0
+    assert solo["pos_beats_neg"] is False
+    # scores are negative L1 norms
+    for r in out.values():
+        assert r["score_pos"] <= 0.0
+        assert r["margin"] == round(r["score_pos"] - r["score_neg"], 6)
+
+
+def test_hash_embedding_is_stable(spark):
+    from bern2_spark.operators.kgembed import hash_embedding
+    df = spark.createDataFrame([("braf",), ("braf",), ("kras",)],
+                               "name string")
+    import pyspark.sql.functions as F
+    comps = hash_embedding(F.col("name"), dim=4)
+    rows = df.select(*[c.alias(f"e{d}") for d, c in
+                       enumerate(comps)]).collect()
+    assert rows[0] == rows[1]          # deterministic
+    assert rows[0] != rows[2]          # name-sensitive
+    for r in rows:
+        for d in range(4):
+            assert -0.5 <= r[f"e{d}"] < 0.5
