@@ -128,6 +128,11 @@ HEADLINE = [
     # session-9 eighth batch: TransE link scoring (1.1 s at
     # sf0.1/local[32]) — 64 queries total
     "kg_transe_scores",
+    # session-9 ninth batch: soft-dedup weights, IVF cell balance,
+    # language-metadata agreement — 67 queries total
+    "mix_soft_dedup_weights",
+    "ann_ivf_balance",
+    "qc_lang_agreement",
 ]
 
 

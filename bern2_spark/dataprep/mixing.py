@@ -531,3 +531,30 @@ def domain_js_divergence(docs: DataFrame, domain_col: str = "source",
     return (u.groupBy("domain_a", "domain_b")
             .agg(F.count("*").cast("long").alias("n_words_union"),
                  F.round(F.sum(term), round_to).alias("js_divergence")))
+
+
+def soft_dedup_weights(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       round_to: int = 6) -> DataFrame:
+    """Count-based down-weighting — the SOFT alternative to dropping
+    duplicates: every document keeps a training weight 1/n where n is
+    the size of its exact-duplicate class, so each distinct text
+    contributes exactly one document's worth of gradient regardless
+    of how many crawls re-captured it (the approach several LLM
+    pipelines prefer over hard dedup because it preserves natural
+    frequency signals between NEAR-duplicates while neutralizing
+    exact re-crawls).
+
+    Scale shape: one window over the 32-byte md5 class key — the same
+    single shuffle hard exact-dedup pays, with no second pass to
+    delete; the weight multiplies straight into the loader's sampling
+    probabilities.
+
+    Output: (id, cluster_size, weight)."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (docs.select(F.col(id_col).alias("id"),
+                        F.count("*").over(w).cast("long")
+                        .alias("cluster_size"))
+            .withColumn("weight",
+                        F.round(F.lit(1.0) / F.col("cluster_size"),
+                                round_to)))

@@ -840,3 +840,35 @@ def pq_distortion(df: DataFrame, codebooks: List[List[List[float]]],
         F.round(F.sqrt(err2), round_to).alias("recon_err"),
         F.round(F.sqrt(err2) / F.sqrt(_dot(v, v)), round_to)
         .alias("rel_err"))
+
+
+def ivf_cell_balance(corpus: DataFrame, centroids: List[List[float]],
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_to: int = 6) -> DataFrame:
+    """IVF operational-health audit: per-cell vector counts plus the
+    imbalance factor (max cell / mean cell) replicated onto every
+    row — the metric that decides whether a centroid retrain is due
+    (faiss's imbalance_factor): a skewed inverted file makes probe
+    cost unpredictable and hot cells dominate query latency at
+    10^12-vector scale.
+
+    One assignment scan (the same argmin expression the index build
+    uses), one map-side-combined groupBy on the cell id, one 1-row
+    broadcast of the aggregate stats.  Exact integer counts; only the
+    two ratios round.
+
+    Output: (cell, n_vecs, frac, imbalance)."""
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+    per = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"))
+    tot = per.agg(F.sum("n_vecs").cast("double").alias("_total"),
+                  F.max("n_vecs").cast("double").alias("_max"),
+                  F.count("*").cast("double").alias("_cells"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("cell", "n_vecs",
+                    F.round(F.col("n_vecs") / F.col("_total"), round_to)
+                    .alias("frac"),
+                    F.round(F.col("_max")
+                            / (F.col("_total") / F.col("_cells")),
+                            round_to).alias("imbalance")))

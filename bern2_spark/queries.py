@@ -8431,6 +8431,128 @@ def kg_transe_scores(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 ninth batch: soft-dedup weights, IVF balance, language agreement
+# --------------------------------------------------------------------------
+
+
+@q("mix_soft_dedup_weights", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+c AS (SELECT doc_id AS id,
+             CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                 AS cluster_size
+      FROM docs2)
+SELECT id, cluster_size,
+       round(1.0 / cluster_size, 6) AS weight
+FROM c
+""")
+def mix_soft_dedup_weights(spark, sf_dir):
+    """Count-based duplicate down-weighting
+    (dataprep/mixing.soft_dedup_weights): every document keeps weight
+    1/n over its exact-duplicate class — the soft alternative to
+    dropping that neutralizes re-crawls while preserving natural
+    frequency signal; one window over the 32-byte md5 class key, the
+    same single shuffle hard dedup pays, no delete pass.  Runs over
+    the dup-union fixture so real multi-member classes exist at
+    every SF."""
+    from bern2_spark.dataprep.mixing import soft_dedup_weights
+    return soft_dedup_weights(_dup_docs(spark, sf_dir))
+
+
+def _ivf_balance_oracle(k_cent: int = 8, iters: int = 2) -> Optional[str]:
+    """Cell-balance twin: the trained-IVF oracle's own centroid
+    literals and assignment CTE, aggregated to cell counts + the
+    1-row imbalance stats."""
+    base = _trained_ivf_oracle(k_cent=k_cent, iters=iters)
+    if base is None:
+        return None
+    # everything up to (and including) the trained oracle's own
+    # `cells` CTE — the chain already ends there before `qprobe`
+    head = base.split("qprobe")[0].rstrip().rstrip(",")
+    return f"""{head},
+per AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS total,
+               CAST(max(n_vecs) AS DOUBLE) AS mx,
+               CAST(count(*) AS DOUBLE) AS cells FROM per)
+SELECT cell, n_vecs,
+       round(n_vecs / total, 6) AS frac,
+       round(mx / (total / cells), 6) AS imbalance
+FROM per, tot
+"""
+
+
+@q("ann_ivf_balance", _ivf_balance_oracle())
+def ann_ivf_balance(spark, sf_dir):
+    """IVF operational-health audit
+    (dataprep/similarity.ivf_cell_balance): per-cell vector counts,
+    occupancy fractions, and the imbalance factor (max/mean — faiss's
+    retrain trigger): a skewed inverted file makes probe cost
+    unpredictable at 10^12-vector scale.  One assignment scan (the
+    index build's own argmin), one map-side-combined groupBy, one
+    1-row broadcast; the oracle reuses the trained-IVF centroid
+    literals and assignment chain."""
+    from bern2_spark.dataprep.similarity import (ivf_cell_balance,
+                                                 kmeans_train_local,
+                                                 training_sample)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    cents = kmeans_train_local(emb, k=8, iters=2, dim=64,
+                               sample=training_sample(emb))
+    return ivf_cell_balance(emb, cents, dim=64)
+
+
+@q("qc_lang_agreement", f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, toks.lang AS lang, l.lang AS cand,
+         len(list_filter(t, x -> list_contains(l.sig, x))) AS n
+  FROM toks, (VALUES ('de', ['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit']), ('en', ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with']), ('es', ['el', 'la', 'de', 'que', 'y', 'los', 'es', 'una', 'por']), ('fr', ['le', 'la', 'les', 'des', 'est', 'une', 'dans', 'que', 'pour'])) l(lang, sig)
+),
+best AS (
+  SELECT doc_id, lang,
+         CASE WHEN n > 0 THEN cand ELSE 'und' END AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, cand DESC) AS rn
+  FROM hits
+),
+conf AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM best WHERE rn = 1 GROUP BY 1, 2)
+SELECT lang, lang_pred, n_docs,
+       (lang = lang_pred) AS agree,
+       round(CAST(n_docs AS DOUBLE)
+             / sum(n_docs) OVER (PARTITION BY lang), 6)
+           AS frac_of_lang
+FROM conf
+""")
+def qc_lang_agreement(spark, sf_dir):
+    """Language-metadata audit: the declared ``lang`` column against
+    the stopword-signature detector (dataprep/textqc.language_id) as
+    a confusion matrix with per-declared-language fractions — the QC
+    readout that catches mislabeled shards before a language-filtered
+    training mix trusts the metadata.  One detector scan + one
+    map-side-combined groupBy over the |langs|² confusion keys; the
+    fraction window runs over that tiny aggregate."""
+    from bern2_spark.dataprep.textqc import language_id
+    d = language_id(_docs(spark, sf_dir)).select("lang", "lang_pred")
+    conf = (d.groupBy("lang", "lang_pred")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+    w = Window.partitionBy("lang")
+    return conf.select(
+        "lang", "lang_pred", "n_docs",
+        (F.col("lang") == F.col("lang_pred")).alias("agree"),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+        .alias("frac_of_lang"))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8525,7 +8647,8 @@ _SWEEP_FIRST = [
     "kg_pred_functionality", "mix_domain_divergence",
     "events_sliding", "dedup_minhash_calibration",
     "mm_audio_windows", "dedup_funnel", "ann_pq_distortion",
-    "kg_transe_scores",
+    "kg_transe_scores", "mix_soft_dedup_weights", "ann_ivf_balance",
+    "qc_lang_agreement",
 ]
 
 

@@ -581,3 +581,35 @@ def test_hash_embedding_is_stable(spark):
     for r in rows:
         for d in range(4):
             assert -0.5 <= r[f"e{d}"] < 0.5
+
+
+# ---------------------------------------------------- soft_dedup_weights
+
+def test_soft_dedup_weights(spark):
+    from bern2_spark.dataprep.mixing import soft_dedup_weights
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same"), (4, "unique")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in soft_dedup_weights(docs).collect()}
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["weight"] == round(1 / 3, 6)
+    assert out[4]["cluster_size"] == 1 and out[4]["weight"] == 1.0
+    # total effective mass = number of distinct texts
+    assert abs(sum(r["weight"] for r in out.values()) - 2.0) < 1e-5
+
+
+# ------------------------------------------------------- ivf_cell_balance
+
+def test_ivf_cell_balance(spark):
+    from bern2_spark.dataprep.similarity import ivf_cell_balance
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    vecs = spark.createDataFrame(
+        [(i, [0.1 * i, 0.1 * i]) for i in range(6)]
+        + [(10, [10.0, 10.0]), (11, [10.1, 10.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["cell"]: r for r in
+           ivf_cell_balance(vecs, cents, dim=2).collect()}
+    assert out[0]["n_vecs"] == 6 and out[1]["n_vecs"] == 2
+    assert out[0]["frac"] == 0.75
+    # imbalance = max/mean = 6/4 = 1.5, replicated on every row
+    assert out[0]["imbalance"] == 1.5 == out[1]["imbalance"]
