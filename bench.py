@@ -133,6 +133,12 @@ HEADLINE = [
     "mix_soft_dedup_weights",
     "ann_ivf_balance",
     "qc_lang_agreement",
+    # session-9 tenth batch: Deequ-style profiling + constraint
+    # suite, cluster-size histogram, docstring coverage — 71 queries
+    "qc_profile_documents",
+    "qc_constraints",
+    "dedup_cluster_sizes",
+    "code_doc_coverage",
 ]
 
 

@@ -8553,6 +8553,186 @@ def qc_lang_agreement(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 tenth batch: table profiling, constraint suite, cluster sizes,
+# docstring coverage
+# --------------------------------------------------------------------------
+
+
+def _profile_col_sql(col: str, is_str: bool) -> str:
+    empty = (f"CAST(count(*) FILTER ({col} = '') AS BIGINT)"
+             if is_str else "CAST(0 AS BIGINT)")
+    return f"""
+SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER ({col} IS NULL) AS BIGINT) AS n_null,
+       {empty} AS n_empty,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       round((count(*) - count(*) FILTER ({col} IS NULL))
+             / CAST(count(*) AS DOUBLE), 6) AS completeness
+FROM documents"""
+
+
+@q("qc_profile_documents",
+   "\nUNION ALL\n".join(_profile_col_sql(c, s) for c, s in
+                        [("doc_id", False), ("text", True),
+                         ("lang", True), ("source", True),
+                         ("n_chars", False)]))
+def qc_profile_documents(spark, sf_dir):
+    """Deequ-style column profile of the input table
+    (dataprep/profile.profile_columns): per column, NULL count,
+    empty-string count, exact distinct count, completeness — the
+    data-quality readout an ingest gates on before the expensive
+    pipeline runs.  ALL statistics fold into one scan-shared
+    aggregate (Deequ's scan-sharing design); output is bounded by
+    the column count, never the row count."""
+    from bern2_spark.dataprep.profile import profile_columns
+    return profile_columns(_docs(spark, sf_dir),
+                           ["doc_id", "text", "lang", "source",
+                            "n_chars"])
+
+
+@q("qc_constraints", """
+WITH v AS (
+  SELECT 'doc_id_non_negative' AS constraint,
+         CAST(count(*) FILTER (NOT (doc_id >= 0)) AS BIGINT)
+             AS n_violations
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars_matches_text',
+         CAST(count(*) FILTER (NOT (n_chars = length(text)))
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'lang_known',
+         CAST(count(*) FILTER (NOT (lang IN
+              ('en', 'de', 'es', 'fr', 'zh'))) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'unique(doc_id)',
+         CAST(coalesce(sum(n), 0) AS BIGINT)
+  FROM (SELECT count(*) AS n FROM documents
+        GROUP BY doc_id HAVING count(*) > 1))
+SELECT "constraint", n_violations, n_violations = 0 AS passed FROM v
+""")
+def qc_constraints(spark, sf_dir):
+    """Declarative constraint suite over the input table
+    (dataprep/profile.check_constraints — the Deequ
+    VerificationSuite shape): named row-level predicates counted for
+    violations in ONE shared aggregate, plus the key-uniqueness
+    check as its own map-side-combined aggregation; the verdict
+    table is what the ingest gates on.  All four constraints hold on
+    the fixture — and the oracle proves the VERDICTS, not just happy
+    counts, because any engine disagreement on a predicate flips a
+    row."""
+    from bern2_spark.dataprep.profile import check_constraints
+    d = _docs(spark, sf_dir)
+    return check_constraints(
+        d,
+        [("doc_id_non_negative", F.col("doc_id") >= 0),
+         ("n_chars_matches_text",
+          F.col("n_chars") == F.length("text")),
+         ("lang_known",
+          F.col("lang").isin("en", "de", "es", "fr", "zh"))],
+        unique_keys=["doc_id"])
+
+
+@q("dedup_cluster_sizes", f"""
+WITH RECURSIVE pairs AS ({_CC_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+),
+cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+""")
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup family's shape
+    diagnostic: how many clusters of each size the pair graph
+    produces and how many documents they hold, the number that picks
+    between keep-one dedup (long tail of pairs) and manual review
+    (a giant component signals a boilerplate epidemic or a bad
+    threshold).  Components via the O(log n) hooking/pointer-jumping
+    operator (dataprep/cluster.connected_components); both
+    aggregations are map-side combined and the output is bounded by
+    the distinct sizes."""
+    from bern2_spark.dataprep.cluster import connected_components
+    cc = connected_components(_cc_pairs(spark, sf_dir))
+    sizes = (cc.groupBy("component")
+             .agg(F.count("*").cast("long").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").cast("long").alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs")))
+
+
+@q("code_doc_coverage",
+   "WITH " + _dsrc_body() + """,
+csrc AS (SELECT repo, path, doc_id, lang,
+         (CASE WHEN doc_id % 2 = 0 THEN """
+   + _tmpl_case_sql(_CODE_DEF_TMPL, "CAST(doc_id % 50 AS VARCHAR)")
+   + """ ELSE '' END) || content AS content
+         FROM dsrc)"""
+   + _docstring_cte(from_="csrc") + _code_defs_cte(from_="csrc") + """,
+doc_n AS (SELECT repo, lang, CAST(count(*) AS BIGINT) AS n_documented
+          FROM dp GROUP BY 1, 2),
+def_n AS (SELECT repo, lang, CAST(count(*) AS BIGINT) AS n_defs
+          FROM dfs GROUP BY 1, 2)
+SELECT def_n.repo, def_n.lang, n_defs,
+       coalesce(n_documented, 0) AS n_documented,
+       round(CAST(coalesce(n_documented, 0) AS DOUBLE) / n_defs, 6)
+           AS doc_coverage
+FROM def_n LEFT JOIN doc_n
+  ON def_n.repo = doc_n.repo AND def_n.lang = doc_n.lang
+""")
+def code_doc_coverage(spark, sf_dir):
+    """Documentation-coverage QC per (repo, language): documented
+    functions (the docstring battery's pairs) over ALL declared
+    functions — the maintainability readout code-search corpora and
+    instruction-data builders filter on, and the denominator the
+    bitext miner (kg_docstring_pairs) needs to report its own yield.
+    Both engines overlay the plain (undocumented) def battery on the
+    documented-fn fixture so coverage is genuinely fractional; two
+    scan-fused extractions + two map-side-combined aggregates over
+    (repo, lang)."""
+    from bern2_spark.dataprep.codekg import (extract_defs,
+                                             extract_docstrings)
+    src = _dsrc(spark, sf_dir)
+    did = F.col("doc_id")
+    defl = F.lit("")
+    for pl, (pre, suf) in _CODE_DEF_TMPL.items():
+        defl = F.when(F.col("lang") == pl,
+                      F.concat(F.lit(pre), (did % 50).cast("string"),
+                               F.lit(suf + "\n"))).otherwise(defl)
+    csrc = src.withColumn(
+        "content",
+        F.concat(F.when(did % 2 == 0, defl).otherwise(F.lit("")),
+                 F.col("content")))
+    doc_n = (extract_docstrings(csrc)
+             .groupBy("repo", "lang")
+             .agg(F.count("*").cast("long").alias("n_documented")))
+    def_n = (extract_defs(csrc)
+             .groupBy("repo", "lang")
+             .agg(F.count("*").cast("long").alias("n_defs")))
+    return (def_n.join(doc_n, ["repo", "lang"], "left")
+            .select("repo", "lang", "n_defs",
+                    F.coalesce("n_documented", F.lit(0)).cast("long")
+                    .alias("n_documented"),
+                    F.round(F.coalesce("n_documented", F.lit(0))
+                            / F.col("n_defs"), 6)
+                    .alias("doc_coverage")))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8648,7 +8828,8 @@ _SWEEP_FIRST = [
     "events_sliding", "dedup_minhash_calibration",
     "mm_audio_windows", "dedup_funnel", "ann_pq_distortion",
     "kg_transe_scores", "mix_soft_dedup_weights", "ann_ivf_balance",
-    "qc_lang_agreement",
+    "qc_lang_agreement", "qc_profile_documents", "qc_constraints",
+    "dedup_cluster_sizes", "code_doc_coverage",
 ]
 
 

@@ -613,3 +613,31 @@ def test_ivf_cell_balance(spark):
     assert out[0]["frac"] == 0.75
     # imbalance = max/mean = 6/4 = 1.5, replicated on every row
     assert out[0]["imbalance"] == 1.5 == out[1]["imbalance"]
+
+
+# -------------------------------------------------------- profile/checks
+
+def test_profile_columns_counts(spark):
+    from bern2_spark.dataprep.profile import profile_columns
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None), (3, "a")],
+        "id long, s string")
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 3
+    assert out["s"]["n_null"] == 1 and out["s"]["n_empty"] == 1
+    assert out["s"]["completeness"] == 0.75
+
+
+def test_check_constraints_verdicts(spark):
+    from bern2_spark.dataprep.profile import check_constraints
+    df = spark.createDataFrame([(1, 5), (2, -1), (2, 3)],
+                               "id long, x long")
+    out = {r["constraint"]: r for r in check_constraints(
+        df, [("x_non_negative", F.col("x") >= 0)],
+        unique_keys=["id"]).collect()}
+    assert out["x_non_negative"]["n_violations"] == 1
+    assert out["x_non_negative"]["passed"] is False
+    # both rows of the duplicated key count as violations
+    assert out["unique(id)"]["n_violations"] == 2
+    assert out["unique(id)"]["passed"] is False
