@@ -139,6 +139,10 @@ HEADLINE = [
     "qc_constraints",
     "dedup_cluster_sizes",
     "code_doc_coverage",
+    # session-9 eleventh batch: entropy secret scan, DAU/WAU
+    # stickiness — 73 queries
+    "code_entropy_secrets",
+    "events_stickiness",
 ]
 
 

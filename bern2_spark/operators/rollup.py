@@ -290,3 +290,40 @@ def sliding_counts(events: DataFrame, ts_col: str = "ts",
             .select(*dim_cols, F.explode(starts).alias("win_start"))
             .groupBy(*dim_cols, "win_start")
             .agg(F.count("*").cast("long").alias("n_events")))
+
+
+def stickiness(events: DataFrame, ts_col: str = "ts",
+               user_col: str = "user_id", window_days: int = 7,
+               round_to: int = 6) -> DataFrame:
+    """DAU / trailing-WAU stickiness: per day, the distinct active
+    users that day over the distinct users active in the trailing
+    ``window_days`` — the standard product-health ratio (DAU/WAU,
+    DAU/MAU).
+
+    Exact distinct over a sliding window without any window-distinct
+    operator: the (user, day) DISTINCT table (the one real shuffle,
+    corpus → user-days) is EXPLODED into the ``window_days`` trailing
+    windows each active day contributes to — pure arithmetic on the
+    truncated date, the same generated-hop trick as
+    ``sliding_counts`` — then deduplicated per (window-end, user) and
+    counted.  Fan-out is the fixed window size, applied to user-days,
+    never raw events.
+
+    Output: (day, dau, wau, stickiness) for days with any trailing
+    activity."""
+    ud = (events.select(F.col(user_col).alias("u"),
+                        F.to_date(F.col(ts_col)).alias("d"))
+          .distinct())
+    dau = ud.groupBy(F.col("d").alias("day")) \
+            .agg(F.count("*").cast("long").alias("dau"))
+    member = (ud.select(
+        "u", F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(window_days - 1)),
+            lambda i: F.date_add(F.col("d"), i))).alias("day"))
+        .distinct())
+    wau = member.groupBy("day").agg(
+        F.count("*").cast("long").alias("wau"))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"), round_to)
+                    .alias("stickiness")))

@@ -8733,6 +8733,95 @@ def code_doc_coverage(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 eleventh batch: entropy secret scan, DAU/WAU stickiness
+# --------------------------------------------------------------------------
+
+
+@q("code_entropy_secrets",
+   "WITH " + _CODE_SRC_BODY + """,
+esrc AS (SELECT repo, path,
+         (CASE WHEN doc_id % 17 = 5
+               THEN 'token = "' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                    || upper(substr(md5(CAST(doc_id AS VARCHAR) || 'x'),
+                             1, 16)) || '"' || chr(10)
+               ELSE '' END) || content AS content
+         FROM src),
+cands AS (
+  SELECT DISTINCT repo, path,
+         unnest(regexp_extract_all(content,
+                '[A-Za-z0-9+/=_\\-]{20,}')) AS cand
+  FROM esrc),
+chars AS (
+  SELECT repo, path, cand, substring(cand, CAST(i.range AS INTEGER), 1)
+             AS ch
+  FROM cands, range(1, 1001) i
+  WHERE i.range <= length(cand)),
+cnt AS (SELECT repo, path, cand, ch, count(*) AS n_c
+        FROM chars GROUP BY 1, 2, 3, 4),
+per AS (
+  SELECT repo, path, cand,
+         round(log2(CAST(sum(n_c) AS DOUBLE))
+               - sum(CAST(n_c AS DOUBLE) * log2(CAST(n_c AS DOUBLE)))
+                 / CAST(sum(n_c) AS DOUBLE), 6) AS entropy_bits
+  FROM cnt GROUP BY 1, 2, 3)
+SELECT repo, path, md5(cand) AS cand_hash,
+       substring(cand, 1, 8) AS prefix,
+       CAST(length(cand) AS BIGINT) AS n_chars, entropy_bits,
+       entropy_bits > 4.0 AS is_high_entropy
+FROM per
+""")
+def code_entropy_secrets(spark, sf_dir):
+    """High-entropy secret detection
+    (dataprep/codeqc.entropy_secrets) — the trufflehog-style
+    complement to the pattern battery: a random API token with no
+    known prefix only falls to the character-entropy test.  Long
+    base64-alphabet runs are scored by Shannon bits/char and flagged
+    above 4.0; findings are emitted REDACTED (hash + 8-char prefix),
+    never the candidate itself.  Both engines inject the same
+    mixed-case 32-char tokens (true positives above the threshold)
+    alongside the fixture's hex api_keys and the 60-char 'www…' edge
+    doc (true negatives below it)."""
+    from bern2_spark.dataprep.codeqc import entropy_secrets
+    src = _code_src(spark, sf_dir)
+    did = F.col("doc_id")
+    h = F.md5(did.cast("string"))
+    hx = F.md5(F.concat(did.cast("string"), F.lit("x")))
+    tok = F.concat(F.lit('token = "'), F.substring(h, 1, 16),
+                   F.upper(F.substring(hx, 1, 16)), F.lit('"\n'))
+    esrc = src.withColumn(
+        "content",
+        F.concat(F.when(did % 17 == 5, tok).otherwise(F.lit("")),
+                 F.col("content")))
+    return entropy_secrets(esrc)
+
+
+@q("events_stickiness", """
+WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+            FROM events),
+dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        FROM ud GROUP BY 1),
+member AS (SELECT DISTINCT u, d + CAST(i.range AS INTEGER) AS day
+           FROM ud, range(7) i),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        FROM member GROUP BY 1)
+SELECT dau.day, dau, wau,
+       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+""")
+def events_stickiness(spark, sf_dir):
+    """DAU / trailing-WAU stickiness (operators/rollup.stickiness):
+    exact distinct-user ratios per day WITHOUT a window-distinct
+    operator — the (user, day) distinct table explodes into the 7
+    trailing windows each active day feeds (the generated-hop trick
+    sliding_counts uses), dedups per (window-end, user), and counts;
+    fan-out is the fixed window size applied to user-days, never raw
+    events."""
+    from bern2_spark.operators.rollup import stickiness
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stickiness(ev)
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8830,6 +8919,7 @@ _SWEEP_FIRST = [
     "kg_transe_scores", "mix_soft_dedup_weights", "ann_ivf_balance",
     "qc_lang_agreement", "qc_profile_documents", "qc_constraints",
     "dedup_cluster_sizes", "code_doc_coverage",
+    "code_entropy_secrets", "events_stickiness",
 ]
 
 

@@ -641,3 +641,37 @@ def test_check_constraints_verdicts(spark):
     # both rows of the duplicated key count as violations
     assert out["unique(id)"]["n_violations"] == 2
     assert out["unique(id)"]["passed"] is False
+
+
+# ------------------------------------------------------- entropy_secrets
+
+def test_entropy_secrets_flags_random_not_repetitive(spark):
+    from bern2_spark.dataprep.codeqc import entropy_secrets
+    files = spark.createDataFrame(
+        [("r1", "a.py", 'k = "aB3dE9gH1jK4mN7pQ2sT5vW8yZ0cF6i"'),
+         ("r1", "b.py", "wwwwwwwwwwwwwwwwwwwwwwww")],
+        "repo string, path string, content string")
+    out = {r["path"]: r for r in entropy_secrets(files).collect()}
+    assert out["a.py"]["is_high_entropy"] is True
+    assert out["b.py"]["entropy_bits"] == 0.0
+    assert out["b.py"]["is_high_entropy"] is False
+    # redaction: the candidate never appears, only hash + 8-char prefix
+    assert len(out["a.py"]["prefix"]) == 8
+    assert len(out["a.py"]["cand_hash"]) == 32
+
+
+# ------------------------------------------------------------ stickiness
+
+def test_stickiness_ratio(spark):
+    from bern2_spark.operators.rollup import stickiness
+    ts = datetime.datetime
+    ev = spark.createDataFrame(
+        [(1, ts(2024, 1, 1)), (2, ts(2024, 1, 1)),
+         (1, ts(2024, 1, 3))],
+        "user_id long, ts timestamp")
+    out = {str(r["day"]): r for r in stickiness(ev).collect()}
+    # day 1: dau 2, wau 2 -> 1.0 ; day 3: dau 1, trailing week saw 2
+    assert out["2024-01-01"]["stickiness"] == 1.0
+    assert out["2024-01-03"]["dau"] == 1
+    assert out["2024-01-03"]["wau"] == 2
+    assert out["2024-01-03"]["stickiness"] == 0.5
