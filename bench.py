@@ -143,6 +143,10 @@ HEADLINE = [
     # stickiness — 73 queries
     "code_entropy_secrets",
     "events_stickiness",
+    # session-9 twelfth batch: degree-distribution shape,
+    # boilerplate-line report — 75 queries
+    "kg_degree_distribution",
+    "qc_boilerplate_lines",
 ]
 
 

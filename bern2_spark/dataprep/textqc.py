@@ -661,3 +661,40 @@ def readability_features(docs: DataFrame, text_col: str = "text",
         .alias("flesch_ease"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, round_to)
         .alias("fk_grade"))
+
+
+def boilerplate_lines(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_docs: int = 5,
+                      round_to: int = 6) -> DataFrame:
+    """Cross-document boilerplate-line detection: lines (sentences in
+    prose corpora) that recur VERBATIM across many distinct documents
+    — headers, footers, cookie banners, licence blurbs — the removal
+    list CCNet/C4-style cleaners build before training (paragraph
+    dedup removes REPEATS; this REPORTS the offending lines so a
+    cleaner can strip them from every carrier, including the first).
+
+    Scale shape: the explode ships (doc, line-hash) rows — a 32-byte
+    key, never the line text, which rides along only for the sample
+    column via a first() aggregate — then one map-side-combined
+    distinct-doc count; output is bounded by the lines crossing
+    ``min_docs``.
+
+    Output: (line_hash, sample, n_docs, doc_frac) for lines in >=
+    ``min_docs`` distinct docs."""
+    lines = F.filter(F.split(F.col(text_col), r"\. +|\.$"),
+                     lambda s: F.length(F.trim(s)) >= 20)
+    total = docs.agg(F.countDistinct(id_col).alias("_n"))
+    ex = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(lines).alias("line"))
+          .select("id", F.md5("line").alias("line_hash"),
+                  F.substring("line", 1, 60).alias("sample"))
+          .distinct())
+    per = (ex.groupBy("line_hash")
+           .agg(F.countDistinct("id").cast("long").alias("n_docs"),
+                F.min("sample").alias("sample"))
+           .filter(F.col("n_docs") >= min_docs))
+    return (per.crossJoin(F.broadcast(total))
+            .select("line_hash", "sample", "n_docs",
+                    F.round(F.col("n_docs") / F.col("_n"), round_to)
+                    .alias("doc_frac")))

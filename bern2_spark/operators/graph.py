@@ -721,3 +721,47 @@ def transitive_reduction(edges: DataFrame,
                       "_m")
                 .select("src", "dst").distinct())
     return e.join(two_plus, ["src", "dst"], "left_anti")
+
+
+def degree_distribution(edges: DataFrame,
+                        src_col: str = "cui_a", dst_col: str = "cui_b",
+                        top_k: int = 100,
+                        round_to: int = 6) -> DataFrame:
+    """Degree-distribution shape analysis: the log2-binned degree
+    histogram plus the Hill estimator of the power-law tail exponent
+    (alpha = 1 + k / Σ ln(d_i / d_min) over the top-k degrees —
+    Clauset/Shalizi/Newman's MLE restricted to the tail) replicated
+    onto every bin row — the one-glance answer to "is this graph
+    scale-free or did extraction melt into a hub?", complementing the
+    per-node degree_stats.
+
+    Scale shape: degrees are the usual map-side-combined aggregate;
+    the histogram is a second tiny aggregate over log2 bins (a
+    codegen'd WHEN-free floor(log2) on BIGINT degrees — exact for
+    integer inputs in both engines); the Hill tail uses a
+    TakeOrderedAndProject-bounded top-k (the wordpiece vocab-cap
+    posture), never a global sort.
+
+    Output: (degree_bin, min_degree, n_nodes, hill_alpha)."""
+    deg = (symmetrize(edges, src_col, dst_col)
+           .groupBy("src").agg(F.count("*").alias("d")))
+    # exact integer bin ladder, NOT floor(log2(d)): log2 computed as
+    # ln(d)/ln(2) lands a hair below the integer at exact powers of
+    # two in some libms, flipping the floor — the ladder provably
+    # agrees across engines (same rationale as LENGTH_BUCKETS)
+    b = F.lit(31)
+    for i in reversed(range(31)):
+        b = F.when(F.col("d") < (1 << (i + 1)), F.lit(i)).otherwise(b)
+    b = b.cast("int")
+    hist = (deg.groupBy(b.alias("degree_bin"))
+            .agg(F.min("d").cast("long").alias("min_degree"),
+                 F.count("*").cast("long").alias("n_nodes")))
+    top = deg.orderBy(F.desc("d"), F.asc("src")).limit(top_k)
+    mn = top.agg(F.min("d").alias("_dmin"))
+    lnsum = F.sum(F.log(F.col("d").cast("double")
+                        / F.col("_dmin").cast("double")))
+    hill = (top.crossJoin(F.broadcast(mn))
+            .agg(F.when(lnsum > 0,
+                        1.0 + F.count("*") / lnsum).alias("_alpha"))
+            .select(F.round("_alpha", round_to).alias("hill_alpha")))
+    return hist.crossJoin(F.broadcast(hill))

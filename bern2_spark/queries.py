@@ -8822,6 +8822,95 @@ def events_stickiness(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 twelfth batch: degree-distribution shape, boilerplate lines
+# --------------------------------------------------------------------------
+
+
+@q("kg_degree_distribution", f"""
+WITH {_kg_sym_cte()},
+deg AS (SELECT src, count(*) AS d FROM sym GROUP BY 1),
+hist AS (SELECT CAST(CASE WHEN d < 2 THEN 0 WHEN d < 4 THEN 1 WHEN d < 8 THEN 2 WHEN d < 16 THEN 3 WHEN d < 32 THEN 4 WHEN d < 64 THEN 5 WHEN d < 128 THEN 6 WHEN d < 256 THEN 7 WHEN d < 512 THEN 8 WHEN d < 1024 THEN 9 WHEN d < 2048 THEN 10 WHEN d < 4096 THEN 11 WHEN d < 8192 THEN 12 WHEN d < 16384 THEN 13 WHEN d < 32768 THEN 14 WHEN d < 65536 THEN 15 WHEN d < 131072 THEN 16 WHEN d < 262144 THEN 17 WHEN d < 524288 THEN 18 WHEN d < 1048576 THEN 19 WHEN d < 2097152 THEN 20 WHEN d < 4194304 THEN 21 WHEN d < 8388608 THEN 22 WHEN d < 16777216 THEN 23 WHEN d < 33554432 THEN 24 WHEN d < 67108864 THEN 25 WHEN d < 134217728 THEN 26 WHEN d < 268435456 THEN 27 WHEN d < 536870912 THEN 28 WHEN d < 1073741824 THEN 29 WHEN d < 2147483648 THEN 30 ELSE 31 END AS INTEGER)
+                    AS degree_bin,
+                CAST(min(d) AS BIGINT) AS min_degree,
+                CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY 1),
+top AS (SELECT d FROM deg ORDER BY d DESC, src ASC LIMIT 100),
+mn AS (SELECT min(d) AS dmin FROM top),
+hill AS (SELECT CASE WHEN sum(ln(CAST(d AS DOUBLE)
+                                 / CAST(dmin AS DOUBLE))) > 0
+                     THEN round(1.0 + count(*)
+                          / sum(ln(CAST(d AS DOUBLE)
+                                   / CAST(dmin AS DOUBLE))), 6)
+                END AS hill_alpha
+         FROM top, mn)
+SELECT degree_bin, min_degree, n_nodes, hill_alpha FROM hist, hill
+""")
+def kg_degree_distribution(spark, sf_dir):
+    """Degree-distribution shape analysis
+    (operators/graph.degree_distribution): the log2-binned degree
+    histogram plus the Hill tail-exponent estimator (Clauset et al.
+    MLE over the top-100 degrees) — "is this graph scale-free or did
+    extraction melt into a hub?" in one glance.  The bin is an exact
+    integer WHEN ladder (ln(d)/ln(2) flips floors at powers of two),
+    the tail cut is TakeOrderedAndProject-bounded, and the
+    zero-variance tail guards to NULL identically in both engines."""
+    from bern2_spark.operators.graph import degree_distribution
+    return degree_distribution(_kg_edges(spark))
+
+
+_BOILER_INJECT_SQL = """(CASE
+    WHEN doc_id % 4 = 1
+    THEN '. This content is provided under the example corpus terms.'
+    WHEN doc_id % 9 = 2
+    THEN '. Subscribe to the example newsletter for updates.'
+    ELSE '' END)"""
+
+
+@q("qc_boilerplate_lines", f"""
+WITH d AS (SELECT doc_id, text || {_BOILER_INJECT_SQL} AS text
+           FROM documents),
+total AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM d),
+ex AS (SELECT DISTINCT doc_id, md5(line) AS line_hash,
+              substring(line, 1, 60) AS sample
+       FROM (SELECT doc_id,
+                    unnest(list_filter(
+                        regexp_split_to_array(text, '\\. +|\\.$'),
+                        s -> length(trim(s)) >= 20)) AS line
+             FROM d)),
+per AS (SELECT line_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(sample) AS sample
+        FROM ex GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5)
+SELECT line_hash, sample, n_docs,
+       round(CAST(n_docs AS DOUBLE) / total.n, 6) AS doc_frac
+FROM per, total
+""")
+def qc_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate-line report
+    (dataprep/textqc.boilerplate_lines): sentences recurring VERBATIM
+    across >= 5 distinct documents — headers, footers, banners — the
+    removal list C4/CCNet-style cleaners build before training
+    (paragraph dedup removes repeats; this reports the lines so a
+    cleaner strips them from EVERY carrier).  The explode ships
+    32-byte line hashes, never line text (a 60-char sample rides via
+    min()); both engines inject the same two deterministic footers so
+    true positives exist at every SF."""
+    from bern2_spark.dataprep.textqc import boilerplate_lines
+    did = F.col("doc_id")
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(did % 4 == 1,
+                        F.lit(". This content is provided under the "
+                              "example corpus terms."))
+                 .when(did % 9 == 2,
+                       F.lit(". Subscribe to the example newsletter "
+                             "for updates."))
+                 .otherwise(F.lit(""))))
+    return boilerplate_lines(d, min_docs=5)
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -8920,6 +9009,7 @@ _SWEEP_FIRST = [
     "qc_lang_agreement", "qc_profile_documents", "qc_constraints",
     "dedup_cluster_sizes", "code_doc_coverage",
     "code_entropy_secrets", "events_stickiness",
+    "kg_degree_distribution", "qc_boilerplate_lines",
 ]
 
 

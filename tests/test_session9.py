@@ -675,3 +675,45 @@ def test_stickiness_ratio(spark):
     assert out["2024-01-03"]["dau"] == 1
     assert out["2024-01-03"]["wau"] == 2
     assert out["2024-01-03"]["stickiness"] == 0.5
+
+
+# ------------------------------------------------- degree_distribution
+
+def test_degree_distribution_bins_and_hill(spark):
+    from bern2_spark.operators.graph import degree_distribution
+    # star: hub with 8 spokes -> hub degree 8 (bin 3), spokes 1 (bin 0)
+    edges = spark.createDataFrame([("h", f"s{i}") for i in range(8)],
+                                  "cui_a string, cui_b string")
+    rows = {r["degree_bin"]: r for r in
+            degree_distribution(edges, top_k=9).collect()}
+    assert rows[0]["n_nodes"] == 8 and rows[0]["min_degree"] == 1
+    assert rows[3]["n_nodes"] == 1 and rows[3]["min_degree"] == 8
+    # hill alpha present and identical on every row
+    alphas = {r["hill_alpha"] for r in rows.values()}
+    assert len(alphas) == 1 and alphas.pop() is not None
+
+
+def test_degree_distribution_flat_tail_guards_null(spark):
+    from bern2_spark.operators.graph import degree_distribution
+    # all degrees equal -> ln-sum 0 -> hill alpha NULL, not an error
+    edges = spark.createDataFrame([("a", "b"), ("c", "d")],
+                                  "cui_a string, cui_b string")
+    rows = degree_distribution(edges).collect()
+    assert all(r["hill_alpha"] is None for r in rows)
+
+
+# ---------------------------------------------------- boilerplate_lines
+
+def test_boilerplate_lines_cross_doc(spark):
+    from bern2_spark.dataprep.textqc import boilerplate_lines
+    footer = "All rights reserved by the example collective"
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i} with enough words here. {footer}.")
+         for i in range(6)]
+        + [(99, "a single document with its own long line here.")],
+        "doc_id long, text string")
+    out = boilerplate_lines(docs, min_docs=5).collect()
+    assert len(out) == 1
+    assert out[0]["sample"].startswith("All rights reserved")
+    assert out[0]["n_docs"] == 6
+    assert out[0]["doc_frac"] == round(6 / 7, 6)
