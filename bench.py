@@ -147,6 +147,10 @@ HEADLINE = [
     # boilerplate-line report — 75 queries
     "kg_degree_distribution",
     "qc_boilerplate_lines",
+    # session-9 thirteenth batch: dedup threshold curve, source
+    # datasheet — 77 queries
+    "dedup_threshold_curve",
+    "mix_source_datasheet",
 ]
 
 

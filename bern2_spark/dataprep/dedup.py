@@ -672,3 +672,36 @@ def dedup_funnel(docs: DataFrame, text_col: str = "text",
                     .alias("n_removed"),
                     F.round(F.col("n_docs") / F.col("_total"), round_to)
                     .alias("retention")))
+
+
+def threshold_curve(docs: DataFrame, text_col: str = "text",
+                    thresholds=(0.5, 0.7, 0.9),
+                    num_hashes: int = 16, rows_per_band: int = 4,
+                    track_persisted: list | None = None) -> DataFrame:
+    """Near-dup threshold-tuning curve: how many verified pairs (and
+    docs-to-drop) survive at each candidate Jaccard threshold, from
+    ONE LSH + exact-verify pass — the artifact that picks the dedup
+    operating point BEFORE a 100-TB run commits to it (sweeping by
+    re-running the pipeline per threshold would pay the candidate
+    join T times; this pays it once and buckets).
+
+    Scale shape: exactly the lsh_verified plan with threshold 0 (all
+    candidate pairs scored), then a |thresholds|-row explode of each
+    scored pair into the thresholds it clears and one map-side
+    aggregate; the curve adds nothing corpus-proportional.
+
+    Output: (threshold, n_pairs, n_docs_dropped) — docs-dropped under
+    the drop-larger-id policy, i.e. distinct doc_b count."""
+    scored = lsh_verified_pairs(docs, text_col=text_col,
+                                num_hashes=num_hashes,
+                                rows_per_band=rows_per_band,
+                                threshold=0.0,
+                                track_persisted=track_persisted)
+    th = F.array(*[F.lit(float(t)) for t in thresholds])
+    hit = (scored.select(
+        "doc_b", F.explode(F.filter(
+            th, lambda t: F.col("jaccard") >= t)).alias("threshold")))
+    return (hit.groupBy("threshold")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.countDistinct("doc_b").cast("long")
+                 .alias("n_docs_dropped")))

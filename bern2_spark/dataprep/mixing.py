@@ -558,3 +558,51 @@ def soft_dedup_weights(docs: DataFrame, text_col: str = "text",
             .withColumn("weight",
                         F.round(F.lit(1.0) / F.col("cluster_size"),
                                 round_to)))
+
+
+def source_datasheet(docs: DataFrame, domain_col: str = "source",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     round_to: int = 6) -> DataFrame:
+    """Per-source dataset datasheet — the one-row-per-source summary
+    a mixture designer reads before assigning budgets (Datasheets
+    for Datasets, Gebru et al., reduced to the computable core):
+    document and token volume, exact-duplicate rate, mean quality
+    score, and the dominant detected language with its share.
+
+    Scale shape: one pass computes tokens/quality/langid as scan-
+    fused column expressions; the duplicate rate joins the md5
+    class-size window (the soft-dedup shuffle); the per-source
+    rollup is a map-side-combined groupBy, and the dominant-language
+    pick is a window over the |sources|×|langs| aggregate — nothing
+    beyond the two keyed shuffles the inputs already need.
+
+    Output: (source, n_docs, n_tokens, dup_rate, mean_quality,
+    top_lang, top_lang_share)."""
+    from bern2_spark.dataprep.textqc import (bpe_ish_token_count,
+                                             language_id,
+                                             quality_features)
+    d = language_id(quality_features(docs, text_col), text_col)
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    d = d.withColumn("_csize", F.count("*").over(w))
+    base = (d.groupBy(F.col(domain_col).alias("source"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(bpe_ish_token_count(F.col(text_col)))
+                 .cast("long").alias("n_tokens"),
+                 F.round(F.sum(F.when(F.col("_csize") > 1, 1)
+                               .otherwise(0))
+                         / F.count("*"), round_to).alias("dup_rate"),
+                 F.round(F.avg("quality_score"), round_to)
+                 .alias("mean_quality")))
+    langs = (d.groupBy(F.col(domain_col).alias("source"), "lang_pred")
+             .agg(F.count("*").alias("_n")))
+    wl = Window.partitionBy("source").orderBy(F.desc("_n"),
+                                              F.asc("lang_pred"))
+    top = (langs.withColumn("_rk", F.row_number().over(wl))
+           .filter(F.col("_rk") == 1)
+           .select("source", F.col("lang_pred").alias("top_lang"),
+                   F.col("_n").alias("_topn")))
+    return (base.join(top, "source")
+            .select("source", "n_docs", "n_tokens", "dup_rate",
+                    "mean_quality", "top_lang",
+                    F.round(F.col("_topn") / F.col("n_docs"),
+                            round_to).alias("top_lang_share")))

@@ -8911,6 +8911,146 @@ def qc_boilerplate_lines(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 thirteenth batch: dedup threshold curve, source datasheet
+# --------------------------------------------------------------------------
+
+
+@q("dedup_threshold_curve", f"""
+WITH docs2 AS ({_DUP_UNION_SQL}),
+sh0 AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2
+),
+sig AS (
+  SELECT doc_id, g.range AS seed,
+         min(md5(concat_ws(':', g.range, shingle))) AS minhash
+  FROM sh0, range(16) g
+  GROUP BY doc_id, g.range
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+sc2 AS (
+  SELECT doc_b,
+         CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+h AS (SELECT doc_b, t.t AS threshold
+      FROM sc2, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+                        (CAST(0.9 AS DOUBLE))) t(t)
+      WHERE jaccard >= t.t)
+SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+FROM h GROUP BY 1
+""")
+def dedup_threshold_curve(spark, sf_dir):
+    """Near-dup threshold-tuning curve
+    (dataprep/dedup.threshold_curve): verified-pair and docs-dropped
+    counts at Jaccard 0.5 / 0.7 / 0.9 from ONE LSH + exact-verify
+    pass — the artifact that picks the operating point before a
+    100-TB dedup run commits (a per-threshold re-run would pay the
+    candidate join T times).  The threshold compare runs on the raw
+    single-division Jaccard, which both engines compute as the same
+    correctly-rounded double."""
+    from bern2_spark.dataprep.dedup import threshold_curve
+    return threshold_curve(
+        _dup_docs(spark, sf_dir),
+        track_persisted=_persist_generation("dedup_threshold_curve"))
+
+
+@q("mix_source_datasheet", f"""
+WITH q AS (
+  SELECT doc_id, source, text, length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x != '')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+             x -> list_contains({_EN_STOP!r}, x))) AS n_stop,
+         {_BPE_N_SQL} AS n_bpe,
+         count(*) OVER (PARTITION BY md5(text)) AS csize
+  FROM documents),
+sc AS (
+  SELECT *, round(
+    least(CAST(n_tokens AS DOUBLE) / CAST(20.0 AS DOUBLE),
+          CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+    + (CAST(1.0 AS DOUBLE)
+       - least((CASE WHEN n_chars > 0
+                     THEN CAST(n_punct AS DOUBLE) / n_chars
+                     ELSE CAST(0.0 AS DOUBLE) END) * 4,
+               CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+    + least((CASE WHEN n_tokens > 0
+                  THEN CAST(n_stop AS DOUBLE) / n_tokens
+                  ELSE CAST(0.0 AS DOUBLE) END) * 3,
+            CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE), 6) AS qs
+  FROM q),
+base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+         round(CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS dup_rate,
+         round(avg(qs), 6) AS mean_quality
+  FROM sc GROUP BY 1),
+toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM q),
+hits AS (
+  SELECT doc_id, toks.source AS source, l.lang AS cand,
+         len(list_filter(t, x -> list_contains(l.sig, x))) AS n
+  FROM toks, (VALUES ('de', ['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit']), ('en', ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with']), ('es', ['el', 'la', 'de', 'que', 'y', 'los', 'es', 'una', 'por']), ('fr', ['le', 'la', 'les', 'des', 'est', 'une', 'dans', 'que', 'pour'])) l(lang, sig)),
+best AS (
+  SELECT doc_id, source,
+         CASE WHEN n > 0 THEN cand ELSE 'und' END AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, cand DESC) AS rn
+  FROM hits),
+lc AS (SELECT source, lang_pred, count(*) AS n
+       FROM best WHERE rn = 1 GROUP BY 1, 2),
+top AS (SELECT source, lang_pred AS top_lang, n
+        FROM (SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY n DESC, lang_pred ASC) AS rk
+              FROM lc)
+        WHERE rk = 1)
+SELECT base.source, n_docs, n_tokens, dup_rate, mean_quality,
+       top.top_lang,
+       round(CAST(top.n AS DOUBLE) / n_docs, 6) AS top_lang_share
+FROM base JOIN top ON base.source = top.source
+""")
+def mix_source_datasheet(spark, sf_dir):
+    """Per-source dataset datasheet
+    (dataprep/mixing.source_datasheet — Gebru et al.'s Datasheets
+    reduced to the computable core): document/token volume,
+    exact-duplicate rate, mean composite quality, dominant detected
+    language with share — the one-row-per-source summary a mixture
+    designer reads before assigning budgets, composing the quality,
+    language-id, token-count, and soft-dedup building blocks in two
+    keyed shuffles."""
+    from bern2_spark.dataprep.mixing import source_datasheet
+    return source_datasheet(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -9010,6 +9150,7 @@ _SWEEP_FIRST = [
     "dedup_cluster_sizes", "code_doc_coverage",
     "code_entropy_secrets", "events_stickiness",
     "kg_degree_distribution", "qc_boilerplate_lines",
+    "dedup_threshold_curve", "mix_source_datasheet",
 ]
 
 

@@ -717,3 +717,38 @@ def test_boilerplate_lines_cross_doc(spark):
     assert out[0]["sample"].startswith("All rights reserved")
     assert out[0]["n_docs"] == 6
     assert out[0]["doc_frac"] == round(6 / 7, 6)
+
+
+# ------------------------------------------------------- threshold_curve
+
+def test_threshold_curve_monotone(spark):
+    from bern2_spark.dataprep.dedup import threshold_curve
+    base = "the quick brown fox jumps over the lazy dog once more today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                      # jaccard 1.0
+         (3, base + " with some tail"),             # high jaccard
+         (4, "completely different text about spark parquet files")],
+        "doc_id long, text string")
+    out = {r["threshold"]: r for r in threshold_curve(docs).collect()}
+    # pair counts must be monotone non-increasing in the threshold
+    assert out[0.5]["n_pairs"] >= out[0.7]["n_pairs"] \
+        >= out[0.9]["n_pairs"]
+    assert out[0.9]["n_pairs"] >= 1  # the identical pair survives 0.9
+    assert out[0.9]["n_docs_dropped"] >= 1
+
+
+# ------------------------------------------------------ source_datasheet
+
+def test_source_datasheet_rollup(spark):
+    from bern2_spark.dataprep.mixing import source_datasheet
+    docs = spark.createDataFrame(
+        [(1, "a", "the quick brown fox and the lazy dog", 37),
+         (2, "a", "the quick brown fox and the lazy dog", 37),  # dup
+         (3, "b", "der hund und die katze sind nicht da", 36)],
+        "doc_id long, source string, text string, n_chars long")
+    out = {r["source"]: r for r in source_datasheet(docs).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["dup_rate"] == 1.0
+    assert out["b"]["dup_rate"] == 0.0
+    assert out["a"]["top_lang"] == "en" and out["b"]["top_lang"] == "de"
+    assert out["a"]["top_lang_share"] == 1.0
+    assert out["a"]["n_tokens"] == 16  # 8 bpe-ish tokens per copy
