@@ -151,6 +151,10 @@ HEADLINE = [
     # datasheet — 77 queries
     "dedup_threshold_curve",
     "mix_source_datasheet",
+    # session-9 fourteenth batch: weighted shortest paths, schema
+    # drift — 79 queries
+    "kg_shortest_paths",
+    "qc_schema_drift",
 ]
 
 

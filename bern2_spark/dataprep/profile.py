@@ -93,3 +93,40 @@ def check_constraints(df: DataFrame,
                        .alias("constraint"), "n_violations"))
         rows = dup if rows is None else rows.unionByName(dup)
     return rows.withColumn("passed", F.col("n_violations") == 0)
+
+
+def schema_drift(current: DataFrame, baseline: DataFrame,
+                 cols: Sequence[str] | None = None,
+                 completeness_tol: float = 0.05,
+                 round_to: int = 6) -> DataFrame:
+    """Snapshot-over-snapshot drift report: the column profiles of
+    two table versions joined side by side with completeness deltas
+    and a drift flag — the monitoring readout that catches a
+    upstream schema/quality regression (a feed silently starts
+    NULLing a column; a join key loses cardinality) before the
+    pipeline consumes the new snapshot.
+
+    Both profiles are the single-scan aggregate of
+    ``profile_columns``; the comparison joins |columns| rows.
+    Distinct-count drift is reported as a ratio (current/baseline)
+    rather than flagged — cardinality legitimately grows with
+    volume; completeness should not move.
+
+    Output: (column, completeness_now, completeness_base,
+    completeness_delta, distinct_ratio, drifted)."""
+    now = profile_columns(current, cols)
+    base = profile_columns(baseline, cols)
+    j = (now.select(F.col("column"),
+                    F.col("completeness").alias("completeness_now"),
+                    F.col("n_distinct").alias("_dn"))
+         .join(base.select(
+             F.col("column"),
+             F.col("completeness").alias("completeness_base"),
+             F.col("n_distinct").alias("_db")), "column"))
+    delta = F.col("completeness_now") - F.col("completeness_base")
+    return j.select(
+        "column", "completeness_now", "completeness_base",
+        F.round(delta, round_to).alias("completeness_delta"),
+        F.round(F.col("_dn") / F.col("_db"), round_to)
+        .alias("distinct_ratio"),
+        (F.abs(delta) > completeness_tol).alias("drifted"))

@@ -765,3 +765,42 @@ def degree_distribution(edges: DataFrame,
                         1.0 + F.count("*") / lnsum).alias("_alpha"))
             .select(F.round("_alpha", round_to).alias("hill_alpha")))
     return hist.crossJoin(F.broadcast(hill))
+
+
+def shortest_paths(edges: DataFrame, roots: DataFrame,
+                   rounds: int = 4,
+                   src_col: str = "cui_a", dst_col: str = "cui_b",
+                   weight_col: str = "n_docs") -> DataFrame:
+    """Bounded Bellman–Ford: weighted shortest distances from a root
+    set, relaxed for a fixed ``rounds`` — the weighted sibling of the
+    k-hop expansion (hops treat a 1-doc and a 500-doc co-occurrence
+    alike; here edge cost = 1e6 / weight in integer micro-units, so
+    strongly-evidenced edges are cheap and the distance is an
+    entity-relatedness measure).
+
+    Scale shape: per round one co-partitioned join of the frontier
+    with the edge list + one map-side-combined min — the PageRank
+    loop's exchange pattern — with ``localCheckpoint`` truncating the
+    lineage each round.  Costs are EXACT integers (micro-units), so
+    min-of-sums is engine-exact with no float-order caveat; the
+    oracle unrolls the same rounds as MATERIALIZED CTEs.
+
+    Output: (root, node, dist_micros) — reachable within ``rounds``
+    edges, including the roots at distance 0."""
+    e = (symmetrize(edges, src_col, dst_col, weight_col)
+         .select("src", "dst",
+                 F.round(1e6 / F.col("weight")).cast("long")
+                 .alias("w")))
+    dist = roots.select(F.col("root"),
+                        F.col("root").alias("node"),
+                        F.lit(0).cast("long").alias("dist_micros"))
+    for _ in range(rounds):
+        relax = (dist.join(e, dist["node"] == e["src"])
+                 .select("root", F.col("dst").alias("node"),
+                         (F.col("dist_micros") + F.col("w"))
+                         .alias("dist_micros")))
+        dist = (dist.unionByName(relax)
+                .groupBy("root", "node")
+                .agg(F.min("dist_micros").alias("dist_micros"))
+                .localCheckpoint(eager=False))
+    return dist

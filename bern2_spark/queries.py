@@ -8558,7 +8558,8 @@ def qc_lang_agreement(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _profile_col_sql(col: str, is_str: bool) -> str:
+def _profile_col_sql(col: str, is_str: bool,
+                     table: str = "documents") -> str:
     empty = (f"CAST(count(*) FILTER ({col} = '') AS BIGINT)"
              if is_str else "CAST(0 AS BIGINT)")
     return f"""
@@ -8568,7 +8569,7 @@ SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
        round((count(*) - count(*) FILTER ({col} IS NULL))
              / CAST(count(*) AS DOUBLE), 6) AS completeness
-FROM documents"""
+FROM {table}"""
 
 
 @q("qc_profile_documents",
@@ -9051,6 +9052,97 @@ def mix_source_datasheet(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# session-9 fourteenth batch: weighted shortest paths, schema drift
+# --------------------------------------------------------------------------
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    parts = [
+        _kg_sym_cte().strip(),
+        "we AS MATERIALIZED (SELECT src, dst, "
+        "CAST(round(1000000.0 / w) AS BIGINT) AS wc FROM sym)",
+        "rts AS (SELECT node AS root FROM "
+        "(SELECT DISTINCT src AS node FROM sym) ORDER BY node LIMIT 3)",
+        "d0 AS MATERIALIZED (SELECT root, root AS node, "
+        "CAST(0 AS BIGINT) AS dm FROM rts)",
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT root, node, min(dm) AS dm FROM (
+    SELECT root, node, dm FROM {prev}
+    UNION ALL
+    SELECT p.root, e.dst AS node, p.dm + e.wc AS dm
+    FROM {prev} p JOIN we e ON e.src = p.node) GROUP BY 1, 2)""")
+        prev = f"d{i}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT root, node, CAST(dm AS BIGINT) AS dist_micros"
+              f" FROM {prev}")
+
+
+@q("kg_shortest_paths", _sssp_sql())
+def kg_shortest_paths(spark, sf_dir):
+    """Bounded Bellman–Ford from the first three entities
+    (operators/graph.shortest_paths): weighted shortest distances
+    over the co-occurrence graph with edge cost 1e6/n_docs in
+    integer micro-units — the weighted sibling of kg_khop, turning
+    co-mention evidence into an entity-relatedness distance.  Four
+    relaxation rounds, each one co-partitioned frontier join + one
+    map-side-combined min with checkpointed lineage; exact integer
+    costs make min-of-sums engine-exact, and the oracle unrolls the
+    same rounds as MATERIALIZED CTEs."""
+    from bern2_spark.operators.graph import shortest_paths, symmetrize
+    edges = _kg_edges(spark)
+    roots = (symmetrize(edges).select("src").distinct()
+             .orderBy("src").limit(3)
+             .select(F.col("src").alias("root")))
+    return shortest_paths(edges, roots, rounds=4)
+
+
+@q("qc_schema_drift",
+   "WITH nowp AS ("
+   + "\nUNION ALL\n".join(_profile_col_sql(c, s) for c, s in
+                          [("doc_id", False), ("text", True),
+                           ("lang", True), ("source", True),
+                           ("n_chars", False)])
+   + "),\nbasep AS ("
+   + "\nUNION ALL\n".join(
+       _profile_col_sql(c, s,
+                        table="read_parquet("
+                        "'/root/testdata/sf0.001/documents.parquet')")
+       for c, s in [("doc_id", False), ("text", True),
+                    ("lang", True), ("source", True),
+                    ("n_chars", False)])
+   + """)
+SELECT nowp."column",
+       nowp.completeness AS completeness_now,
+       basep.completeness AS completeness_base,
+       round(nowp.completeness - basep.completeness, 6)
+           AS completeness_delta,
+       round(CAST(nowp.n_distinct AS DOUBLE) / basep.n_distinct, 6)
+           AS distinct_ratio,
+       abs(nowp.completeness - basep.completeness)
+           > CAST(0.05 AS DOUBLE) AS drifted
+FROM nowp JOIN basep ON nowp."column" = basep."column"
+""")
+def qc_schema_drift(spark, sf_dir):
+    """Snapshot-over-snapshot drift monitoring
+    (dataprep/profile.schema_drift): the current table's column
+    profile against the previous snapshot's (the sf0.001 fixture
+    plays yesterday's), with completeness deltas flagged beyond 5%
+    and distinct-cardinality reported as a growth ratio — the check
+    that catches a feed silently NULLing a column before the
+    pipeline consumes the new snapshot.  Two single-scan profile
+    aggregates + a |columns|-row join."""
+    from bern2_spark.dataprep.profile import schema_drift
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    baseline = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    return schema_drift(_docs(spark, sf_dir), baseline, cols)
+
+
+
+# --------------------------------------------------------------------------
 # driver-sweep ordering
 # --------------------------------------------------------------------------
 
@@ -9151,6 +9243,7 @@ _SWEEP_FIRST = [
     "code_entropy_secrets", "events_stickiness",
     "kg_degree_distribution", "qc_boilerplate_lines",
     "dedup_threshold_curve", "mix_source_datasheet",
+    "kg_shortest_paths", "qc_schema_drift",
 ]
 
 

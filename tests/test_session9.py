@@ -752,3 +752,47 @@ def test_source_datasheet_rollup(spark):
     assert out["a"]["top_lang"] == "en" and out["b"]["top_lang"] == "de"
     assert out["a"]["top_lang_share"] == 1.0
     assert out["a"]["n_tokens"] == 16  # 8 bpe-ish tokens per copy
+
+
+# --------------------------------------------------------- shortest_paths
+
+def test_shortest_paths_prefers_strong_edges(spark):
+    from bern2_spark.operators.graph import shortest_paths
+    # a-b strong (10 docs, cost 1e5); a-c weak (1 doc, cost 1e6);
+    # b-c strong: the cheap a->c route goes THROUGH b (2e5 < 1e6)
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("b", "c", 10)],
+        "cui_a string, cui_b string, n_docs long")
+    roots = spark.createDataFrame([("a",)], "root string")
+    out = {r["node"]: r["dist_micros"] for r in
+           shortest_paths(edges, roots, rounds=4).collect()}
+    assert out["a"] == 0
+    assert out["b"] == 100000
+    assert out["c"] == 200000  # via b, not the direct weak edge
+
+
+def test_shortest_paths_bounded_rounds(spark):
+    from bern2_spark.operators.graph import shortest_paths
+    # chain a-b-c-d: 1 round reaches only b
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+        "cui_a string, cui_b string, n_docs long")
+    roots = spark.createDataFrame([("a",)], "root string")
+    out = {r["node"] for r in
+           shortest_paths(edges, roots, rounds=1).collect()}
+    assert out == {"a", "b"}
+
+
+# ----------------------------------------------------------- schema_drift
+
+def test_schema_drift_flags_null_regression(spark):
+    from bern2_spark.dataprep.profile import schema_drift
+    base = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z"),
+                                  (4, "w")], "id long, s string")
+    cur = spark.createDataFrame([(1, "x"), (2, None), (3, None),
+                                 (4, "w")], "id long, s string")
+    out = {r["column"]: r for r in schema_drift(cur, base).collect()}
+    assert out["s"]["completeness_delta"] == -0.5
+    assert out["s"]["drifted"] is True
+    assert out["id"]["drifted"] is False
+    assert out["id"]["distinct_ratio"] == 1.0
