@@ -32,11 +32,13 @@ def norm_tokens(col):
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
 
 
-def word_bigrams(col):
-    """adjacent-token bigram strings of ``norm_tokens``; <2-token
-    inputs yield an empty array (shared by textqc repetition features
-    and DSIR importance weighting)."""
-    toks = norm_tokens(col)
+def word_bigrams_from(toks):
+    """``word_bigrams`` over an ALREADY-MATERIALIZED token-array column
+    reference.  HOF lambda bodies re-evaluate every captured subtree
+    per element (Catalyst does no loop-invariant hoisting), so passing
+    the raw ``norm_tokens`` expression here re-tokenized the text once
+    per bigram position — O(tokens^2) per doc.  Callers materialize
+    the tokens as a column alias first and pass ``F.col(alias)``."""
     k = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     return F.when(k > 0, F.slice(
         F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
@@ -44,14 +46,41 @@ def word_bigrams(col):
         1, k)).otherwise(F.array().cast("array<string>"))
 
 
-def shingles(col, n: int = 3):
-    """token n-gram shingles as strings; docs shorter than n tokens get
-    their full token string as the single shingle."""
-    toks = norm_tokens(col)
+def word_bigrams(col):
+    """adjacent-token bigram strings of ``norm_tokens``; <2-token
+    inputs yield an empty array (shared by textqc repetition features
+    and DSIR importance weighting).  Prefer the two-step
+    ``word_bigrams_from`` on hot paths (see its docstring)."""
+    return word_bigrams_from(norm_tokens(col))
+
+
+def shingles_from(toks, n: int = 3):
+    """``shingles`` over an already-materialized token-array column
+    reference — same O(tokens^2) hoisting rationale as
+    ``word_bigrams_from``."""
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def shingles(col, n: int = 3):
+    """token n-gram shingles as strings; docs shorter than n tokens get
+    their full token string as the single shingle."""
+    return shingles_from(norm_tokens(col), n)
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows, tokenizing each doc exactly once: the
+    token array is a multi-referenced non-cheap alias, so it survives
+    CollapseProject and the generator's per-element slices read a
+    materialized row field instead of re-running split+filter."""
+    return (docs
+            .withColumn("_sh_toks", norm_tokens(F.col(text_col)))
+            .select("doc_id",
+                    F.explode(shingles_from(F.col("_sh_toks"), n))
+                    .alias("shingle")))
 
 
 # ----------------------------------------------------------------- exact
@@ -76,10 +105,7 @@ def shingle_table(docs: DataFrame, text_col: str = "text",
     always yields >=1 element (short docs get one joined-token shingle),
     so explode never drops a doc; distinct is harmless for minhash (min
     over a set == min over the multiset) and required for Jaccard."""
-    return (docs.select("doc_id",
-                        F.explode(shingles(F.col(text_col), shingle_n))
-                        .alias("shingle"))
-            .distinct())
+    return shingle_rows(docs, text_col, shingle_n).distinct()
 
 
 def minhash_signatures(docs: DataFrame = None, text_col: str = "text",
@@ -103,9 +129,7 @@ def minhash_signatures(docs: DataFrame = None, text_col: str = "text",
     Pass ``shingle_df`` (a shingle_table result, possibly persisted) to
     reuse an existing shingle relation instead."""
     sh = (shingle_df if shingle_df is not None
-          else docs.select("doc_id",
-                           F.explode(shingles(F.col(text_col), shingle_n))
-                           .alias("shingle")))
+          else shingle_rows(docs, text_col, shingle_n))
     sh = (sh
           .withColumn(
               "hs",
@@ -176,8 +200,15 @@ def ngram_jaccard_pairs(docs: DataFrame = None, candidates: DataFrame = None,
     O(candidates x shingles-per-doc) — never the full shingle
     self-join. Without candidates, all pairs (test scale only).
     Returns (doc_a, doc_b, jaccard >= threshold rows)."""
+    # internal builds collapse the shingle string to an 8-byte xxhash64
+    # key right after the explode (the lsh_verified_pairs discipline):
+    # every downstream exchange/join carries (doc_id, int64) rows, and
+    # set cardinalities are unchanged modulo 2^-64 collisions, which
+    # the oracle comparison would expose if one ever occurred.
     sh = (shingle_df if shingle_df is not None
-          else shingle_table(docs, text_col, shingle_n))
+          else shingle_rows(docs, text_col, shingle_n)
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     if candidates is not None:
@@ -243,9 +274,7 @@ def lsh_verified_pairs(docs: DataFrame, text_col: str = "text",
     otherwise each invocation leaks one cached copy for the session
     lifetime (e.g. repeated bench runs)."""
     from pyspark import StorageLevel
-    sh = (docs.select("doc_id",
-                      F.explode(shingles(F.col(text_col), shingle_n))
-                      .alias("shingle"))
+    sh = (shingle_rows(docs, text_col, shingle_n)
           .select("doc_id", F.xxhash64("shingle").alias("shingle"))
           .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK))
@@ -346,21 +375,25 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           dim: int | None = None) -> DataFrame:
     """Near-dup pairs by cosine over an array<float> column. Exact
     all-pairs (self-join) — the verify step after LSH bucketing at
-    scale (see similarity.lsh_bucket_candidates)."""
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("vec_a"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vec_b"))
-    dot = F.aggregate(F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    scale (see similarity.lsh_bucket_candidates).  Norms precompute
+    per row before the pair join; with ``dim`` known the dot unrolls
+    into codegen'd arithmetic (bitwise-identical fold — see
+    similarity._dot)."""
+    from bern2_spark.dataprep.similarity import _dot, _norm
+    a = (embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("vec_a"))
+         .withColumn("nrm_a", _norm(F.col("vec_a"), dim)))
+    b = (embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vec_b"))
+         .withColumn("nrm_b", _norm(F.col("vec_b"), dim)))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", dot / (norm(F.col("vec_a"))
-                                         * norm(F.col("vec_b"))))
+            .withColumn("cosine",
+                        _dot(F.col("vec_a"), F.col("vec_b"), dim)
+                        / (F.col("nrm_a") * F.col("nrm_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -527,8 +560,14 @@ def containment_pairs(docs: DataFrame = None,
     ratio divides two exact integers so both engines round
     identically.  Returns ``(doc_a, doc_b, containment)`` =
     containment of doc_a IN doc_b, >= threshold, doc_a != doc_b."""
+    # same 8-byte xxhash64 shingle-key discipline as lsh_verified_pairs
+    # / ngram_jaccard_pairs: internal builds never shuffle shingle
+    # strings; set sizes/intersections are unchanged mod 2^-64
+    # collisions (the oracle hash would expose one).
     sh = (shingle_df if shingle_df is not None
-          else shingle_table(docs, text_col, shingle_n))
+          else shingle_rows(docs, text_col, shingle_n)
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     if candidates is not None:
         cand = candidates.select("doc_a", "doc_b")
@@ -541,12 +580,18 @@ def containment_pairs(docs: DataFrame = None,
                  .groupBy("doc_a", "doc_b")
                  .agg(F.count("*").alias("n_inter")))
     else:
+        # n_inter is symmetric: count each unordered pair once (half
+        # the aggregation/shuffle rows) and mirror the counts after —
+        # identical to aggregating both directions.
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (a.join(b, "shingle")
-                 .filter(F.col("doc_a") != F.col("doc_b"))
-                 .groupBy("doc_a", "doc_b")
-                 .agg(F.count("*").alias("n_inter")))
+        half = (a.join(b, "shingle")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_inter")))
+        inter = half.unionByName(
+            half.select(F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"), "n_inter"))
     na = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("_na"))
     return (inter.join(na, "doc_a")
@@ -591,9 +636,7 @@ def minhash_calibration(docs: DataFrame, text_col: str = "text",
         .persist(StorageLevel.MEMORY_AND_DISK)
     if track_persisted is not None:
         track_persisted.append(sigs)
-    sh = (docs.select("doc_id",
-                      F.explode(shingles(F.col(text_col), shingle_n))
-                      .alias("shingle"))
+    sh = (shingle_rows(docs, text_col, shingle_n)
           .select("doc_id", F.xxhash64("shingle").alias("shingle"))
           .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK))

@@ -131,14 +131,16 @@ def importance_weights(docs: DataFrame, target: DataFrame,
     or estimates p_raw on a sample — the estimate, not the scoring,
     tolerates sampling. The two totals are driver scalars (two
     count()s), same posture as k-means' centroid round-trip."""
-    from bern2_spark.dataprep.dedup import word_bigrams
+    from bern2_spark.dataprep.dedup import word_bigrams_from
     n_buckets = 16 ** bucket_hex
 
     def feats(df, with_id):
         sel = [F.col(id_col)] if with_id else []
-        return (df.select(*sel,
-                          F.explode(word_bigrams(F.col(text_col)))
-                          .alias("gram"))
+        from bern2_spark.dataprep.dedup import norm_tokens
+        return (df.withColumn("_wb_toks", norm_tokens(F.col(text_col)))
+                .select(*sel,
+                        F.explode(word_bigrams_from(F.col("_wb_toks")))
+                        .alias("gram"))
                 .withColumn("bucket",
                             F.substring(F.md5("gram"), 1, bucket_hex))
                 .drop("gram"))
@@ -582,18 +584,27 @@ def source_datasheet(docs: DataFrame, domain_col: str = "source",
                                              language_id,
                                              quality_features)
     d = language_id(quality_features(docs, text_col), text_col)
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    # project the per-doc row down to what the rollups actually read
+    # BEFORE the md5 class-size exchange: the window previously pulled
+    # the full text through the shuffle, where only (source, md5, n_tok,
+    # quality, lang_pred) — ~50 bytes — is ever used downstream.  Same
+    # md5 keys, same post-shuffle row grouping, identical aggregates.
+    d = d.select(F.col(domain_col).alias("_src"),
+                 F.md5(F.col(text_col)).alias("_h"),
+                 bpe_ish_token_count(F.col(text_col)).alias("_ntok"),
+                 "quality_score", "lang_pred")
+    w = Window.partitionBy("_h")
     d = d.withColumn("_csize", F.count("*").over(w))
-    base = (d.groupBy(F.col(domain_col).alias("source"))
+    base = (d.groupBy(F.col("_src").alias("source"))
             .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.sum(bpe_ish_token_count(F.col(text_col)))
+                 F.sum("_ntok")
                  .cast("long").alias("n_tokens"),
                  F.round(F.sum(F.when(F.col("_csize") > 1, 1)
                                .otherwise(0))
                          / F.count("*"), round_to).alias("dup_rate"),
                  F.round(F.avg("quality_score"), round_to)
                  .alias("mean_quality")))
-    langs = (d.groupBy(F.col(domain_col).alias("source"), "lang_pred")
+    langs = (d.groupBy(F.col("_src").alias("source"), "lang_pred")
              .agg(F.count("*").alias("_n")))
     wl = Window.partitionBy("source").orderBy(F.desc("_n"),
                                               F.asc("lang_pred"))

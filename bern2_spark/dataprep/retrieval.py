@@ -59,12 +59,19 @@ def bm25_rank(files: DataFrame,
     ids = [F.col(c) for c in id_cols]
     toks = F.array_remove(
         F.split(F.lower(F.col(content_col)), TOKEN_SPLIT_RE), "")
+    # One tokenize pass: the query-term hits are filtered IN-ROW (the
+    # explode only generates hit rows, not one row per corpus token),
+    # and the narrow per-doc table (ids, _dl, _hits) is localCheckpoint'd
+    # lazily so the stats branch and the tf branch share a single
+    # content scan instead of re-tokenizing the corpus twice.
     d = (files.select(*ids, toks.alias("_toks"))
-         .withColumn("_dl", F.size("_toks")))
+         .select(*id_cols, F.size("_toks").alias("_dl"),
+                 F.filter(F.col("_toks"),
+                          lambda t: t.isin(*query_terms)).alias("_hits"))
+         .localCheckpoint(eager=False))
     # 1-row corpus stats, broadcast back via crossJoin.
     stats = d.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
-    tf = (d.select(*id_cols, "_dl", F.explode("_toks").alias("term"))
-          .filter(F.col("term").isin(list(query_terms)))
+    tf = (d.select(*id_cols, "_dl", F.explode("_hits").alias("term"))
           .groupBy(*id_cols, "_dl", "term")
           .agg(F.count("*").alias("_tf")))
     # df(t): tf has one row per (doc, term), so a per-term row count

@@ -18,32 +18,195 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+_UNROLL_MAX = 16  # see _dot: bigger chains trip HotSpot's 8KB JIT refusal
 
 
-def _norm(c):
-    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+def _dot(a, b, dim: int | None = None):
+    """Left-to-right multiply-add fold ``((0.0 + a1*b1) + a2*b2) + ...``.
+
+    With a SMALL known ``dim`` the chain is emitted unrolled (plain
+    codegen'd GetArrayItem arithmetic); both forms produce the
+    bitwise-identical double (same operand order, same leading 0.0).
+    Large dims deliberately stay on the fold: a 64-term unrolled chain
+    pushes the generated consume() method past HotSpot's
+    DontCompileHugeMethods 8KB bytecode limit, the JIT refuses the
+    method, and the whole fused stage runs in the bytecode interpreter
+    — measured 3-5x SLOWER than the fold at dim=64 (this round's
+    first attempt).  The dim=64 pair-scoring hot paths instead batch
+    through numpy (see _pair_scores_arrow)."""
+    if dim is None or dim > _UNROLL_MAX:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    acc = F.lit(0.0)
+    for d in range(dim):
+        acc = acc + F.get(a, d) * F.get(b, d)
+    return acc
+
+
+def _norm(c, dim: int | None = None):
+    """sqrt of the left-to-right sum of squares; unrolled iff ``dim``
+    is small (same bitwise-parity and JIT-limit contract as ``_dot``)."""
+    if dim is None or dim > _UNROLL_MAX:
+        return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, v: acc + v))
+    acc = F.lit(0.0)
+    for d in range(dim):
+        x = F.get(c, d)
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
+def _np_fold_scores(C, Q):
+    """Pairwise dot numerators with the exact engine fold order:
+    S[i,j] = ((0.0 + c_i0*q_j0) + c_i1*q_j1) + ... — the d-loop runs
+    in ascending order over float64 elementwise numpy ops (one IEEE
+    multiply + one IEEE add per term, no FMA, no pairwise-reduction),
+    so every entry is bitwise-identical to the JVM/DuckDB
+    left-to-right fold over the same doubles."""
+    import numpy as np
+    S = np.zeros((C.shape[0], Q.shape[0]), dtype=np.float64)
+    for d in range(C.shape[1]):
+        S += C[:, d:d + 1] * Q[:, d][None, :]
+    return S
+
+
+def _np_fold_norms(M):
+    """Row norms with the exact fold order (see _np_fold_scores)."""
+    import numpy as np
+    n = np.zeros(M.shape[0], dtype=np.float64)
+    for d in range(M.shape[1]):
+        n += M[:, d] * M[:, d]
+    return np.sqrt(n)
+
+
+def _pair_candidates(corpus, q_rows, k: int | None = None,
+                     tau_floor: float | None = None,
+                     probe_masks_by_qid: dict | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bucket_col: str | None = None,
+                     q_id_type: str = "bigint",
+                     c_id_type: str = "bigint") -> DataFrame:
+    """Shared candidate generator for the pair-heavy ANN operators
+    (brute-force top-k, range search, bucketed/multi-probe LSH).
+
+    The query side is COLLECTED (few queries — the same assumption the
+    previous broadcast-join formulation made) and shipped inside the
+    mapInPandas closure; the corpus streams through Arrow exactly once
+    and the per-pair cosine is computed as a batched numpy loop with
+    the engine's exact fold order (_np_fold_scores), so every emitted
+    cosine is bitwise-identical to the former per-pair JVM fold.  The
+    former plan materialized every (query x corpus-row) pair as a JVM
+    row carrying BOTH 64-dim vectors through an interpreted
+    higher-order-function fold (~16 us/pair); this one moves each
+    corpus vector across the Python boundary once and scores pairs at
+    memory bandwidth.
+
+    Selection inside a batch is SUPERSET-safe: top-k mode keeps every
+    row tied with the k-th best (>= threshold), so the downstream
+    window rank sees every possible global top-k member regardless of
+    batch boundaries; range mode keeps a conservative tau margin and
+    NaNs (Spark treats NaN as greater than any double) and leaves the
+    authoritative rounded-threshold filter to the JVM.
+
+    Returns (query_id, neighbor_id, cosine[unrounded])."""
+    import numpy as np
+
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows],
+                 dtype=np.float64)
+    qn = _np_fold_norms(Q) if len(q_rows) else None
+    # per-query probed-bucket membership as a boolean lookup table
+    # (bucket ids can exceed 63, so no int64 bitmask)
+    B = None
+    if probe_masks_by_qid is not None:
+        nbuckets = 1 + max((b for s in probe_masks_by_qid.values()
+                            for b in s), default=0)
+        B = np.zeros((len(q_rows), nbuckets), dtype=bool)
+        for j, r in enumerate(q_rows):
+            for b in probe_masks_by_qid.get(r[0], ()):
+                B[j, b] = True
+
+    cols = [id_col, vec_col] + ([bucket_col] if bucket_col else [])
+    spark = corpus.sparkSession
+    src = corpus.select(*cols).repartition(
+        spark.sparkContext.defaultParallelism)
+    out_schema = (f"query_id {q_id_type}, neighbor_id {c_id_type}, "
+                  "cosine double")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            C = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]], dtype=np.float64)
+            nid = pdf[id_col].to_numpy()
+            S = _np_fold_scores(C, Q)
+            cn = _np_fold_norms(C)
+            cos = S / (qn[None, :] * cn[:, None])
+            valid = nid[:, None] != qids[None, :]
+            if bucket_col is not None:
+                cb = pdf[bucket_col].to_numpy(np.int64)
+                in_range = cb < B.shape[1]
+                valid &= (B[:, np.minimum(cb, B.shape[1] - 1)].T
+                          & in_range[:, None])
+            qi, ni, co = [], [], []
+            if tau_floor is not None:
+                m = valid & ((cos >= tau_floor) | np.isnan(cos))
+                ii, jj = np.nonzero(m)
+                if len(ii):
+                    qi.append(qids[jj])
+                    ni.append(nid[ii])
+                    co.append(cos[ii, jj])
+            else:
+                for j in range(len(qids)):
+                    colv = cos[:, j]
+                    vm = valid[:, j]
+                    nv = int(vm.sum())
+                    if nv == 0:
+                        continue
+                    if nv > k:
+                        vals = colv[vm]
+                        thr = np.partition(vals, nv - k)[nv - k]
+                        vm = vm & ((colv >= thr) | np.isnan(colv))
+                    ii = np.nonzero(vm)[0]
+                    qi.append(np.full(len(ii), qids[j]))
+                    ni.append(nid[ii])
+                    co.append(colv[ii])
+            if qi:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(qi),
+                    "neighbor_id": np.concatenate(ni),
+                    "cosine": np.concatenate(co)})
+
+    return src.mapInPandas(gen, schema=out_schema)
+
+
+def _id_type(df: DataFrame, col: str) -> str:
+    return dict(df.dtypes)[col]
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     dim: int | None = None) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank<=k); excludes self-matches.
-    The query side is broadcast (few queries vs big corpus)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cosine",
-                          _dot(F.col("q_vec"), F.col("c_vec"))
-                          / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))))
+    The query side is collected and shipped with the task closure (few
+    queries vs big corpus — the same posture the former broadcast join
+    assumed); pair scoring is the batched numpy fold of
+    _pair_candidates, bitwise-identical to the per-pair JVM fold.
+    Only narrow per-batch top-k candidate rows (a superset of the
+    global top-k) reach the rank exchange: the vectors never
+    shuffle."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    cand = _pair_candidates(corpus, q_rows, k=k, id_col=id_col,
+                            vec_col=vec_col,
+                            q_id_type=_id_type(queries, id_col),
+                            c_id_type=_id_type(corpus, id_col))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
@@ -63,14 +226,25 @@ def hyperplanes(n_bits: int, dim: int) -> List[List[float]]:
 
 def sign_lsh_bucket(vec_col, planes: List[List[float]]):
     """Sign-LSH bucket id from a precomputed hyperplane matrix: bit i =
-    sign of dot(vec, plane_i). The dot is a LEFT-TO-RIGHT aggregate fold
-    (not a matmul) so the float summation order — and therefore the
-    sign of near-zero projections — is identical across engines."""
+    sign of dot(vec, plane_i). The dot is a LEFT-TO-RIGHT multiply-add
+    chain (not a matmul) so the float summation order — and therefore
+    the sign of near-zero projections — is identical across engines.
+    Tiny plane sets unroll into codegen'd arithmetic; anything larger
+    keeps the fold — a big unrolled chain trips HotSpot's 8KB JIT
+    refusal and runs interpreted (see _dot), on top of the janino
+    64 KB GenerateExec limit (_book_scores)."""
+    unroll = sum(len(r) for r in planes) <= _UNROLL_MAX
     bucket = F.lit(0)
     for i, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
-        proj = F.aggregate(F.zip_with(vec_col, plane, lambda x, p: x * p),
-                           F.lit(0.0), lambda acc, v: acc + v)
+        if unroll:
+            proj = F.lit(0.0)
+            for d, p in enumerate(row):
+                proj = proj + F.get(vec_col, d) * F.lit(p)
+        else:
+            plane = F.array(*[F.lit(v) for v in row])
+            proj = F.aggregate(F.zip_with(vec_col, plane,
+                                          lambda x, p: x * p),
+                               F.lit(0.0), lambda acc, v: acc + v)
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -96,11 +270,18 @@ def _cell_scores(vec_col, centroids: List[List[float]]):
     term is constant per row): array of (score, idx) structs, ordered
     args — LEFT-TO-RIGHT dot folds for cross-engine float parity."""
     out = []
+    unroll = sum(len(c) for c in centroids) <= _UNROLL_MAX
     for i, c in enumerate(centroids):
         c_norm_sq = sum(x * x for x in c)
-        plane = F.array(*[F.lit(v) for v in c])
-        dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, v: acc + v)
+        if unroll:
+            dot = F.lit(0.0)
+            for d, y in enumerate(c):
+                dot = dot + F.get(vec_col, d) * F.lit(y)
+        else:
+            plane = F.array(*[F.lit(v) for v in c])
+            dot = F.aggregate(F.zip_with(vec_col, plane,
+                                         lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, v: acc + v)
         out.append(F.struct((F.lit(c_norm_sq) - 2.0 * dot).alias("s"),
                             F.lit(i).alias("i")))
     return F.array(*out)
@@ -193,20 +374,25 @@ def _probe_rerank(c: DataFrame, queries: DataFrame,
                   centroids: List[List[float]], k: int, n_probe: int,
                   id_col: str, vec_col: str) -> DataFrame:
     """Shared IVF query path: each query probes its n_probe nearest
-    cells, joins the celled corpus, exact-cosine re-ranks."""
+    cells, joins the celled corpus, exact-cosine re-ranks.  Norms are
+    computed once per row before the join and only narrow rows reach
+    the rank exchange (same doubles — see _dot/_norm)."""
+    dim = len(centroids[0]) if centroids else None
     scores = _cell_scores(F.col("q_vec"), centroids)
     probes = F.slice(F.array_sort(scores), 1, n_probe)
     q = (queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("q_vec"))
-         .select("query_id", "q_vec",
+         .withColumn("q_norm", _norm(F.col("q_vec"), dim))
+         .select("query_id", "q_vec", "q_norm",
                  F.explode(F.transform(probes, lambda p: p["i"]))
                  .alias("cell")))
-    scored = (c.join(q, "cell")
+    cn = c.withColumn("c_norm", _norm(F.col("c_vec"), dim))
+    scored = (cn.join(q, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cosine",
-                          _dot(F.col("q_vec"), F.col("c_vec"))
-                          / (_norm(F.col("q_vec"))
-                             * _norm(F.col("c_vec")))))
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("q_vec"), F.col("c_vec"), dim)
+                       / (F.col("q_norm") * F.col("c_norm")))
+                      .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -291,8 +477,9 @@ def lsh_banded_pairs(embeddings: DataFrame, threshold: float = 0.95,
             .distinct())
     return (cand
             .withColumn("cosine",
-                        _dot(F.col("vec_a"), F.col("vec_b"))
-                        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))))
+                        _dot(F.col("vec_a"), F.col("vec_b"), dim)
+                        / (_norm(F.col("vec_a"), dim)
+                           * _norm(F.col("vec_b"), dim)))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -361,21 +548,33 @@ def lsh_multiprobe_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                F.col(vec_col).alias("q_vec"))
                 .withColumn("bucket", F.explode(probes)))
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"),
-                      sign_lsh_bucket(F.col(vec_col), planes)
-                      .alias("bucket"))
-    scored = (c.join(F.broadcast(probed_queries()), "bucket")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cosine",
-                          _dot(F.col("q_vec"), F.col("c_vec"))
-                          / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))))
+    # the probe-selection logic runs UNCHANGED as Spark expressions on
+    # the tiny query side (same array_sort (cost, mask) order), then
+    # the exploded (query, probed-bucket) rows are collected into
+    # per-query bucket bitmasks for the batched numpy scorer — the
+    # candidate pair set is exactly the former bucket-join's.
+    pq_rows = (probed_queries()
+               .select("query_id", "q_vec", "bucket").collect())
+    probe_bits: dict = {}
+    q_vecs: dict = {}
+    for r in pq_rows:
+        probe_bits.setdefault(r[0], set()).add(int(r[2]))
+        q_vecs.setdefault(r[0], r[1])
+    q_rows = sorted(q_vecs.items())
+    c = corpus.withColumn("_lsh_bucket",
+                          sign_lsh_bucket(F.col(vec_col), planes))
+    cand = _pair_candidates(c, q_rows, k=k,
+                            probe_masks_by_qid=probe_bits,
+                            id_col=id_col, vec_col=vec_col,
+                            bucket_col="_lsh_bucket",
+                            q_id_type=_id_type(queries, id_col),
+                            c_id_type=_id_type(corpus, id_col))
     # a (query, neighbor) pair can surface from several probed buckets
     # only if bucketing were ambiguous — it is not (one bucket per
     # corpus row), so no distinct is needed before ranking
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
@@ -389,19 +588,20 @@ def lsh_bucket_pairs(embeddings: DataFrame, threshold: float = 0.95,
     all pairs), then exact cosine verify inside buckets. The bucketed
     complement of dedup.embedding_cosine_pairs' exact all-pairs."""
     planes = hyperplanes(n_bits, dim)
-    b = embeddings.select(F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("vec"),
-                          sign_lsh_bucket(F.col(vec_col), planes)
-                          .alias("bucket"))
+    b = (embeddings.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("vec"),
+                           sign_lsh_bucket(F.col(vec_col), planes)
+                           .alias("bucket"))
+         .withColumn("nrm", _norm(F.col("vec"), dim)))
     a = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-                 "bucket")
+                 F.col("nrm").alias("nrm_a"), "bucket")
     c = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-                 "bucket")
+                 F.col("nrm").alias("nrm_b"), "bucket")
     return (a.join(c, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine",
-                        _dot(F.col("vec_a"), F.col("vec_b"))
-                        / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))))
+                        _dot(F.col("vec_a"), F.col("vec_b"), dim)
+                        / (F.col("nrm_a") * F.col("nrm_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -416,22 +616,26 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     rows the bucket join shuffles only (id, bucket, vec) pairs and the
     per-bucket re-rank is embarrassingly parallel."""
     planes = hyperplanes(n_bits, dim)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"),
-                      sign_lsh_bucket(F.col(vec_col), planes)
-                      .alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"),
-                       sign_lsh_bucket(F.col(vec_col), planes)
-                       .alias("bucket"))
-    scored = (c.join(F.broadcast(q), "bucket")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cosine",
-                          _dot(F.col("q_vec"), F.col("c_vec"))
-                          / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))))
+    # query-side bucket assignment runs as the SAME Spark expression
+    # (bit-identical fold/sign) on the tiny query side, then collects
+    # into the batched numpy scorer; candidate pairs = same-bucket
+    # co-residents, exactly the former broadcast bucket-join's set
+    q_rows3 = (queries.select(id_col, vec_col,
+                              sign_lsh_bucket(F.col(vec_col), planes)
+                              .alias("bucket"))
+               .collect())
+    probe = {r[0]: {int(r[2])} for r in q_rows3}
+    c = corpus.withColumn("_lsh_bucket",
+                          sign_lsh_bucket(F.col(vec_col), planes))
+    cand = _pair_candidates(c, [(r[0], r[1]) for r in q_rows3], k=k,
+                            probe_masks_by_qid=probe,
+                            id_col=id_col, vec_col=vec_col,
+                            bucket_col="_lsh_bucket",
+                            q_id_type=_id_type(queries, id_col),
+                            c_id_type=_id_type(corpus, id_col))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
@@ -457,14 +661,18 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
     ``ivf_topk``'s."""
     if centroids is None:
         centroids = ivf_centroids(n_centroids, dim)
+    _d = len(centroids[0]) if centroids else None
     assigned = ivf_assign(
         embeddings.select(id_col, vec_col), centroids, vec_col)
-    a = assigned.select(F.col(id_col).alias("_ida"), "cell",
-                        F.col(vec_col).alias("_va"))
-    b = assigned.select(F.col(id_col).alias("_idb"), "cell",
-                        F.col(vec_col).alias("_vb"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / \
-        (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    withn = assigned.withColumn("_nrm", _norm(F.col(vec_col), _d))
+    a = withn.select(F.col(id_col).alias("_ida"), "cell",
+                     F.col(vec_col).alias("_va"),
+                     F.col("_nrm").alias("_na"))
+    b = withn.select(F.col(id_col).alias("_idb"), "cell",
+                     F.col(vec_col).alias("_vb"),
+                     F.col("_nrm").alias("_nb"))
+    cos = _dot(F.col("_va"), F.col("_vb"), _d) / \
+        (F.col("_na") * F.col("_nb"))
     dropped = (a.join(b, "cell")
                .filter(F.col("_ida") > F.col("_idb"))
                .withColumn("_cos", cos)
@@ -753,16 +961,18 @@ def ivf_pq_rerank(corpus: DataFrame, queries: DataFrame,
                         k=k_cand, n_probe=n_probe, dim=dim,
                         id_col=id_col, vec_col=vec_col)
             .select("query_id", "neighbor_id"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("c_vec"))
+         .withColumn("c_norm", _norm(F.col("c_vec"), dim)))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("q_norm", _norm(F.col("q_vec"), dim)))
     scored = (c.join(F.broadcast(cand), "neighbor_id")
               .join(F.broadcast(q), "query_id")
-              .withColumn("cosine",
-                          _dot(F.col("q_vec"), F.col("c_vec"))
-                          / (_norm(F.col("q_vec"))
-                             * _norm(F.col("c_vec")))))
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("q_vec"), F.col("c_vec"), dim)
+                       / (F.col("q_norm") * F.col("c_norm")))
+                      .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -772,7 +982,8 @@ def ivf_pq_rerank(corpus: DataFrame, queries: DataFrame,
 
 def range_search(corpus: DataFrame, queries: DataFrame, tau: float,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 dim: int | None = None) -> DataFrame:
     """Radius (range) search: ALL corpus vectors within cosine >= tau
     of each query — the fixed-threshold companion to
     ``brute_force_topk`` for recall-bounded retrieval (faiss
@@ -788,16 +999,16 @@ def range_search(corpus: DataFrame, queries: DataFrame, tau: float,
     engines' float summation order.
 
     Output: (query_id, neighbor_id, cosine) with cosine rounded."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
-    return (c.join(F.broadcast(q),
-                   F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("cosine",
-                        F.round(_dot(F.col("q_vec"), F.col("c_vec"))
-                                / (_norm(F.col("q_vec"))
-                                   * _norm(F.col("c_vec"))), 6))
+    q_rows = queries.select(id_col, vec_col).collect()
+    # conservative floor: anything that could round (HALF_UP, 6 dp) to
+    # >= tau survives the batch stage; the authoritative rounded
+    # comparison below is the same JVM round/filter as before
+    cand = _pair_candidates(corpus, q_rows, tau_floor=tau - 1e-6,
+                            id_col=id_col, vec_col=vec_col,
+                            q_id_type=_id_type(queries, id_col),
+                            c_id_type=_id_type(corpus, id_col))
+    return (cand
+            .withColumn("cosine", F.round(F.col("cosine"), 6))
             .filter(F.col("cosine") >= tau)
             .select("query_id", "neighbor_id", "cosine"))
 
@@ -829,16 +1040,21 @@ def pq_distortion(df: DataFrame, codebooks: List[List[List[float]]],
     v = F.col(vec_col)
     err2 = F.lit(0.0)
     for s in range(m):
-        sub = F.slice(v, s * dsub + 1, dsub)
+        # sum_d v[s*dsub+d]^2, unrolled directly over v (identical
+        # element order/values as the former slice+fold)
+        sub2 = F.lit(0.0)
+        for d in range(dsub):
+            x = F.get(v, s * dsub + d)
+            sub2 = sub2 + x * x
         term = (F.array_min(_book_scores(v, codebooks[s],
                                          s * dsub))["s"]
-                + _dot(sub, sub))
+                + sub2)
         err2 = err2 + term
     err2 = F.greatest(err2, F.lit(0.0))
     return df.select(
         F.col(id_col),
         F.round(F.sqrt(err2), round_to).alias("recon_err"),
-        F.round(F.sqrt(err2) / F.sqrt(_dot(v, v)), round_to)
+        F.round(F.sqrt(err2) / F.sqrt(_dot(v, v, dim)), round_to)
         .alias("rel_err"))
 
 

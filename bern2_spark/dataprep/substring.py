@@ -43,20 +43,28 @@ def kgram_table(docs: DataFrame, text_col: str = "text",
                 k: int = 5) -> DataFrame:
     """(doc_id, start, gram_hash) for every token k-gram.  ``start`` is
     the 1-based token index; docs shorter than k tokens yield no rows.
-    The gram hash is md5 of the space-joined k tokens — content-pure
-    (no RNG), so the table is reproducible on any engine."""
-    toks = _ws_toks(F.col(text_col))
+    The gram hash is xxhash64 of the space-joined k tokens — content-
+    pure (no RNG), reproducible on any engine, and 8 bytes instead of
+    a 32-hex md5 string through every downstream exchange (duplicate
+    detection is unchanged modulo 2^-64 collisions, which the span
+    oracle would expose)."""
+    # tokens are materialized once per row as a multi-referenced alias:
+    # HOF lambda bodies re-evaluate captured subtrees per element, so
+    # slicing the raw split expression re-tokenized the doc once per
+    # k-gram position (O(tokens^2) per doc)
+    toks = F.col("_kg_toks")
     grams = F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
             lambda i: F.struct(
                 i.cast("int").alias("start"),
-                F.md5(F.array_join(F.slice(toks, i, k), " "))
+                F.xxhash64(F.array_join(F.slice(toks, i, k), " "))
                  .alias("gram_hash")))
     ).otherwise(F.array().cast(
-        "array<struct<start:int,gram_hash:string>>"))
+        "array<struct<start:int,gram_hash:bigint>>"))
     return (docs
+            .withColumn("_kg_toks", _ws_toks(F.col(text_col)))
             .select("doc_id", F.explode(grams).alias("g"))
             .select("doc_id", F.col("g.start").alias("start"),
                     F.col("g.gram_hash").alias("gram_hash")))

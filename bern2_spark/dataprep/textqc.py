@@ -35,18 +35,27 @@ def bpe_ish_token_count(col) -> Column:
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / uppercase ratios + a composite
-    quality score in [0,1]."""
+    quality score in [0,1].
+
+    The token array is materialized once as a multi-referenced alias
+    (``_toks``): higher-order functions are CodegenFallback, so Spark's
+    runtime subexpression elimination never dedups them — building the
+    ratios from repeated ``norm_tokens`` subtrees re-ran the split +
+    filter several times per row.  CollapseProject keeps a non-cheap
+    multi-referenced alias in its own projection, so the tokenize now
+    runs exactly once per row; every derived value is unchanged."""
     c = F.col(text_col)
-    toks = norm_tokens(c)
-    n_tok = F.size(toks)
+    toks = F.col("_toks")
+    n_tok = F.col("n_tokens")
+    n_chars = F.col("n_chars")
     stop_hits = F.size(F.filter(
         toks, lambda t: t.isin(*LANG_SIGNATURES["en"])))
-    n_chars = F.length(c)
     punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
     upper = F.regexp_count(c, F.lit(r"[A-Z]"))
     out = (docs
-           .withColumn("n_chars", n_chars)
-           .withColumn("n_tokens", n_tok)
+           .withColumn("_toks", norm_tokens(c))
+           .withColumn("n_chars", F.length(c))
+           .withColumn("n_tokens", F.size(toks))
            .withColumn("punct_ratio",
                        F.when(n_chars > 0, punct / n_chars).otherwise(0.0))
            .withColumn("upper_ratio",
@@ -62,27 +71,37 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.least(F.col("n_tokens") / 20.0, F.lit(1.0)) * 0.4
         + (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
         + F.least(F.col("stopword_ratio") * 3, F.lit(1.0)) * 0.3)
-    return out.withColumn("quality_score", F.round(score, 6))
+    return out.withColumn("quality_score", F.round(score, 6)).drop("_toks")
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-signature language ID: argmax over per-language hit
-    counts, 'und' (undetermined) when nothing matches."""
-    toks = norm_tokens(F.col(text_col))
+    counts, 'und' (undetermined) when nothing matches.
+
+    ``_lid_toks`` / ``_lid_best`` are materialized as multi-referenced
+    aliases for the same CodegenFallback-CSE reason as
+    quality_features: the naive form re-tokenized the text once per
+    language per branch of the WHEN (8x per row)."""
 
     def hits(sig):
         # NB: a 1-arg lambda is required — Spark treats a second python
         # parameter as the element-index lambda argument
-        return F.size(F.filter(toks, lambda t: t.isin(*sig)))
+        return F.size(F.filter(F.col("_lid_toks"),
+                               lambda t: t.isin(*sig)))
 
     scores = [
         F.struct(hits(sig).alias("hits"), F.lit(lang).alias("lang"))
         for lang, sig in sorted(LANG_SIGNATURES.items())
     ]
-    best = F.array_max(F.array(*scores))
-    return docs.withColumn(
-        "lang_pred",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+    best = F.col("_lid_best")
+    return (docs
+            .withColumn("_lid_toks", norm_tokens(F.col(text_col)))
+            .withColumn("_lid_best", F.array_max(F.array(*scores)))
+            .withColumn(
+                "lang_pred",
+                F.when(best["hits"] > 0, best["lang"])
+                .otherwise(F.lit("und")))
+            .drop("_lid_toks", "_lid_best"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -105,11 +124,10 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     100 TB both shuffles carry short strings with map-side combine, and
     the final per-doc reduce emits one row per doc.  Empty docs yield
     zero fractions."""
-    from bern2_spark.dataprep.dedup import word_bigrams
+    from bern2_spark.dataprep.dedup import word_bigrams_from
     c = F.col(text_col)
     sents = F.filter(F.split(c, r"\.\s+|\.$"),
                      lambda s: F.trim(s) != "")
-    bigrams = word_bigrams(c)
 
     sent_stats = (docs
                   .select(id_col, F.explode_outer(sents).alias("sent"))
@@ -123,7 +141,11 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
                                                   F.col("n"))), F.lit(1)))
                        .alias("dup_sent_frac")))
     bi_stats = (docs
-                .select(id_col, F.explode_outer(bigrams).alias("bg"))
+                .withColumn("_wb_toks", norm_tokens(c))
+                .select(id_col,
+                        F.explode_outer(
+                            word_bigrams_from(F.col("_wb_toks")))
+                        .alias("bg"))
                 .groupBy(id_col, "bg").agg(F.count("*").alias("n"))
                 .groupBy(id_col)
                 .agg((F.coalesce(F.max(F.when(F.col("bg").isNotNull(),
@@ -435,13 +457,15 @@ def lm_cross_entropy(docs: DataFrame, text_col: str = "text",
     from pyspark import StorageLevel
     from pyspark.sql.functions import broadcast
 
-    from bern2_spark.dataprep.dedup import word_bigrams
+    from bern2_spark.dataprep.dedup import (norm_tokens,
+                                            word_bigrams_from)
 
     n_buckets = 16 ** bucket_hex
     s = float(smoothing)
     feats = (docs
+             .withColumn("_wb_toks", norm_tokens(F.col(text_col)))
              .select(id_col,
-                     F.explode(word_bigrams(F.col(text_col)))
+                     F.explode(word_bigrams_from(F.col("_wb_toks")))
                      .alias("_gram"))
              .select(id_col,
                      F.substring(F.md5("_gram"), 1,

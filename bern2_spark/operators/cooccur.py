@@ -118,8 +118,13 @@ def sentence_cooccurrence(docs: DataFrame, lexicon: DataFrame,
         "doc_id",
         F.posexplode(F.split(F.lower(F.col(text_col)), r"[.!?] "))
          .alias("sent_idx0", "sent"))
-    toks = F.filter(F.split(F.col("sent"), "[^a-z0-9]+"),
-                    lambda t: t != "")
+    # materialized once per sentence row: the bigram HOF's lambda body
+    # re-evaluates captured subtrees per element, so the raw split
+    # expression would re-tokenize the sentence per bigram position
+    sents = sents.withColumn(
+        "_ct_toks", F.filter(F.split(F.col("sent"), "[^a-z0-9]+"),
+                             lambda t: t != ""))
+    toks = F.col("_ct_toks")
     n_bi = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     bigrams = F.when(n_bi > 0, F.slice(
         F.transform(F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),

@@ -1017,7 +1017,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
-    return (embedding_cosine_pairs(emb, threshold=0.30)
+    return (embedding_cosine_pairs(emb, threshold=0.30, dim=64)
             .withColumn("cosine", F.round("cosine", 6)))
 
 
@@ -1194,7 +1194,7 @@ def ann_topk_bruteforce(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    out = brute_force_topk(emb, queries, k=5)
+    out = brute_force_topk(emb, queries, k=5, dim=64)
     return out.withColumn("cosine", F.round("cosine", 6)) \
               .withColumn("rank", F.col("rank").cast("long"))
 
@@ -7220,7 +7220,7 @@ def code_hybrid_search(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     sem = (brute_force_topk(emb, emb.filter(F.col("vec_id") == 0),
-                            k=20)
+                            k=20, dim=64)
            .select(F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse([lex.select("doc_id", "rank"), sem], topk=10)
 
@@ -7509,7 +7509,7 @@ def ann_range_search(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
     return range_search(emb, emb.filter(F.col("vec_id") % 97 == 0),
-                        tau=0.2)
+                        tau=0.2, dim=64)
 
 
 @q("events_anomaly", """
