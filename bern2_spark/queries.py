@@ -52,11 +52,29 @@ def _values_sql(rows, names):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group parquet scans as ONE task: fan the (column-
+    # pruned) rows out to the session's parallelism so the scan-fused
+    # per-row work (tokenize, hashes, regex) runs on every core, not
+    # one.  Column pruning pushes each query's select below the
+    # repartition, so only the used columns move (see _spread).
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                   spark)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                   spark)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: the events queries' per-row arithmetic is cheap, so
+    # repartitioning 1M wide rows costs more than the single-row-group
+    # scan it would parallelize (measured: events_rfm 0.4 s raw vs
+    # 2.5 s round-robin-spread / 1.4 s hash-spread at sf1.0 — the
+    # keyless repartition additionally pays sortBeforeRepartition over
+    # the whole input).  _docs/_emb stay spread: their consumers fuse
+    # genuinely heavy per-row work (tokenize x hashes) into the scan.
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 # shared Spark fragments -----------------------------------------------------
@@ -766,7 +784,7 @@ def _spread(df, spark):
 
 
 def _dup_docs(spark, sf_dir):
-    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"), spark)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     exact = (d.filter(F.col("doc_id") % 11 == 0)
              .select((F.col("doc_id") + 10000000).alias("doc_id"), "text"))
     near = (d.filter(F.col("doc_id") % 13 == 0)
@@ -803,7 +821,7 @@ _CONT_UNION_SQL = """
 
 
 def _cont_docs(spark, sf_dir):
-    d = _spread(_docs(spark, sf_dir).select("doc_id", "text"), spark)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     words = F.filter(F.split("text", " "), lambda t: t != "")
     frag = (d.filter(F.col("doc_id") % 9 == 0)
             .select((F.col("doc_id") + 30000000).alias("doc_id"),
@@ -2286,7 +2304,7 @@ def skew_salted_agg(spark, sf_dir):
     of all rows share one key): result identical to a plain groupBy —
     the salt only changes the shuffle distribution."""
     from bern2_spark.operators.skew import salted_agg_count
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
          .otherwise(F.col("user_id").cast("string")).alias("k"))
     return salted_agg_count(ev, ["k"])
@@ -2303,7 +2321,7 @@ def skew_salted_join(spark, sf_dir):
     the broadcast threshold): fact rows carry a random salt, the dim is
     replicated per salt — result identical to the plain join."""
     from bern2_spark.operators.skew import salted_join
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     fact = ev.select("event_id", "user_id")
     dim = (ev.select("user_id").distinct()
            .withColumn("cohort", F.col("user_id") % 7))
@@ -2318,7 +2336,7 @@ SELECT event_id,
 FROM events
 """)
 def events_user_ranked(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select("event_id", F.row_number().over(w).alias("seq_in_user"))
 
@@ -2434,7 +2452,9 @@ def kg_cooccurrence(spark, sf_dir):
 def kg_pipeline_triples(spark, sf_dir):
     from bern2_spark import corpus
     from bern2_spark.pipeline import run_pipeline
-    docs = _docs(spark, sf_dir).select(
+    # raw read (no _spread): run_pipeline applies its own fan-out, and
+    # a pre-spread input would double the repartition
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("source").alias("repo"),
         F.concat(F.lit("docs/"), F.col("doc_id").cast("string"),
                  F.lit(".txt")).alias("path"),
@@ -3779,7 +3799,7 @@ def events_asof_attribution(spark, sf_dir):
     no quadratic theta-join). The oracle is the same formulation in
     SQL; timestamps compared as epoch micros."""
     from bern2_spark.operators.asof import asof_join
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id", "value")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -3892,7 +3912,7 @@ def skew_hot_key_profile(spark, sf_dir):
     synthetic hot key as skew_salted_agg, so the two queries pair as
     measure -> mitigate)."""
     from bern2_spark.operators.skew import hot_key_profile
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
          .otherwise(F.col("user_id").cast("string")).alias("k"))
     return hot_key_profile(ev, ["k"], hot_share=0.01, n_buckets=32)
@@ -4162,7 +4182,7 @@ def events_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/asof.py:sessionize): 30-min
     inactivity starts a new per-user session; one shuffle, one sort."""
     from bern2_spark.operators.asof import sessionize
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return sessionize(ev).select("event_id", "user_id", "session_idx")
 
 
@@ -4206,7 +4226,7 @@ def events_windowed_counts(spark, sf_dir):
     of the Structured Streaming windowed path in streaming/windowed.py);
     value summed as exact integer micros so the hash is stable against
     float summation order."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     win = F.window("ts", "1 hour")
     us = F.expr("timestampdiff(MICROSECOND, "
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', _wstart)")
@@ -4782,7 +4802,7 @@ def events_top_paths(spark, sf_dir):
     — no ordered-collect nondeterminism — and the top-k is
     TakeOrderedAndProject."""
     from bern2_spark.operators.asof import sessionize
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     s = sessionize(ev)
     paths = (s.groupBy("user_id", "session_idx")
              .agg(F.array_sort(F.collect_list(F.struct(
@@ -4849,7 +4869,7 @@ def events_funnel(spark, sf_dir):
     counts.  Stage anchors are user-count-sized broadcasts; the event
     table never self-joins (operators/asof.py:funnel_counts)."""
     from bern2_spark.operators.asof import funnel_counts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
@@ -4869,7 +4889,7 @@ def events_retention(spark, sf_dir):
     distinct (user, day) projection shuffles
     (operators/asof.py:retention_cohorts)."""
     from bern2_spark.operators.asof import retention_cohorts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return retention_cohorts(ev, max_offset=7)
 
 
@@ -5789,7 +5809,7 @@ def events_interval_join(spark, sf_dir):
     interval copies (W = interval length).  Timestamps compared as
     epoch micros (NTZ-safe, see events_asof_attribution)."""
     from bern2_spark.operators.rangejoin import interval_join
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
 
     def us(c):
         return F.expr(f"timestampdiff(MICROSECOND, "
@@ -5831,7 +5851,7 @@ def events_rollup_multigrain(spark, sf_dir):
     independently from raw events (two direct scans), so the hash
     match validates the re-aggregation identity, not the plan."""
     from bern2_spark.operators.rollup import rollup_timegrains
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     out = rollup_timegrains(ev, "ts", ["event_type"], "value",
                             grains=("hour", "day"))
     us = F.expr("timestampdiff(MICROSECOND, "
@@ -6158,7 +6178,7 @@ def events_scd2(spark, sf_dir):
     sort, two stacked windows; intervals emitted as epoch micros for
     engine-stable hashing (the events family convention)."""
     from bern2_spark.operators.upsert import scd2_history
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = (_events(spark, sf_dir)
           .select("user_id", "event_type", "ts", "event_id"))
     out = scd2_history(ev, keys=["user_id"], ts_col="ts",
                        tiebreak=["event_id"])
@@ -7337,7 +7357,7 @@ def events_gapfill(spark, sf_dir):
     join), and the fill is one running last(ignorenulls) window over
     the per-user sort the join already established."""
     from bern2_spark.operators.rollup import gapfill
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     out = gapfill(ev, "ts", ["user_id"], "value", grain="day")
     return out.select("user_id", F.to_date("bucket").alias("day"),
                       "value_micros", "filled_micros", "is_gap")
@@ -7548,7 +7568,7 @@ def events_anomaly(spark, sf_dir):
     arithmetic — deterministic where stddev over doubles wouldn't
     be."""
     from bern2_spark.operators.rollup import rolling_zscore
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     out = rolling_zscore(ev, "ts", ["user_id"], "value",
                          window_rows=7, min_obs=3, z_thresh=2.0)
     return out.select("user_id", F.to_date("bucket").alias("day"),
@@ -7735,7 +7755,7 @@ def events_markov(spark, sf_dir):
     never raw events; equal-timestamp ties break on event_id in both
     engines."""
     from bern2_spark.operators.asof import markov_transitions
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return markov_transitions(ev)
 
 
@@ -7820,7 +7840,7 @@ def events_rfm(spark, sf_dir):
     integer binning (the same floor((x-lo)*k/span) arithmetic as the
     Z-order layout).  Recency inverted so higher = more recent."""
     from bern2_spark.operators.rollup import rfm_scores
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return rfm_scores(ev).withColumnRenamed("user", "user_id")
 
 
@@ -7974,7 +7994,7 @@ def events_ab_test(spark, sf_dir):
     scale, and DuckDB would widen to int128 where Spark wraps);
     round(6) absorbs sum-order ulps."""
     from bern2_spark.operators.rollup import ab_lift
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return ab_lift(ev)
 
 
@@ -8159,7 +8179,7 @@ def events_sliding(spark, sf_dir):
     epoch second (no calendar join), then one map-side-combined
     groupBy; the 4x fan-out happens before the only shuffle."""
     from bern2_spark.operators.rollup import sliding_counts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     out = sliding_counts(ev)
     # epoch-micros window key — the engine-portable form every events_*
     # windowed query uses (a zoned timestamp hashes differently)
@@ -8818,7 +8838,7 @@ def events_stickiness(spark, sf_dir):
     fan-out is the fixed window size applied to user-days, never raw
     events."""
     from bern2_spark.operators.rollup import stickiness
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return stickiness(ev)
 
 
