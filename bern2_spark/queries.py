@@ -51,14 +51,19 @@ def _values_sql(rows, names):
     return f"(VALUES {vals}) AS lex({', '.join(names)})"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = True) -> DataFrame:
     # single-row-group parquet scans as ONE task: fan the (column-
     # pruned) rows out to the session's parallelism so the scan-fused
     # per-row work (tokenize, hashes, regex) runs on every core, not
     # one.  Column pruning pushes each query's select below the
     # repartition, so only the used columns move (see _spread).
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
-                   spark)
+    # ``spread=False`` for consumers whose per-row work is lighter
+    # than the repartition (or that scan docs in several plan
+    # branches, repeating the exchange per branch) — chosen per query
+    # from the measured A/B at sf1.0 (OPTIMIZATION_r06.md).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(d, spark) if spread else d
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +784,9 @@ _DUP_UNION_SQL = """
 def _spread(df, spark):
     """Single-file inputs scan as one partition; fan map-side work out
     to the session's parallelism (no-op cost at this data size)."""
+    import os
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
+        return df
     from bern2_spark.pipeline import _fan_out_narrow_scan
     return _fan_out_narrow_scan(df, spark)
 
@@ -4397,8 +4405,8 @@ _CODE_CTE_BODY = """code AS (
 _CODE_CTE = "\nWITH " + _CODE_CTE_BODY
 
 
-def _code(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+def _code(spark, sf_dir, spread=True):
+    d = _docs(spark, sf_dir, spread=spread)
     did = F.col("doc_id")
     hdr = (F.when(did % 7 == 0,
                   F.lit("SPDX-License-Identifier: MIT\n"))
@@ -4454,7 +4462,8 @@ def code_stack_filters(spark, sf_dir):
     fused into the content scan — dataprep/codeqc.py has the 100-TB
     posture."""
     from bern2_spark.dataprep.codeqc import stack_quality_features
-    return stack_quality_features(_code(spark, sf_dir)).select(
+    return stack_quality_features(
+        _code(spark, sf_dir, spread=False)).select(
         "doc_id", "repo", "path", "max_line_len", "avg_line_len",
         "alnum_frac", "autogen", "passes")
 
@@ -5386,9 +5395,9 @@ src AS (SELECT repo, path, commit_sha, doc_id, lang,
 _CODE_SRC_BODY = _code_src_body()
 
 
-def _code_src(spark, sf_dir):
+def _code_src(spark, sf_dir, spread=True):
     """Spark twin of the src CTE — byte-identical injected content."""
-    c = _code(spark, sf_dir)
+    c = _code(spark, sf_dir, spread=spread)
     did = F.col("doc_id")
     fam = F.lit("text")
     for nat, pl in _NAT_TO_FAMILY.items():
@@ -5631,7 +5640,8 @@ def kg_code_pipeline(spark, sf_dir):
     from bern2_spark.dataprep.codekg import (code_triples, extract_defs,
                                              extract_imports)
     from bern2_spark.dataprep.codeqc import stack_quality_features
-    feat = stack_quality_features(_code_src(spark, sf_dir))
+    feat = stack_quality_features(_code_src(spark, sf_dir,
+                                            spread=False))
     cur = feat.filter("passes").select(
         "repo", "path", "commit_sha", "lang", "content", "doc_id")
     return code_triples(extract_imports(cur), extract_defs(cur))
@@ -6376,9 +6386,9 @@ dsrc AS (SELECT repo, path, doc_id, lang,
   FROM fam)""")
 
 
-def _dsrc(spark, sf_dir):
+def _dsrc(spark, sf_dir, spread=True):
     """Spark twin of the dsrc CTE — byte-identical documented fns."""
-    c = _code(spark, sf_dir)
+    c = _code(spark, sf_dir, spread=spread)
     did = F.col("doc_id")
     fam = F.lit("text")
     for nat, pl in _NAT_TO_FAMILY.items():
@@ -6463,9 +6473,9 @@ fsrc AS (SELECT repo, path, doc_id, lang,
   FROM fam WHERE lang = 'python')""")
 
 
-def _fsrc(spark, sf_dir):
+def _fsrc(spark, sf_dir, spread=True):
     """Spark twin of the fsrc CTE."""
-    c = _code(spark, sf_dir)
+    c = _code(spark, sf_dir, spread=spread)
     did = F.col("doc_id")
     fam = F.lit("text")
     for nat, pl in _NAT_TO_FAMILY.items():
@@ -6517,7 +6527,7 @@ def dedup_function_clones(spark, sf_dir):
     land in the same class as the %3==0 canonical forms, which is what
     the hash check proves.  Only the 32-byte hash shuffles."""
     from bern2_spark.dataprep.codeqc import function_clones
-    return function_clones(_fsrc(spark, sf_dir))
+    return function_clones(_fsrc(spark, sf_dir, spread=False))
 
 
 # ------------------------------------------------ external-API usage
@@ -7089,7 +7099,8 @@ def qc_pmi_collocations(spark, sf_dir):
     over ALL bigrams (the probability space), not just min_count
     survivors; integral counts make the single ln engine-exact."""
     from bern2_spark.dataprep.textqc import pmi_collocations
-    return pmi_collocations(_docs(spark, sf_dir), min_count=5)
+    return pmi_collocations(_docs(spark, sf_dir, spread=False),
+                            min_count=5)
 
 
 @q("qc_unused_imports", "WITH " + _CODE_SRC_BODY + _code_imports_cte()
@@ -7119,7 +7130,7 @@ def qc_unused_imports(spark, sf_dir):
     are semi-joined against the BROADCAST root set BEFORE the count
     shuffle (the BM25 pruning discipline)."""
     from bern2_spark.dataprep.codekg import extract_imports, unused_imports
-    src = _code_src(spark, sf_dir)
+    src = _code_src(spark, sf_dir, spread=False)
     return unused_imports(src, extract_imports(src))
 
 
@@ -7171,7 +7182,7 @@ def qc_halstead_metrics(spark, sf_dir):
     content scan with zero exchanges; log2 = ln/ln(2) in both
     engines so the doubles agree exactly."""
     from bern2_spark.dataprep.codeqc import halstead_metrics
-    return halstead_metrics(_code(spark, sf_dir))
+    return halstead_metrics(_code(spark, sf_dir, spread=False))
 
 
 # ------------------------------------------------- hybrid search (RRF)
@@ -7451,7 +7462,7 @@ def qc_mojibake(spark, sf_dir):
     same deterministic artifacts on doc_id % 13 residues so true
     positives exist at every SF."""
     from bern2_spark.dataprep.textqc import mojibake_features
-    d = _docs(spark, sf_dir).withColumn(
+    d = _docs(spark, sf_dir, spread=False).withColumn(
         "text",
         F.concat(F.col("text"),
                  F.when(F.col("doc_id") % 13 == 3, F.lit(" cafÃ©"))
@@ -7598,7 +7609,8 @@ def mix_curriculum_order(spark, sf_dir):
     sort: per-domain windows plus a broadcast domain-index dim;
     single-partition work is bounded by the domain count."""
     from bern2_spark.dataprep.mixing import curriculum_order
-    out = curriculum_order(_docs(spark, sf_dir), F.col("n_chars"),
+    out = curriculum_order(_docs(spark, sf_dir, spread=False),
+                           F.col("n_chars"),
                            domain_col="source", id_col="doc_id")
     return out.withColumn("seq", F.col("seq").cast("long"))
 
@@ -7793,7 +7805,7 @@ def qc_readability(spark, sf_dir):
     map over the scan, no shuffle, no UDF.  Float literals are CAST
     to DOUBLE in the oracle so DuckDB doesn't run them as DECIMAL."""
     from bern2_spark.dataprep.textqc import readability_features
-    return readability_features(_docs(spark, sf_dir))
+    return readability_features(_docs(spark, sf_dir, spread=False))
 
 
 @q("events_rfm", """
@@ -7957,7 +7969,7 @@ def kg_license_conflicts(spark, sf_dir):
     never a vanishing class); the license attach is a co-partitioned
     (repo, path) join."""
     from bern2_spark.dataprep.codeqc import clone_license_conflicts
-    return clone_license_conflicts(_fsrc(spark, sf_dir))
+    return clone_license_conflicts(_fsrc(spark, sf_dir, spread=False))
 
 
 @q("events_ab_test", """
@@ -8606,7 +8618,7 @@ def qc_profile_documents(spark, sf_dir):
     aggregate (Deequ's scan-sharing design); output is bounded by
     the column count, never the row count."""
     from bern2_spark.dataprep.profile import profile_columns
-    return profile_columns(_docs(spark, sf_dir),
+    return profile_columns(_docs(spark, sf_dir, spread=False),
                            ["doc_id", "text", "lang", "source",
                             "n_chars"])
 
@@ -8645,7 +8657,7 @@ def qc_constraints(spark, sf_dir):
     counts, because any engine disagreement on a predicate flips a
     row."""
     from bern2_spark.dataprep.profile import check_constraints
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return check_constraints(
         d,
         [("doc_id_non_negative", F.col("doc_id") >= 0),

@@ -26,16 +26,15 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Lexicons are tens of MB; broadcast them rather than shuffling docs.
     "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
-    # Scan-split size: the bench fixtures are single small parquet
-    # files whose row groups are ~30 MB, so the default 128 MB split
-    # packs a whole multi-row-group file into 1-2 tasks and the
-    # scan-fused per-row work serializes.  16 MB splits let every row
-    # group scan in its own task.  Scale-dependent: a 100-TB corpus of
-    # properly sized files wants the default or larger — override via
-    # SPARK_GRAFT_MAX_PARTITION_BYTES (the bench leaves the local
-    # default; a cluster submit passes e.g. 512m).
-    "spark.sql.files.maxPartitionBytes": os.environ.get(
-        "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+    # NOTE (r6 A/B, kept for the record): two guide-suggested conf
+    # levers were measured and REJECTED here.  16 MB scan splits (to
+    # parallelize multi-row-group files) lost to the default 128 MB on
+    # every lineitem query (task overhead > row-group parallelism at
+    # this scale; single-row-group files are handled by the _spread
+    # repartition instead).  preferSortMergeJoin=false + a 64 MB
+    # shuffled-hash threshold sped the iterative graph loops ~10% but
+    # slowed the flagship KG pipeline 13s -> 17s at sf1.0 — net wash,
+    # worst on the headline — so the default SMJ planning stays.
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
