@@ -581,17 +581,38 @@ def containment_pairs(docs: DataFrame = None,
                  .agg(F.count("*").alias("n_inter")))
     else:
         # n_inter is symmetric: count each unordered pair once (half
-        # the aggregation/shuffle rows) and mirror the counts after —
-        # identical to aggregating both directions.
+        # the aggregation/shuffle rows of the both-directions join),
+        # then emit BOTH directions from the single aggregated row via
+        # an in-row explode — a DataFrame-level union of two copies of
+        # the aggregate would re-execute the whole (132M-row at sf1.0)
+        # pair aggregation once per branch, since only exchanges get
+        # runtime reuse, not the post-exchange aggregate.  Identical
+        # rows to aggregating both directions.
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         half = (a.join(b, "shingle")
                 .filter(F.col("doc_a") < F.col("doc_b"))
                 .groupBy("doc_a", "doc_b")
                 .agg(F.count("*").alias("n_inter")))
-        inter = half.unionByName(
-            half.select(F.col("doc_b").alias("doc_a"),
-                        F.col("doc_a").alias("doc_b"), "n_inter"))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n_shingles").alias("_sa"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n_shingles").alias("_sb"))
+        both = (half.join(sa, "doc_a").join(sb, "doc_b")
+                .select(F.explode(F.array(
+                    F.struct(F.col("doc_a").alias("x"),
+                             F.col("doc_b").alias("y"),
+                             (F.col("n_inter") / F.col("_sa"))
+                             .alias("c")),
+                    F.struct(F.col("doc_b").alias("x"),
+                             F.col("doc_a").alias("y"),
+                             (F.col("n_inter") / F.col("_sb"))
+                             .alias("c")))).alias("_p")))
+        return (both
+                .filter(F.col("_p.c") >= threshold)
+                .select(F.col("_p.x").alias("doc_a"),
+                        F.col("_p.y").alias("doc_b"),
+                        F.col("_p.c").alias("containment")))
     na = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n_shingles").alias("_na"))
     return (inter.join(na, "doc_a")
