@@ -474,8 +474,12 @@ def shared_package_graph(imports: DataFrame, tau: float = 0.0,
     everything that shuffles in volume."""
     from bern2_spark.dataprep.codeqc import fork_candidates
     mem = imports.select("repo", F.col("root_pkg").alias("h"))
+    # pack_pairs=False: the package projection's pair volume is small,
+    # so the dense-rank pair packing costs more than it saves here
+    # (see fork_candidates)
     return fork_candidates(mem, tau=tau, max_hash_degree=max_pkg_degree,
-                           track_persisted=track_persisted)
+                           track_persisted=track_persisted,
+                           pack_pairs=False)
 
 
 def file_import_edges(imports: DataFrame, files: DataFrame,
