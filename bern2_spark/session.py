@@ -38,6 +38,13 @@ DEFAULT_CONF = {
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # The driver's bench artifact was unparseable two rounds running
+    # because \r console-progress output interleaved with the single
+    # JSON result line in the captured stream (BENCH_r04/r05 "parsed":
+    # null / tail-recovery).  The bench session is built through this
+    # factory, so the progress bar is silenced here — purely cosmetic,
+    # no effect on any plan or result.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
